@@ -1,0 +1,672 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.io.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator inventory (SURVEY.md §2.3-§2.9), expressed
+  * Spark-first over the TPC-H-ish test tables and oracle-checked against
+  * DuckDB.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension tables (region/nation/supplier/customer/part) get
+  *    explicit `broadcast()` hints where they join the fact side, so the
+  *    plan is a BroadcastHashJoin with no fact-side shuffle;
+  *  - aggregations are single-pass partial+final hash aggs (Catalyst
+  *    default) — no driver-side collects anywhere;
+  *  - final `orderBy` on small (dimension-sized or grouped) results only;
+  *    fact-sized outputs sort on the unique key the driver needs for
+  *    deterministic comparison, which Spark executes as a range-
+  *    partitioned sort that scales linearly.
+  *
+  * Money sums are rounded to 2 decimals (inputs have exactly 2 decimal
+  * digits, so the true sum lies on the 0.01 grid and rounding erases
+  * engine-specific floating-point accumulation order); averages and
+  * higher moments round coarsely enough that a ~1e-12 relative error
+  * cannot cross a rounding boundary.
+  */
+object RelationalPack extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregations --------------------------------------------------
+    // A1/A2-shape pricing summary (TPC-H Q1 silhouette): filter pushdown +
+    // single-pass multi-aggregate hash agg. Ref: data_utils.py:245-264
+    // (means), data_utils.py:317 (group counts).
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A2: all column means in ONE aggregation pass (replaces the
+    // reference's 5 separate collect()s — SURVEY.md R2, data_utils.py:261).
+    "a2_multi_avg" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+    }),
+
+    // A4: group-by-count + sort (classifier_pipeline.py:375 decade dist).
+    "a4_groupby_year" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("order_year"))
+    }),
+
+    // A5: describe()-style summary stats (eda/data_analysis.ipynb cell 3).
+    "a5_summary_stats" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("cnt"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"),
+        round(stddev_samp(col("o_totalprice")), 2).as("std_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+    }),
+
+    // A5: null audit — count of missing values per column
+    // (eda/data_analysis.ipynb cell 4; nulls constructed via sentinel
+    // rewrite since the synthetic tables are dense).
+    "a5_null_audit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          when(col("l_discount") > 0.05, lit(null)).otherwise(col("l_quantity")).as("q"),
+          when(col("l_tax") > 0.04, lit(null)).otherwise(col("l_extendedprice")).as("p"))
+        .agg(
+          sum(col("q").isNull.cast("int")).as("q_nulls"),
+          sum(col("p").isNull.cast("int")).as("p_nulls"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // A5: correlation + manual third-moment skewness via one aggregate
+    // pass (eda/data_analysis.ipynb cells 8,11) — the skewness formula is
+    // spelled out identically on both engines to avoid sample-vs-population
+    // convention mismatches between built-ins.
+    "a5_corr_skew" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val agg = li.agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        avg(col("l_quantity")).as("mu"),
+        avg(col("l_quantity") * col("l_quantity")).as("m2raw"),
+        avg(col("l_quantity") * col("l_quantity") * col("l_quantity")).as("m3raw"))
+      agg.select(
+        round(col("c"), 4).as("corr_qty_price"),
+        round(
+          (col("m3raw") - lit(3.0) * col("mu") * col("m2raw")
+            + lit(2.0) * col("mu") * col("mu") * col("mu"))
+            / pow(col("m2raw") - col("mu") * col("mu"), 1.5), 4)
+          .as("skew_qty"))
+    }),
+
+    // A6: histogram binning (eda/data_analysis.ipynb cell 5) — fixed-width
+    // buckets via floor division; a single shuffle on ~#buckets keys.
+    "a6_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- projections / filters / rewrites ------------------------------
+    // P1-P3: select + rename + drop (classifier_pipeline.py:225-227).
+    "p1_project_rename" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .withColumnRenamed("c_acctbal", "acctbal")
+        .drop("c_mktsegment")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // P4: numeric predicate (classifier_pipeline.py:240).
+    "p4_filter_numeric" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // P5: IN-list filter (data_utils.py:396).
+    "p5_filter_inlist" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // P7: conditional rewrite ladder — when/otherwise, nullif-style
+    // sentinel → null, greatest-repair, coalesce fallback
+    // (data_utils.py:239; classifier_pipeline.py:198-204,317,372).
+    "p7_conditional_rewrite" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "O", "open")
+            .when(col("o_orderstatus") === "F", "finished")
+            .otherwise("other").as("status_label"),
+          round(greatest(col("o_totalprice"), lit(100000.0)), 2).as("floored_price"),
+          coalesce(
+            when(col("o_orderpriority") === "4-NOT SPECIFIED", lit(null))
+              .otherwise(col("o_orderpriority")),
+            lit("none")).as("prio"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // P8: casts (data_utils.py:241, classifier_pipeline.py:366,373).
+    "p8_cast" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty_int"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price_dec"),
+          col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P9: blanket na.fill on remaining nulls (classifier_pipeline.py:399).
+    "p9_fillna" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") > 0.05, lit(null)).otherwise(col("l_quantity")).as("q"))
+        .na.fill(0.0, Seq("q"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- joins ----------------------------------------------------------
+    // J1/J3: equi left join, dimension side broadcast
+    // (classifier_pipeline.py:267,315).
+    "j1_left_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J4: left join + ambiguous-key drop + null patch
+    // (classifier_pipeline.py:289-290, 354-360).
+    "j4_join_dropkey" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val qty = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("part_qty"))
+      p.join(qty, p("p_partkey") === qty("l_partkey"), "left")
+        .drop("l_partkey")
+        .select(col("p_partkey"), col("p_name"),
+          coalesce(col("part_qty"), lit(0.0)).as("part_qty"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // J5: self-enrich join of a table with its own group counts
+    // (data_utils.py:319-323).
+    "j5_count_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val cnt = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_items"))
+      sup.join(cnt, sup("s_suppkey") === cnt("l_suppkey"), "left")
+        .select(col("s_suppkey"), col("s_name"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // J6: anti join — replaces the reference's driver-side set-difference
+    // (data_utils.py:375,392-396): customers with no 1995 orders (the
+    // cache-miss shape: "ids not yet covered by the cache table").
+    "j6_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J7-adjacent: semi join (EXISTS) — parts that were actually ordered.
+    "j7_semi_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem")
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // J8: three-way star join through nation → region, all dims broadcast.
+    "j8_star_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"), "inner")
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // ---- window functions ------------------------------------------------
+    // W1: top-1-per-group with deterministic tie-break
+    // (data_utils.py:327-344): top supplier per nation by item count.
+    "w1_top_supplier_per_nation" -> ((s, dir) =>
+      topSupplierPerNation(s, dir)),
+
+    // W2: rank / dense_rank / row_number over acctbal within nation.
+    "w2_rank_suppliers" -> ((s, dir) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+      t(s, dir, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"),
+          round(col("s_acctbal"), 2).as("acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .orderBy(col("s_nationkey"), col("rn"))
+    }),
+
+    // W3: running sum with explicit ROWS frame per customer.
+    "w3_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // W4: lag/lead analytics — gap between consecutive orders per customer.
+    "w4_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") - lag(col("o_totalprice"), 1, 0.0).over(w), 2)
+            .as("delta_prev"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- sorts / top-k ----------------------------------------------------
+    // O1/O4: global sort + limit → TakeOrderedAndProject (no full sort at
+    // scale; per-partition top-k then merge on driver).
+    "o4_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ---- set operations ----------------------------------------------------
+    // U1: positional union (data_utils.py:147-152) — UNION ALL semantics.
+    "u1_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val lo = o.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      hi.union(lo).orderBy(col("o_orderkey"))
+    }),
+
+    // U2: intersect (data_utils.py:91 — driver set &): customers active in
+    // both 1995 and 1996.
+    "u2_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val b = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      a.intersect(b).orderBy(col("o_custkey"))
+    }),
+
+    // U3: except (data_utils.py:392 — driver set −): customers that never
+    // placed an URGENT order, via EXCEPT (same statement as an anti join).
+    "u3_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      c.except(o).orderBy(col("c_custkey"))
+    }),
+
+    // ---- scalar functions ---------------------------------------------------
+    // F2/F3: regex strip, trim+initcap, length, substring
+    // (data_utils.py:182-184).
+    "f_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          initcap(trim(col("p_name"))).as("name_tc"),
+          upper(col("p_type")).as("type_uc"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+          substring(col("p_name"), 1, 5).as("name_pfx"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F4/F5: blank→null + cross-column coalesce (data_utils.py:177-178,
+    // 208-213).
+    "f_blank_null_coalesce" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          coalesce(
+            when(trim(col("p_brand")) === "" || col("p_brand").isNull, lit(null))
+              .otherwise(col("p_brand")),
+            col("p_type")).as("brand_or_type"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F6: decade derivation (classifier_pipeline.py:373).
+    "f6_decade" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(concat(
+          (floor(year(col("o_orderdate")) / 10) * 10).cast("int").cast("string"),
+          lit("s")).as("decade"))
+        .groupBy(col("decade"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("decade"))
+    }),
+
+    // F8: prediction → boolean label string (data_utils.py:453).
+    "f8_bool_label" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(when(col("o_totalprice") > 250000.0, "True").otherwise("False")
+          .as("label"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("label"))
+    }),
+
+    // JSON column extraction (events.props) — beyond the reference's scan-
+    // time-only JSON handling; codegen'd get_json_object, no UDF.
+    "f_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))
+    }),
+
+    // M1 as relational algebra: StringIndexer's frequencyDesc label→index
+    // mapping (data_utils.py:267-298) — index = dense order by (count
+    // desc, label asc), cast double exactly like MLlib's output column.
+    "m1_freq_index" -> ((s, dir) => {
+      val w = Window.orderBy(col("cnt").desc, col("c_mktsegment").asc)
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("c_mktsegment"),
+          (row_number().over(w) - 1).cast("double").as("segment_index"))
+        .orderBy(col("segment_index"))
+    })
+  )
+
+  /** Flagship (SURVEY.md §7.2 step 1): groupBy-count + window top-1 +
+    * left join — the exact W1+J5+J1 shape of the reference's
+    * `_merge_metadata_into_df` (data_utils.py:303-344), over
+    * orders/supplier/nation. Deterministic tie-break (count desc, key
+    * asc) per SURVEY W1.
+    */
+  def topSupplierPerNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val sup = Tables(s, dir, "supplier")
+    val nat = Tables(s, dir, "nation")
+    val counts = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("supp_count"))
+    val joined = sup
+      .join(counts, sup("s_suppkey") === counts("l_suppkey"), "left")
+      .drop("l_suppkey")
+      .withColumn("supp_count", coalesce(col("supp_count"), lit(0L)))
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("supp_count").desc, col("s_suppkey").asc)
+    val top = joined
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .drop("rnk")
+    top.join(broadcast(nat), top("s_nationkey") === nat("n_nationkey"), "left")
+      .select(col("n_name"), col("s_suppkey"), col("s_name"), col("supp_count"))
+      .orderBy(col("n_name"))
+  }
+
+  override def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a2_multi_avg" ->
+      """SELECT round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem""".stripMargin,
+
+    "a4_groupby_year" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a5_summary_stats" ->
+      """SELECT count(*) AS cnt,
+        |  round(avg(o_totalprice), 2) AS avg_price,
+        |  round(stddev_samp(o_totalprice), 2) AS std_price,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders""".stripMargin,
+
+    "a5_null_audit" ->
+      """SELECT
+        |  sum(CASE WHEN (CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END) IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+        |  sum(CASE WHEN (CASE WHEN l_tax > 0.04 THEN NULL ELSE l_extendedprice END) IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+        |  count(*) AS cnt
+        |FROM lineitem""".stripMargin,
+
+    "a5_corr_skew" ->
+      """WITH a AS (
+        |  SELECT corr(l_quantity, l_extendedprice) AS c,
+        |    avg(l_quantity) AS mu,
+        |    avg(l_quantity * l_quantity) AS m2raw,
+        |    avg(l_quantity * l_quantity * l_quantity) AS m3raw
+        |  FROM lineitem)
+        |SELECT round(c, 4) AS corr_qty_price,
+        |  round((m3raw - 3.0 * mu * m2raw + 2.0 * mu * mu * mu)
+        |        / pow(m2raw - mu * mu, 1.5), 4) AS skew_qty
+        |FROM a""".stripMargin,
+
+    "a6_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p1_project_rename" ->
+      """SELECT c_custkey, c_name, c_acctbal AS acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "p4_filter_numeric" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 400000.0 ORDER BY o_orderkey""".stripMargin,
+
+    "p5_filter_inlist" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R') GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p7_conditional_rewrite" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'open'
+        |       WHEN o_orderstatus = 'F' THEN 'finished'
+        |       ELSE 'other' END AS status_label,
+        |  round(greatest(o_totalprice, 100000.0), 2) AS floored_price,
+        |  coalesce(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN NULL
+        |                ELSE o_orderpriority END, 'none') AS prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "p8_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS INT) AS qty_int,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+        |  CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p9_fillna" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END, 0.0) AS q
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "j1_left_join" ->
+      """SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "j4_join_dropkey" ->
+      """WITH qty AS (
+        |  SELECT l_partkey, round(sum(l_quantity), 2) AS part_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p.p_partkey, p.p_name, coalesce(q.part_qty, 0.0) AS part_qty
+        |FROM part p LEFT JOIN qty q ON p.p_partkey = q.l_partkey
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    "j5_count_join" ->
+      """WITH cnt AS (SELECT l_suppkey, count(*) AS n_items FROM lineitem GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, coalesce(c.n_items, 0) AS n_items
+        |FROM supplier s LEFT JOIN cnt c ON s.s_suppkey = c.l_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "j6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j7_semi_join" ->
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "j8_star_join" ->
+      """SELECT r.r_name, count(*) AS n_customers,
+        |  round(sum(c.c_acctbal), 2) AS sum_acctbal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+
+    "w1_top_supplier_per_nation" ->
+      """WITH counts AS (
+        |  SELECT l_suppkey, count(*) AS supp_count FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT s.s_suppkey, s.s_name, s.s_nationkey,
+        |    coalesce(c.supp_count, 0) AS supp_count
+        |  FROM supplier s LEFT JOIN counts c ON s.s_suppkey = c.l_suppkey),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY s_nationkey
+        |    ORDER BY supp_count DESC, s_suppkey ASC) AS rnk
+        |  FROM j)
+        |SELECT n.n_name, r.s_suppkey, r.s_name, r.supp_count
+        |FROM r LEFT JOIN nation n ON r.s_nationkey = n.n_nationkey
+        |WHERE r.rnk = 1
+        |ORDER BY n.n_name""".stripMargin,
+
+    "w2_rank_suppliers" ->
+      """SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal,
+        |  row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+        |ORDER BY s_nationkey, rn""".stripMargin,
+
+    "w3_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w4_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2) AS delta_prev,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "o4_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "u1_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '5-LOW')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "u2_intersect" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "u3_except" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey FROM customer
+        |  EXCEPT
+        |  SELECT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "f_string_funcs" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(string_split(trim(p_name), ' '),
+        |    w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ') AS name_tc,
+        |  upper(p_type) AS type_uc,
+        |  length(p_name) AS name_len,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        |  substr(p_name, 1, 5) AS name_pfx
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f_blank_null_coalesce" ->
+      """SELECT p_partkey,
+        |  coalesce(CASE WHEN trim(p_brand) = '' OR p_brand IS NULL THEN NULL
+        |                ELSE p_brand END, p_type) AS brand_or_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f6_decade" ->
+      """SELECT CAST(CAST(floor(year(o_orderdate) / 10) * 10 AS INT) AS VARCHAR) || 's' AS decade,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f8_bool_label" ->
+      """SELECT CASE WHEN o_totalprice > 250000.0 THEN 'True' ELSE 'False' END AS label,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f_json_extract" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "m1_freq_index" ->
+      """WITH counts AS (
+        |  SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY 1)
+        |SELECT c_mktsegment,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, c_mktsegment ASC) - 1 AS DOUBLE)
+        |    AS segment_index
+        |FROM counts ORDER BY segment_index""".stripMargin
+  )
+}
