@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.RelationalPack
+import graft.queries.{DedupPack, RelationalPack, SimilarityPack, TextPack}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,7 @@ import graft.queries.RelationalPack
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    RelationalPack
+    RelationalPack, TextPack, DedupPack, SimilarityPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.io.Tables
+import graft.text.TextFeatures._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline
+  * (builder brief): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine. All over the `documents` / `embeddings` tables.
+  *
+  * The candidate-generation strategies differ (that's the point — they
+  * are the 100 TB scale paths), but every near-dup query VERIFIES its
+  * candidates with the exact word-3-gram Jaccard and emits only pairs
+  * with J >= 0.8. On data where the sketch achieves full recall at the
+  * threshold (the fixture's planted dups sit at J >= 0.9 with the next
+  * pair down at 0.07), the output is therefore hash-independent and
+  * identical to the brute-force answer — which is what the DuckDB
+  * oracle computes. Recall shortfalls would surface as row-count
+  * mismatches in the t2 gate, making the gate a real recall test.
+  *
+  * Scale notes:
+  *  - shingle self-join shuffles on the shingle string — the standard
+  *    sharded inverted index; hot shingles would be dropped by a
+  *    document-frequency cap in a production pipeline (not needed on
+  *    the fixture; see LshSpec for the property test);
+  *  - MinHash bands (16 bands x 4 rows) shuffle on (band, bandHash) —
+  *    tiny keys, no row amplification beyond true candidates;
+  *  - SimHash blocks on 4 x 16-bit signature chunks (exact for
+  *    Hamming distance <= 3 by pigeonhole);
+  *  - embedding near-dup compares only pairs, precomputing norms once;
+  *    the all-pairs form is quadratic and exists as the correctness
+  *    baseline — the ANN path is SimilarityPack's LSH variant.
+  */
+object DedupPack extends QueryPack {
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime for perms
+
+  /** doc_id -> distinct word-3-gram shingle array. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+
+  /** Exploded (doc_id, shingle) inverted-index rows. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleSets(s, dir).select(col("doc_id"), explode(col("sh")).as("s"))
+
+  /** Exact-verify candidate (ida, idb) pairs against true 3-gram
+    * Jaccard; keep J >= 0.8. Joins the (small) per-doc shingle arrays
+    * back onto the candidate pairs — at scale the pair set is tiny
+    * relative to the corpus, so these are hash joins on doc_id. */
+  private def verified(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val sa = sets.select(col("doc_id").as("ida"), col("sh").as("sha"))
+    val sb = sets.select(col("doc_id").as("idb"), col("sh").as("shb"))
+    val j = size(array_intersect(col("sha"), col("shb"))) /
+      size(array_union(col("sha"), col("shb")))
+    cand.join(sa, "ida").join(sb, "idb")
+      .select(col("ida"), col("idb"), j.as("j"))
+      .filter(col("j") >= 0.8)
+      .select(col("ida"), col("idb"), round(col("j"), 4).as("jaccard"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on full text, keep lowest doc_id. The
+    // fixture has no exact dups, so the input plants copies of the
+    // even-id docs (UNION ALL) — the dedup then has real work to do.
+    "d_exact" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      docs.union(planted)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // Brute-force n-gram Jaccard near-dup: inverted-index self-join on
+    // shingles (only pairs sharing >= 1 shingle are generated — the
+    // exact sparse candidate set), then J from intersection/union
+    // counts. This IS the oracle semantics, computed distributed.
+    "d_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingleRows(s, dir)
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .agg(count(lit(1)).as("i"))
+      val ca = cnt.select(col("doc_id").as("ida"), col("n").as("na"))
+      val cb = cnt.select(col("doc_id").as("idb"), col("n").as("nb"))
+      inter.join(ca, "ida").join(cb, "idb")
+        .select(col("ida"), col("idb"),
+          (col("i") / (col("na") + col("nb") - col("i"))).as("j"))
+        .filter(col("j") >= 0.8)
+        .select(col("ida"), col("idb"), round(col("j"), 4).as("jaccard"))
+        .orderBy(col("ida"), col("idb"))
+    }),
+
+    // MinHash + LSH near-dup: 64 permutations h_i(x) = (a_i*x + b_i)
+    // mod P over xxhash64'd shingles, banded 16x4; candidates are
+    // pairs agreeing on any band, then exact-verified. The only
+    // all-corpus shuffles are groupBy(doc_id) for signatures and
+    // groupBy(band, bandHash) for buckets — both linear.
+    "d_minhash_lsh" -> ((s, dir) => {
+      val sets = shingleSets(s, dir)
+      val base = shingleRows(s, dir)
+        .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+      val sigCols = (0 until 64).map { i =>
+        val a = (2L * i + 1) * 1103515245L % P
+        val b = 12345L * i + 789L
+        min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
+      }
+      val sigs = base.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bandCols = (0 until 16).map { bnd =>
+        xxhash64(concat_ws(",", (0 until 4).map(r => col(s"m${bnd * 4 + r}")): _*))
+      }
+      val bands = sigs
+        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .distinct()
+      verified(cand, sets)
+    }),
+
+    // SimHash near-dup: 64-bit signature from token-frequency-weighted
+    // bit votes of xxhash64(token); blocking on 16 x 4-bit chunks
+    // (pigeonhole-exact for Hamming <= 15 — J~0.8 text pairs land
+    // around Hamming 5-12, beyond what coarser 4x16 blocking covers),
+    // then exact-verified. 4-bit buckets are loose; production sharpens
+    // them with Manku-style rotated multi-chunk tables, but the exact
+    // Jaccard verification join keeps the candidate cost bounded here.
+    "d_simhash" -> ((s, dir) => {
+      val sets = shingleSets(s, dir)
+      val votes = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, 63), i -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)"))
+          .as(Seq("bit", "v")))
+        .groupBy(col("doc_id"), col("bit"))
+        .agg(sum(col("v")).as("sv"))
+      val sigs = votes.groupBy(col("doc_id"))
+        .agg(sum(when(col("sv") > 0,
+          expr("shiftleft(1L, cast(bit as int))")).otherwise(0L)).as("sim"))
+      val chunks = sigs.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 15), c -> (sim >> (c * 4)) & 15)"))
+        .as(Seq("chunk", "cv")))
+      val cand = chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .distinct()
+      verified(cand, sets)
+    }),
+
+    // Embedding-cosine near-dup: norms precomputed once per vector,
+    // pair filter on cosine >= 0.45. All-pairs is the correctness
+    // baseline (the fixture has no planted vector dups; 0.45 keeps the
+    // output small); the sublinear path is SimilarityPack's LSH.
+    "d_embed_cos" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", sqrt(expr(
+          "aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
+      val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+      a.crossJoin(b).filter(col("ia") < col("ib"))
+        .withColumn("cos", expr(
+          "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.45)
+        .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("ia"), col("ib"))
+    })
+  )
+
+  /** Exact 3-gram-Jaccard >= 0.8 pairs — the shared oracle for all
+    * three near-dup text queries (their outputs are by construction the
+    * verified-exact answer). */
+  private val exactJaccardSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                         for i in range(1, greatest(len(w) - 1, 1))]) AS s
+      |  FROM w)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+      |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (
+      |  SELECT ida, idb, i * 1.0 / (ca.n + cb.n - i) AS j
+      |  FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
+      |SELECT ida, idb, round(j, 4) AS jaccard FROM j
+      |WHERE j >= 0.8 ORDER BY ida, idb""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "d_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM all_docs GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "d_ngram_jaccard" -> exactJaccardSql,
+    "d_minhash_lsh" -> exactJaccardSql,
+    "d_simhash" -> exactJaccardSql,
+
+    "d_embed_cos" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY ia, ib""".stripMargin
+  )
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over the
+  * `embeddings` table (builder brief). Brute-force cosine top-k is the
+  * correctness baseline (oracle-checked); the sign-LSH bucketed variant
+  * is the 100 TB scale path (recall-tested against brute force in
+  * ScalaTest, rows-only in the t2 gate since its output is
+  * hash-dependent).
+  *
+  * Dot products are spelled as an explicit left-to-right fold over
+  * doubles (`aggregate(zip_with(...))`) so both Spark and the DuckDB
+  * oracle evaluate the identical IEEE operation sequence — bit-exact
+  * cosines, no rank flapping near ties.
+  *
+  * Scale notes: the query set is broadcast (it is the small side by
+  * construction); norms are computed once per corpus vector in the
+  * scan projection, not per pair; top-k per query is a partial
+  * per-partition top-k under AQE before the final window — no global
+  * sort of the pair space.
+  */
+object SimilarityPack extends QueryPack {
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
+
+  private val dot =
+    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-10 for 10 query vectors: broadcast the
+    // queries against the corpus, rank per query with deterministic
+    // tie-break. Linear in corpus size per query — the exact baseline.
+    "s_knn_brute" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      broadcast(q).crossJoin(e).filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (dot / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Sign-LSH (random hyperplane) bucketed ANN: 12-bit signature from
+    // deterministic pseudo-random projections; candidates share a
+    // signature in any of 3 tables; exact cosine re-rank within
+    // candidates. Hash-dependent output -> rows-only gate + recall
+    // property test (SimilaritySpec).
+    "s_knn_lsh" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      // 3 tables x 12 hyperplanes; plane coefficients are a fixed
+      // pseudo-random stream: c(t,p,i) = ((xxhash64 of "t:p:i") % 1000)/500 - 1
+      def sig(t: Int) = expr(
+        s"""aggregate(sequence(0, 11), 0L, (acc, p) ->
+           |  acc * 2 + CASE WHEN aggregate(sequence(0, 63), 0D, (a2, i) ->
+           |    a2 + element_at(v, i + 1) *
+           |      ((pmod(xxhash64(concat('$t', ':', p, ':', i)), 1000)) / 500.0 - 1.0)
+           |  ) > 0 THEN 1 ELSE 0 END)""".stripMargin)
+      val sigs = e.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(array((0 until 3).map(sig): _*)).as(Seq("tbl", "sg")))
+      val q = sigs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          col("tbl"), col("sg"))
+      val cand = broadcast(q)
+        .join(sigs, Seq("tbl", "sg"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"), col("qv"), col("v"),
+          col("qn"), col("nrm"))
+        .distinct()
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      cand
+        .select(col("qid"), col("nid"), (dot / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Per-label centroid: element-wise mean embedding per class — the
+    // aggregation shape of IVF coarse quantizers and class prototypes.
+    // posexplode + two-level hash agg; 64 x n_labels cells total.
+    "s_label_centroid" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).as("dim"))
+        // + 0.0 collapses IEEE negative zero so engines agree on "0.0"
+        .agg((round(avg(col("x").cast("double")), 4) + lit(0.0)).as("v"))
+        .orderBy(col("label"), col("dim"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "s_knn_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |p AS (
+        |  SELECT qid, n.vec_id AS nid,
+        |    list_dot_product(qv, n.v) / (qn * n.nrm) AS c
+        |  FROM q, n WHERE n.vec_id <> qid),
+        |r AS (SELECT qid, nid, c,
+        |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk
+        |  FROM p)
+        |SELECT qid, nid, round(c, 4) AS cos, rk FROM r
+        |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    "s_label_centroid" ->
+      """SELECT label, i.i AS dim,
+        |  round(avg(CAST(embedding[i.i] AS DOUBLE)), 4) + 0.0 AS v
+        |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    // s_knn_lsh: hash-dependent candidate set -> rows-only check here;
+    // recall >= 0.9 vs s_knn_brute asserted in SimilaritySpec.
+  )
+}
