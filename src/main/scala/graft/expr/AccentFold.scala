@@ -1,0 +1,78 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Accent folding as a native Catalyst expression with codegen
+  * (SURVEY.md F1): Unicode NFKD-normalize then drop combining marks and
+  * any remaining non-ASCII — `Déstiny` -> `Destiny`.
+  *
+  * The reference does this on the driver with pandas
+  * (data_utils.py:180, applied via toPandas at data_utils.py:204-215 —
+  * the X1 pessimization); here it is a distributed, codegen'd unary
+  * expression that stays inside whole-stage codegen, so title
+  * normalization no longer severs lineage or blocks pushdown.
+  */
+case class AccentFold(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"accent_fold requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "accent_fold"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(AccentFold.fold(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.expr.AccentFold.fold($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): AccentFold =
+    copy(child = newChild)
+}
+
+object AccentFold {
+  /** JVM-side fold, shared by interpreted eval and generated code. */
+  def fold(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
+      .replaceAll("\\p{M}+", "")
+      .replaceAll("[^\\x00-\\x7F]", "")
+}
+
+/** Registration hooks for graft's custom expressions.
+  *
+  * Two paths, both idiomatic Spark:
+  *  - config: `spark.sql.extensions=graft.expr.GraftExtensions`
+  *    (SparkSessionExtensions.injectFunction), or
+  *  - programmatic: `GraftFunctions.register(spark)` on an existing
+  *    session (what Verify/Bench/tests use).
+  * After either, `accent_fold(col)` resolves in SQL and via
+  * `functions.call_function("accent_fold", col)`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.accentFoldDescriptor)
+}
+
+object GraftFunctions {
+  private[graft] val accentFoldDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("accent_fold"),
+      new ExpressionInfo(classOf[AccentFold].getName, "accent_fold"),
+      (exprs: Seq[Expression]) => AccentFold(exprs.head))
+
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = accentFoldDescriptor
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    val _ = info // ExpressionInfo used by the extensions path
+  }
+}

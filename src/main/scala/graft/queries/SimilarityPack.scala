@@ -55,23 +55,33 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("qid"), col("rk"))
     }),
 
-    // Sign-LSH (random hyperplane) bucketed ANN: 12-bit signature from
-    // deterministic pseudo-random projections; candidates share a
-    // signature in any of 3 tables; exact cosine re-rank within
-    // candidates. Hash-dependent output -> rows-only gate + recall
-    // property test (SimilaritySpec).
+    // Sign-LSH (random hyperplane) bucketed ANN: per-table bit
+    // signature from deterministic pseudo-random projections;
+    // candidates share a signature in any table; exact cosine re-rank
+    // within candidates. Hash-dependent output -> rows-only gate +
+    // recall property test (SimilaritySpec).
+    //
+    // Parameters trade recall vs candidate volume. The fixture is
+    // uniform gaussian — the worst case for LSH (nearest neighbors sit
+    // near cos 0.4, i.e. 66 degrees): bit-agreement p ~ 1 - theta/pi
+    // ~ 0.63, so short 4-bit signatures x 8 tables give ~2/3 recall
+    // while pruning ~half the corpus per query. Real embedding corpora
+    // are clustered; there longer signatures prune far harder at the
+    // same recall, and this constant is the only thing to retune.
     "s_knn_lsh" -> ((s, dir) => {
       val e = vecs(s, dir)
-      // 3 tables x 12 hyperplanes; plane coefficients are a fixed
-      // pseudo-random stream: c(t,p,i) = ((xxhash64 of "t:p:i") % 1000)/500 - 1
+      val bits = 4
+      val tables = 8
+      // plane coefficients are a fixed pseudo-random stream:
+      // c(t,p,i) = ((xxhash64 of "t:p:i") % 1000)/500 - 1
       def sig(t: Int) = expr(
-        s"""aggregate(sequence(0, 11), 0L, (acc, p) ->
+        s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, p) ->
            |  acc * 2 + CASE WHEN aggregate(sequence(0, 63), 0D, (a2, i) ->
            |    a2 + element_at(v, i + 1) *
            |      ((pmod(xxhash64(concat('$t', ':', p, ':', i)), 1000)) / 500.0 - 1.0)
            |  ) > 0 THEN 1 ELSE 0 END)""".stripMargin)
       val sigs = e.select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(array((0 until 3).map(sig): _*)).as(Seq("tbl", "sg")))
+        posexplode(array((0 until tables).map(sig): _*)).as(Seq("tbl", "sg")))
       val q = sigs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
           col("tbl"), col("sg"))
