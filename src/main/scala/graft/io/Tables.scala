@@ -22,7 +22,9 @@ object Tables {
     import org.apache.spark.sql.types.LongType
     val raw = apply(spark, sfDir, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer div, NOT `/`: Column./ is a double divide, and doubles
+      // lose integer precision above 2^53 — epoch-nanos are ~1.7e18.
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 }

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional aggregation built-ins the reference never uses but
+  * any analytics engine must expose (SURVEY.md §2.5 note: "our engine
+  * exposes them anyway via built-ins"): rollup, cube, grouping sets,
+  * distinct projection, approximate distinct counting.
+  */
+object AnalyticsPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP with grouping_id to disambiguate subtotal rows from
+    // genuine nulls. Partial-agg friendly: one shuffle.
+    "g_rollup" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("y"), col("prio"))
+    }),
+
+    "g_cube" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // GROUPING SETS via SQL — arbitrary set lists, not just the
+    // rollup/cube lattices.
+    "g_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT year(o_orderdate) AS y, o_orderstatus AS st,
+          |  grouping_id() AS gid, count(*) AS cnt
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+          |ORDER BY gid, y, st""".stripMargin)
+    }),
+
+    // DISTINCT projection (the deterministic face of dropDuplicates).
+    "g_distinct" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"))
+        .distinct()
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))),
+
+    // approx_count_distinct (HLL++): sketches differ across engines,
+    // so the CHECK is emitted, not the estimate: both engines assert
+    // their own estimate lands within 5% of their exact count.
+    "g_approx_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("apx"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .select((abs(col("apx") - col("exact")) / col("exact") <= 0.05)
+          .as("within_5pct")))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "g_rollup" ->
+      """SELECT year(o_orderdate) AS y, o_orderpriority AS prio,
+        |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
+        |  GROUPING(year(o_orderdate), o_orderpriority) AS gid
+        |FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+        |ORDER BY gid, y, prio""".stripMargin,
+
+    "g_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS qty,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "g_grouping_sets" ->
+      """SELECT year(o_orderdate) AS y, o_orderstatus AS st,
+        |  GROUPING(year(o_orderdate), o_orderstatus) AS gid, count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+        |ORDER BY gid, y, st""".stripMargin,
+
+    "g_distinct" ->
+      """SELECT DISTINCT o_orderpriority, o_orderstatus
+        |FROM orders ORDER BY 1, 2""".stripMargin,
+
+    "g_approx_distinct" ->
+      """SELECT abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |  * 1.0 / count(DISTINCT l_partkey) <= 0.05 AS within_5pct
+        |FROM lineitem""".stripMargin
+  )
+}

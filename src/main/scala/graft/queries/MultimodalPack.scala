@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.io.Tables
+import graft.multimodal.Media
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing queries (builder brief). The decode path runs
+  * through the REAL executor-side batched `mapPartitions` operator
+  * (Media.decode with the stub decoder); because the stub is a pure
+  * function of the payload bytes, DuckDB can recompute the expected
+  * features from the same source text — the oracle checks the whole
+  * binary pipeline (encode -> ship -> batch -> decode) end to end.
+  */
+object MultimodalPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary decode through mapPartitions batching (the vectorized-UDF
+    // shape). Output is typed features per media row.
+    "mm_decode" -> ((s, dir) => {
+      val media = Media.mediaTable(Tables(s, dir, "documents"))
+      Media.decode(s, media, Media.StubDecoder).toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // Modality-partitioned stats over the opaque payload — the "don't
+    // decode what you can prune" path: byte-level metadata only.
+    "mm_kind_stats" -> ((s, dir) => {
+      Media.mediaTable(Tables(s, dir, "documents"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("total_bytes"),
+          max(length(col("payload"))).as("max_bytes"))
+        .orderBy(col("kind"))
+    }),
+
+    // Frame sampling: metadata-driven explode, no decode needed.
+    "mm_frame_sample" -> ((s, dir) => {
+      Media.sampleFrames(Media.mediaTable(Tables(s, dir, "documents")), stride = 2)
+        .orderBy(col("media_id"), col("frame_no"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    // The fixture text is ASCII, so octet_length(encode(text))=length and
+    // payload[0] = code of first char — DuckDB recomputes the stub
+    // decode exactly.
+    "mm_decode" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) % 640 + 1 AS width,
+        |  unicode(text[1]) + 1 AS height,
+        |  3 AS channels
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_kind_stats" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  count(*) AS n,
+        |  sum(octet_length(encode(text))) AS total_bytes,
+        |  max(octet_length(encode(text))) AS max_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    greatest(octet_length(encode(text)) // 100, 1) AS n_frames
+        |  FROM documents)
+        |SELECT media_id, kind, f.f AS frame_no
+        |FROM m, LATERAL (SELECT unnest(range(0, n_frames, 2)) AS f) f
+        |ORDER BY media_id, frame_no""".stripMargin
+  )
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.io.Tables
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch executions of the unified batch/stream transforms
+  * (EventStreams) — the finite, DuckDB-checkable side of the streaming
+  * slice. StreamingSpec runs the SAME transforms through readStream +
+  * watermark + memory sink and asserts stream == batch.
+  */
+object StreamingPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_tumbling_hourly" -> ((s, dir) =>
+      EventStreams.hourlyTypeCounts(Tables.events(s, dir), watermarked = false)
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "st_sliding_daily" -> ((s, dir) =>
+      EventStreams.slidingDailyCounts(Tables.events(s, dir))
+        .orderBy(col("window_start"))),
+
+    "st_user_sessions" -> ((s, dir) =>
+      EventStreams.userSessions(Tables.events(s, dir), watermarked = false)
+        .orderBy(col("user_id"), col("session_start")))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "st_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // each event belongs to the 2-day windows starting at its day and
+    // the day before (epoch-aligned slide = plain date_trunc)
+    "st_sliding_daily" ->
+      """WITH w AS (
+        |  SELECT date_trunc('day', ts) AS window_start FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('day', ts) - INTERVAL 1 DAY FROM events)
+        |SELECT window_start, count(*) AS cnt
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // gaps-and-islands sessionization: new session when the gap from
+    // the previous event of the same user exceeds 30 minutes
+    "st_user_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+  )
+}

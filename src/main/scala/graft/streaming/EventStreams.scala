@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming slice over the `events` table (SURVEY.md §2.11:
+  * the reference is batch-only; this is the planned §7.2-step-5
+  * extension, designed with bounded state for an unbounded source).
+  *
+  * Transforms are written against plain DataFrames so the SAME code
+  * runs batch (finite, oracle-checkable — see StreamingPack) and
+  * streaming (readStream + watermark) — Spark's unified-API contract.
+  *
+  * State bounds:
+  *  - tumbling/sliding aggs: watermark(1 hour) caps window state; each
+  *    window is dropped once the watermark passes its end;
+  *  - dropDuplicatesWithinWatermark: dedup state is bounded by the
+  *    watermark horizon, not the stream length;
+  *  - mapGroupsWithState counter: O(#users) state, the intended shape
+  *    for keyed running aggregates.
+  */
+object EventStreams {
+
+  /** Hourly tumbling counts per event type. Batch and stream. */
+  def hourlyTypeCounts(events: DataFrame, watermarked: Boolean): DataFrame = {
+    val src = if (watermarked) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+  }
+
+  /** 2-day windows sliding by 1 day: each event lands in 2 windows. */
+  def slidingDailyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("cnt"))
+
+  /** Session windows per user with a 30-minute gap. Batch and stream
+    * (streaming requires the watermark for state eviction). */
+  def userSessions(events: DataFrame, watermarked: Boolean): DataFrame = {
+    val src = if (watermarked) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+  }
+
+  /** Exactly-once-per-id events under late/duplicate delivery: state
+    * bounded by the watermark horizon. Streaming-only operator. */
+  def dedupedEvents(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Open a file-based stream over the driver-generated events parquet.
+    * Single-file fixture is fine: the file source treats the directory
+    * listing as the stream. Normalizes the TIMESTAMP(NANOS) column the
+    * same way Tables.events does. */
+  def streamFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val nanos = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream
+      .schema(nanos)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Keyed event with only the fields the stateful counter needs. */
+  case class UserEvent(user_id: Long, event_type: String)
+  case class UserCount(user_id: Long, n_events: Long)
+
+  /** Custom keyed state via mapGroupsWithState: a running per-user
+    * event counter that survives across micro-batches (update mode).
+    * The minimal canonical shape for arbitrary stateful logic. */
+  def runningUserCounts(spark: SparkSession,
+                        stream: DataFrame): Dataset[UserCount] = {
+    import spark.implicits._
+    stream.select(col("user_id"), col("event_type")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + batch.size
+          state.update(total)
+          UserCount(uid, total)
+      }
+  }
+}
