@@ -82,7 +82,10 @@ object DedupPack extends QueryPack {
     // exact sparse candidate set), then J from intersection/union
     // counts. This IS the oracle semantics, computed distributed.
     "d_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingleRows(s, dir)
+      // join on the 8-byte xxhash64 of the shingle, not the string —
+      // same pairs (collision odds ~1e-10 at 64k distinct shingles),
+      // much cheaper shuffle keys and comparisons
+      val sh = shingleRows(s, dir).select(col("doc_id"), xxhash64(col("s")).as("s"))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -127,33 +130,44 @@ object DedupPack extends QueryPack {
       verified(cand, sets)
     }),
 
-    // SimHash near-dup: 64-bit signature from token-frequency-weighted
-    // bit votes of xxhash64(token); blocking on 16 x 4-bit chunks
-    // (pigeonhole-exact for Hamming <= 15 — J~0.8 text pairs land
-    // around Hamming 5-12, beyond what coarser 4x16 blocking covers),
-    // then exact-verified. 4-bit buckets are loose; production sharpens
-    // them with Manku-style rotated multi-chunk tables, but the exact
-    // Jaccard verification join keeps the candidate cost bounded here.
+    // SimHash near-dup: 64-bit signature from bit votes of the
+    // xxhash64'd 3-gram SHINGLES (not unigrams: with a small shared
+    // vocabulary every document has near-identical unigram statistics,
+    // so unigram SimHash puts random pairs at small Hamming distance
+    // and the blocking drowns in false candidates — shingles are the
+    // discriminative feature set, exactly as in the Jaccard ops).
+    // Blocking on 16 x 4-bit chunks (pigeonhole-exact for Hamming
+    // <= 15; J~0.8 pairs land around Hamming 5-12), then a cheap exact
+    // Hamming pre-filter on the 8-byte signatures, then exact Jaccard
+    // verification. The 64 bit-sums are computed as ONE aggregation
+    // over the shingle rows (64 agg columns), not a 64x row explosion.
     "d_simhash" -> ((s, dir) => {
       val sets = shingleSets(s, dir)
-      val votes = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .withColumn("h", xxhash64(col("w")))
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, 63), i -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)"))
-          .as(Seq("bit", "v")))
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(col("v")).as("sv"))
-      val sigs = votes.groupBy(col("doc_id"))
-        .agg(sum(when(col("sv") > 0,
-          expr("shiftleft(1L, cast(bit as int))")).otherwise(0L)).as("sim"))
-      val chunks = sigs.select(col("doc_id"), posexplode(expr(
+      val th = shingleRows(s, dir).withColumn("h", xxhash64(col("s")))
+      val bitSums = (0 until 64).map(i =>
+        sum(expr(s"CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
+      val sigs = th.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(i =>
+            when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("sim"))
+      val chunks = sigs.select(col("doc_id"), col("sim"), posexplode(expr(
         "transform(sequence(0, 15), c -> (sim >> (c * 4)) & 15)"))
         .as(Seq("chunk", "cv")))
+      // 4-bit buckets are deliberately loose (recall guarantee), so the
+      // candidate set is large — prune it with the exact Hamming
+      // distance on the 8-byte signatures BEFORE the shingle-array
+      // verification join: bit_count(xor) is a few cycles per pair,
+      // while the Jaccard join ships two ~400-element arrays per pair.
+      // J >= 0.8 pairs sit near Hamming 6-12; random pairs at 32 +- 4,
+      // so <= 16 keeps every true pair the blocking can surface and
+      // drops ~all noise (sub-ppm false-keep rate).
       val cand = chunks.as("a")
         .join(chunks.as("b"),
           col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
             col("a.doc_id") < col("b.doc_id"))
+        .filter(expr("bit_count(a.sim ^ b.sim) <= 16"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
         .distinct()
       verified(cand, sets)
@@ -167,14 +181,16 @@ object DedupPack extends QueryPack {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", sqrt(expr(
-          "aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
+        .withColumn("nrm", sqrt(SimilarityPack.dotCols("v", "v")))
+      // repartition the streamed side: a single-file scan arrives in 1-2
+      // partitions and a BroadcastNestedLoopJoin inherits that — this
+      // spreads the O(n^2/2) pair work across all cores
       val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+        .repartition(col("ia"))
       val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
-      a.crossJoin(b).filter(col("ia") < col("ib"))
-        .withColumn("cos", expr(
-          "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-          / (col("na") * col("nb")))
+      a.crossJoin(broadcast(b)).filter(col("ia") < col("ib"))
+        .withColumn("cos",
+          SimilarityPack.dotCols("va", "vb") / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
         .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
         .orderBy(col("ia"), col("ib"))

