@@ -22,6 +22,7 @@ object ImdbPipeline {
     cacheCsv: String,
     resultsDir: String,
     extraCsv: Option[String] = None,
+    modelDir: Option[String] = None,
     numTrees: Int = 300,
     batchSize: Int = 20,
     legacyScaler: Boolean = false,
@@ -103,8 +104,9 @@ object ImdbPipeline {
     val testScaled =
       Features.scale(Features.assemble(testIdx), scaler, cfg.legacyScaler)
 
-    // Stages 4-5: train, predict, emit (K1)
+    // Stages 4-5: train, predict, emit (K3 model sink + K1 predictions)
     val model: PipelineModel = ImdbModel.train(trainScaled, cfg.numTrees)
+    cfg.modelDir.foreach(d => model.write.overwrite().save(d)) // K3
     val preds = ImdbModel.predict(model, testScaled)
       .select(col("tconst"), col("prediction"))
     Writers.savePredictionsTxt(preds, s"${cfg.resultsDir}/predictions")

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   runMain graft.imdb.RunImdb <imdbDir> <set: validation|test> <resultsDir>
-  *     [--num-trees N] [--legacy-scaler] [--extra-csv PATH]
+  *     [--num-trees N] [--legacy-scaler] [--extra-csv PATH] [--model-dir PATH]
   */
 object RunImdb {
   def main(args: Array[String]): Unit = {
@@ -41,6 +41,7 @@ object RunImdb {
       cacheCsv = s"$dataDir/${setName}_gemma3_4b_cache.csv",
       resultsDir = resultsDir,
       extraCsv = flagVal("--extra-csv"),
+      modelDir = flagVal("--model-dir"),
       numTrees = flagVal("--num-trees").map(_.toInt).getOrElse(300),
       legacyScaler = flags.contains("--legacy-scaler"))
     val preds = ImdbPipeline.run(spark, cfg)
