@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Scalar/collection function surface beyond the reference's F1-F9
+  * (SURVEY §2.9 notes the reference touches no date/array/map/JSON
+  * column functions — an analytics engine needs them): date arithmetic,
+  * array and map ops, JSON parsing to structs, pivot/unpivot, null-safe
+  * equality joins, analytic window extras. All pure projections or
+  * single-shuffle shapes; every query DuckDB-oracle-checked.
+  */
+object FunctionsPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Date/time arithmetic over o_orderdate.
+    "fn_dates" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(lit("1998-12-31").cast("date"),
+            col("o_orderdate").cast("date")).as("days_to_end"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          // dayofweek: Spark 1=Sunday..7=Saturday; emit ISO-agnostic
+          // 0=Sunday..6 to match DuckDB's dow
+          (dayofweek(col("o_orderdate")) - 1).as("dow"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Array functions over tokenized document text.
+    "fn_arrays" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n"),
+          element_at(toks, 1).as("first_tok"),
+          element_at(toks, -1).as("last_tok"),
+          concat_ws("|", slice(toks, 1, 3)).as("first3"),
+          concat_ws("|", array_sort(array_distinct(toks))).as("sorted_uniq"),
+          array_position(toks, "data").as("data_pos"),
+          size(array_remove(toks, "the")).as("n_no_the"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Map construction + lookup: per-document token frequency map,
+    // queried for two probe words. aggregate shape: explode -> count ->
+    // map_from_entries.
+    "fn_maps" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      tok.groupBy(col("doc_id"))
+        .agg(map_from_entries(array_sort(collect_list(struct(col("w"), col("c")))))
+          .as("freq"))
+        .select(col("doc_id"),
+          size(col("freq")).as("n_keys"),
+          coalesce(element_at(col("freq"), "data"), lit(0L)).as("data_cnt"),
+          coalesce(element_at(col("freq"), "spark"), lit(0L)).as("spark_cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // JSON -> typed struct via from_json (not just path extraction).
+    "fn_from_json" -> ((s, dir) => {
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("k_mod"))
+    }),
+
+    // Pivot: order counts per year x priority, explicit value list for
+    // deterministic columns.
+    "fn_pivot" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+          "4-NOT SPECIFIED" -> "unspec", "5-LOW" -> "low"))
+        .orderBy(col("y"))
+    }),
+
+    // Unpivot (melt): wide numeric columns back to (key, value) rows.
+    "fn_unpivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"),
+          round(col("l_discount"), 2).as("discount"),
+          round(col("l_tax"), 2).as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("price"), col("discount"), col("tax")),
+          "measure", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }),
+
+    // Null-safe equality join (<=>): rows with NULL keys match each
+    // other instead of disappearing.
+    "fn_nullsafe_join" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderpriority") === "4-NOT SPECIFIED", lit(null))
+            .otherwise(col("o_orderpriority")).as("prio"))
+      val ref = Tables(s, dir, "orders")
+        .select(
+          when(col("o_orderpriority") === "4-NOT SPECIFIED", lit(null))
+            .otherwise(col("o_orderpriority")).as("prio"))
+        .distinct()
+        .withColumn("prio_label", coalesce(col("prio"), lit("missing")))
+      o.join(ref, o("prio") <=> ref("prio"), "inner")
+        .groupBy(col("prio_label"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("prio_label"))
+    }),
+
+    // Analytic window extras: ntile, percent_rank, cume_dist,
+    // first/last value over explicit frames.
+    "fn_window_extras" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"),
+          first(col("s_suppkey")).over(wFull).as("poorest"),
+          last(col("s_suppkey")).over(wFull).as("richest"))
+        .orderBy(col("s_nationkey"), col("s_suppkey"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "fn_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  dayofmonth(o_orderdate) AS d, quarter(o_orderdate) AS q,
+        |  dayofweek(o_orderdate) % 7 AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_arrays" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, len(w) AS n,
+        |  w[1] AS first_tok, w[-1] AS last_tok,
+        |  array_to_string(w[1:3], '|') AS first3,
+        |  array_to_string(list_sort(list_distinct(w)), '|') AS sorted_uniq,
+        |  coalesce(list_position(w, 'data'), 0) AS data_pos,
+        |  len(list_filter(w, x -> x <> 'the')) AS n_no_the
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "fn_maps" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_keys,
+        |  coalesce(max(CASE WHEN w = 'data' THEN c END), 0) AS data_cnt,
+        |  coalesce(max(CASE WHEN w = 'spark' THEN c END), 0) AS spark_cnt
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "fn_from_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "fn_pivot" ->
+      """SELECT year(o_orderdate) AS y,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
+        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS unspec,
+        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "fn_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m.measure, m.val FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    round(l_extendedprice, 2) AS price,
+        |    round(l_discount, 2) AS discount,
+        |    round(l_tax, 2) AS tax
+        |  FROM lineitem) t,
+        |  LATERAL (VALUES ('price', t.price), ('discount', t.discount),
+        |           ('tax', t.tax)) AS m(measure, val)
+        |ORDER BY l_orderkey, l_linenumber, m.measure""".stripMargin,
+
+    "fn_nullsafe_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |    THEN NULL ELSE o_orderpriority END AS prio FROM orders),
+        |ref AS (
+        |  SELECT prio, coalesce(prio, 'missing') AS prio_label
+        |  FROM (SELECT DISTINCT prio FROM o))
+        |SELECT ref.prio_label, count(*) AS cnt
+        |FROM o JOIN ref ON o.prio IS NOT DISTINCT FROM ref.prio
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "fn_window_extras" ->
+      """SELECT s_nationkey, s_suppkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd,
+        |  first_value(s_suppkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS poorest,
+        |  last_value(s_suppkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS richest
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin
+  )
+}
