@@ -58,8 +58,25 @@ object AccentFold {
   * `functions.call_function("accent_fold", col)`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.accentFoldDescriptor)
+    ext.injectOptimizerRule(_ => CollapseAccentFold)
+  }
+}
+
+/** Optimizer rule: accent folding is idempotent, so nested applications
+  * collapse to one — the shape that arises naturally when a cleaned
+  * column is cleaned again by a downstream pipeline stage. Registered
+  * via SparkSessionExtensions (config path) or
+  * `spark.experimental.extraOptimizations` (programmatic). */
+object CollapseAccentFold
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.transformAllExpressions {
+      case AccentFold(inner @ AccentFold(_)) => inner
+    }
 }
 
 object GraftFunctions {
