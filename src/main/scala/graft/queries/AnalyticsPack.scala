@@ -52,6 +52,16 @@ object AnalyticsPack extends QueryPack {
         .distinct()
         .orderBy(col("o_orderpriority"), col("o_orderstatus"))),
 
+    // Exact order statistics: percentile (linear interpolation) and
+    // median — single-pass sort-based aggregate; both engines use the
+    // same interpolation definition.
+    "g_percentiles" -> ((s, dir) =>
+      Tables(s, dir, "orders").agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        round(median(col("o_totalprice")), 2).as("med"))),
+
     // approx_count_distinct (HLL++): sketches differ across engines,
     // so the CHECK is emitted, not the estimate: both engines assert
     // their own estimate lands within 5% of their exact count.
@@ -88,6 +98,13 @@ object AnalyticsPack extends QueryPack {
     "g_distinct" ->
       """SELECT DISTINCT o_orderpriority, o_orderstatus
         |FROM orders ORDER BY 1, 2""".stripMargin,
+
+    "g_percentiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        |  round(median(o_totalprice), 2) AS med
+        |FROM orders""".stripMargin,
 
     "g_approx_distinct" ->
       """SELECT abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))

@@ -110,9 +110,17 @@ object DedupPack extends QueryPack {
       val sets = shingleSets(s, dir)
       val base = shingleRows(s, dir)
         .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+      // (a_i, b_i) must be INDEPENDENT pseudo-random draws: a structured
+      // family like a_i = (2i+1)*c makes h_i(x) an arithmetic
+      // progression in i for fixed x, so one shingle whose progression
+      // stays small is the argmin for a run of consecutive permutations
+      // — observed as a 12-sigma signature-agreement deficit (44/64
+      // where ~63/64 expected for a J=0.98 pair) and a missed true pair
+      // at sf0.1.
+      val rng = new scala.util.Random(20260812L)
       val sigCols = (0 until 64).map { i =>
-        val a = (2L * i + 1) * 1103515245L % P
-        val b = 12345L * i + 789L
+        val a = 1L + math.floorMod(rng.nextLong(), P - 1)
+        val b = math.floorMod(rng.nextLong(), P)
         min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
       }
       val sigs = base.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
