@@ -72,6 +72,28 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Stream-static enrichment: join the event stream against a
+    * broadcast dimension table — no streaming state at all (the static
+    * side is re-broadcast per micro-batch). */
+  def enrichedEvents(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** Stream-stream self-join: pairs of events from the same user
+    * within 10 minutes (l before r). Both sides carry watermarks and
+    * the join condition bounds event time on both ends, so the join
+    * state is evicted once the watermark passes — bounded by the
+    * horizon, not the stream length. */
+  def correlatedPairs(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "30 minutes").alias("l")
+    val r = right.withWatermark("ts", "30 minutes").alias("r")
+    l.join(r, expr(
+      """l.user_id = r.user_id AND
+        |r.ts BETWEEN l.ts AND l.ts + INTERVAL 10 MINUTES AND
+        |l.event_id < r.event_id""".stripMargin))
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("eid_a"), col("r.event_id").as("eid_b"))
+  }
+
   /** Keyed event with only the fields the stateful counter needs. */
   case class UserEvent(user_id: Long, event_type: String)
   case class UserCount(user_id: Long, n_events: Long)

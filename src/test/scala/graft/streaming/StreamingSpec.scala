@@ -50,6 +50,48 @@ class StreamingSpec extends SparkSpec {
     assert(last == Map(1L -> 3L, 2L -> 1L), s"state did not accumulate: $last")
   }
 
+  test("stream-stream join pairs same-user events within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.correlatedPairs(events, events)
+      .writeStream.format("memory").queryName("pairs")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, 7L, ts(0)), (2L, 7L, ts(5)),   // pair: within 10 min
+        (3L, 7L, ts(25)),                   // beyond 10 min of 1 and 2
+        (4L, 9L, ts(5)))                    // other user
+      q.processAllAvailable()
+      // advance the watermark far enough to close all join state
+      input.addData((99L, 1L, ts(59)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("pairs").select("eid_a", "eid_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"unexpected pairs: $pairs")
+  }
+
+  test("stream-static join enriches events from a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (9L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("event_id", "user_id")
+    val q = EventStreams.enrichedEvents(events, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 7L), (2L, 9L), (3L, 11L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("enriched").select("event_id", "tier")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+  }
+
   test("dropDuplicatesWithinWatermark suppresses duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
