@@ -11,6 +11,16 @@ class EntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
 
+  test("query names are unique across packs (flatMap.toMap would shadow)") {
+    import graft.queries._
+    val packs = Seq(RelationalPack, TextPack, DedupPack, SimilarityPack,
+      MultimodalPack, StreamingPack, AnalyticsPack, FunctionsPack)
+    val all = packs.flatMap(_.queries.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names across packs: $dups")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
   test("every query runs and returns a non-degenerate schema at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -42,6 +42,17 @@ class ReadersSpec extends SparkSpec {
     assert(d.filter(col("movie").startsWith("tt")).count() == 11162)
   }
 
+  test("property: single-glob scan == union of per-file scans (SURVEY U1/X2)") {
+    assume(fixturesPresent)
+    val glob = Readers.loadTrain(spark, s"$dir/train-*.csv")
+    val perFile = (1 to 8)
+      .map(i => Readers.loadTrain(spark, s"$dir/train-$i.csv"))
+      .reduce(_ union _)
+    assert(glob.count() == perFile.count())
+    assert(glob.exceptAll(perFile).count() == 0)
+    assert(perFile.exceptAll(glob).count() == 0)
+  }
+
   test("S6: genre cache loads; missing path -> empty frame, same schema") {
     assume(fixturesPresent)
     val c = Readers.loadGenreCache(spark, s"$dir/train_gemma3_4b_cache.csv")
