@@ -70,6 +70,42 @@ object Media {
       .mapPartitions(_.grouped(batchSize).flatMap(b => decoder.decodeBatch(b)))
   }
 
+  /** Resized media row: payload transformed binary -> binary. */
+  case class ResizedRow(media_id: Long, kind: String, payload: Array[Byte],
+                        orig_bytes: Int)
+
+  /** Resize: binary -> binary transform through the same batched
+    * executor path as decode. STUB transform (no image libs): truncate
+    * the payload to `maxBytes` — a real implementation decodes,
+    * scales, re-encodes per batch behind the same signature. */
+  def resize(spark: SparkSession, media: DataFrame,
+             maxBytes: Int, batchSize: Int = 64): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        ResizedRow(m.media_id, m.kind, m.payload.take(maxBytes),
+          m.payload.length)
+      }))
+  }
+
+  /** Feature extraction: payload -> fixed-dim Float embedding. STUB:
+    * a deterministic byte-histogram projection (8 buckets of byte
+    * values, L1-normalized) — the schema, batch shape, and typed
+    * Array[Float] output column are exactly what a real CLIP/wav2vec
+    * extractor produces. */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        val hist = new Array[Float](8)
+        m.payload.foreach(b => hist((b & 0xff) / 32) += 1f)
+        val n = math.max(m.payload.length, 1).toFloat
+        (m.media_id, hist.map(_ / n))
+      }))
+      .toDF("media_id", "embedding")
+  }
+
   /** Frame sampling: one row per sampled frame index — the video
     * analog of explode. Frame count is derived metadata (stub: one
     * frame per 100 bytes, every `stride`-th frame kept). */

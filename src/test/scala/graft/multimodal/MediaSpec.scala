@@ -37,6 +37,29 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("resize: binary->binary transform preserves ids, bounds payload") {
+    val media = Media.mediaTable(Tables(spark, sf("sf0.001"), "documents"))
+    val out = Media.resize(spark, media, maxBytes = 100).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(r.payload.length <= 100)
+      assert(r.orig_bytes >= r.payload.length)
+    }
+  }
+
+  test("feature extraction: fixed-dim normalized Float embedding column") {
+    val media = Media.mediaTable(Tables(spark, sf("sf0.001"), "documents"))
+    val out = Media.extractFeatures(spark, media)
+    assert(out.schema("embedding").dataType.typeName == "array")
+    val rows = out.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.length == 8)
+      assert(math.abs(v.sum - 1.0f) < 1e-3, s"not L1-normalized: ${v.sum}")
+    }
+  }
+
   test("frame sampling: stride-2 indices bounded by derived frame count") {
     val media = Media.mediaTable(Tables(spark, sf("sf0.001"), "documents"))
     val frames = Media.sampleFrames(media, stride = 2)
