@@ -42,21 +42,32 @@ object DedupPack extends QueryPack {
     Tables(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
 
-  /** Exploded (doc_id, shingle) inverted-index rows. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    shingleSets(s, dir).select(col("doc_id"), explode(col("sh")).as("s"))
+  /** Exploded (doc_id, xxhash64(shingle)) inverted-index rows — the
+    * single shingle computation every near-dup query derives from.
+    * 8-byte keys shuffle far cheaper than shingle strings; collision
+    * odds ~1e-10 at 64k distinct shingles. */
+  private def hashedRows(s: SparkSession, dir: String): DataFrame =
+    shingleSets(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h64"))
+
+  /** doc_id -> (sorted distinct shingle-hash array, its size). The
+    * verification currency: set intersections on sorted long arrays. */
+  private def hashArrays(s: SparkSession, dir: String): DataFrame =
+    hashedRows(s, dir).groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h64"))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
 
   /** Exact-verify candidate (ida, idb) pairs against true 3-gram
-    * Jaccard; keep J >= 0.8. Joins the (small) per-doc shingle arrays
-    * back onto the candidate pairs — at scale the pair set is tiny
-    * relative to the corpus, so these are hash joins on doc_id. */
-  private def verified(cand: DataFrame, sets: DataFrame): DataFrame = {
-    val sa = sets.select(col("doc_id").as("ida"), col("sh").as("sha"))
-    val sb = sets.select(col("doc_id").as("idb"), col("sh").as("shb"))
-    val j = size(array_intersect(col("sha"), col("shb"))) /
-      size(array_union(col("sha"), col("shb")))
-    cand.join(sa, "ida").join(sb, "idb")
-      .select(col("ida"), col("idb"), j.as("j"))
+    * Jaccard (via hash arrays); keep J >= 0.8. At scale the pair set
+    * is tiny relative to the corpus, so these are hash joins on
+    * doc_id. */
+  private def verified(cand: DataFrame, hs: DataFrame): DataFrame = {
+    val ha = hs.select(col("doc_id").as("ida"), col("hs").as("hsa"), col("n").as("na"))
+    val hb = hs.select(col("doc_id").as("idb"), col("hs").as("hsb"), col("n").as("nb"))
+    val i = size(array_intersect(col("hsa"), col("hsb")))
+    cand.join(ha, "ida").join(hb, "idb")
+      .select(col("ida"), col("idb"), (i / (col("na") + col("nb") - i)).as("j"))
       .filter(col("j") >= 0.8)
       .select(col("ida"), col("idb"), round(col("j"), 4).as("jaccard"))
       .orderBy(col("ida"), col("idb"))
@@ -89,10 +100,7 @@ object DedupPack extends QueryPack {
     // true Jaccard from the full sorted hash arrays.
     "d_ngram_jaccard" -> ((s, dir) => {
       val t = 0.8
-      val sh = shingleRows(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h"))
-      val hs = sh.groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("h"))).as("hs"))
-        .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+      val hs = hashArrays(s, dir)
       val pref = hs.select(col("doc_id"), col("n"),
         explode(expr(s"slice(hs, 1, size(hs) - cast(ceil($t * size(hs)) as int) + 1)"))
           .as("h"))
@@ -102,15 +110,7 @@ object DedupPack extends QueryPack {
             least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * t)
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
         .distinct()
-      val ha = hs.select(col("doc_id").as("ida"), col("hs").as("hsa"), col("n").as("na"))
-      val hb = hs.select(col("doc_id").as("idb"), col("hs").as("hsb"), col("n").as("nb"))
-      val i = size(array_intersect(col("hsa"), col("hsb")))
-      cand.join(ha, "ida").join(hb, "idb")
-        .select(col("ida"), col("idb"),
-          (i / (col("na") + col("nb") - i)).as("j"))
-        .filter(col("j") >= t)
-        .select(col("ida"), col("idb"), round(col("j"), 4).as("jaccard"))
-        .orderBy(col("ida"), col("idb"))
+      verified(cand, hs)
     }),
 
     // MinHash + LSH near-dup: 64 permutations h_i(x) = (a_i*x + b_i)
@@ -119,9 +119,9 @@ object DedupPack extends QueryPack {
     // all-corpus shuffles are groupBy(doc_id) for signatures and
     // groupBy(band, bandHash) for buckets — both linear.
     "d_minhash_lsh" -> ((s, dir) => {
-      val sets = shingleSets(s, dir)
-      val base = shingleRows(s, dir)
-        .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+      val hs = hashArrays(s, dir)
+      val base = hashedRows(s, dir)
+        .withColumn("h", pmod(col("h64"), lit(P)))
       // (a_i, b_i) must be INDEPENDENT pseudo-random draws: a structured
       // family like a_i = (2i+1)*c makes h_i(x) an arithmetic
       // progression in i for fixed x, so one shingle whose progression
@@ -147,7 +147,7 @@ object DedupPack extends QueryPack {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
         .distinct()
-      verified(cand, sets)
+      verified(cand, hs)
     }),
 
     // SimHash near-dup: 64-bit signature from bit votes of the
@@ -162,8 +162,8 @@ object DedupPack extends QueryPack {
     // verification. The 64 bit-sums are computed as ONE aggregation
     // over the shingle rows (64 agg columns), not a 64x row explosion.
     "d_simhash" -> ((s, dir) => {
-      val sets = shingleSets(s, dir)
-      val th = shingleRows(s, dir).withColumn("h", xxhash64(col("s")))
+      val hs = hashArrays(s, dir)
+      val th = hashedRows(s, dir).withColumnRenamed("h64", "h")
       val bitSums = (0 until 64).map(i =>
         sum(expr(s"CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
       val sigs = th.groupBy(col("doc_id"))
@@ -190,7 +190,7 @@ object DedupPack extends QueryPack {
         .filter(expr("bit_count(a.sim ^ b.sim) <= 16"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
         .distinct()
-      verified(cand, sets)
+      verified(cand, hs)
     }),
 
     // Embedding-cosine near-dup: norms precomputed once per vector,
