@@ -1,0 +1,120 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Per-document sketch signatures as codegen'd expressions over the
+  * shingle-hash array (ShingleHashes output).
+  *
+  * With per-doc feature arrays available NARROWLY (no explode), the
+  * classic "groupBy(doc) + sketch aggregation" stage disappears: the
+  * signature is a projection, the only shuffle left in a sketch-based
+  * dedup is the candidate bucket join itself. At 100 TB that converts
+  * the sketch stage from a 2-phase shuffle over every (doc, feature)
+  * row into an embarrassingly parallel map.
+  */
+object SketchSigs {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  // permutation tables per (numPerms, seed), built once per JVM
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+
+  private def perms(numPerms: Int, seed: Long): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent((numPerms, seed), { case (np, sd) =>
+      val rng = new scala.util.Random(sd)
+      (Array.fill(np)(1L + math.floorMod(rng.nextLong(), P - 1)),
+        Array.fill(np)(math.floorMod(rng.nextLong(), P)))
+    })
+
+  /** MinHash signature: per-permutation minima of (a*h + b) mod P.
+    * Parameters must be independent draws (see the structured-family
+    * recall bug documented in DedupPack/BASELINE). */
+  def minHash(hashes: ArrayData, numPerms: Int, seed: Long): ArrayData = {
+    val (as, bs) = perms(numPerms, seed)
+    val out = Array.fill(numPerms)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = math.floorMod(hashes.getLong(i), P)
+      var p = 0
+      while (p < numPerms) {
+        val v = math.floorMod(h * as(p) + bs(p), P)
+        if (v < out(p)) out(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** SimHash signature: sign bits of per-bit +-1 votes. */
+  def simHash(hashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}
+
+case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<bigint>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchSigs.minHash(input.asInstanceOf[ArrayData], numPerms, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.SketchSigs.minHash($c, $numPerms, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  def apply(hashes: Column, numPerms: Int, seed: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      MinHashSig(org.apache.spark.sql.graft.ColumnBridge.expression(hashes),
+        numPerms, seed))
+}
+
+case class SimHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash_sig needs array<bigint>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchSigs.simHash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.SketchSigs.simHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  def apply(hashes: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SimHashSig(org.apache.spark.sql.graft.ColumnBridge.expression(hashes)))
+}

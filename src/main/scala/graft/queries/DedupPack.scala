@@ -42,21 +42,17 @@ object DedupPack extends QueryPack {
     Tables(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
 
-  /** Exploded (doc_id, xxhash64(shingle)) inverted-index rows — the
-    * single shingle computation every near-dup query derives from.
-    * 8-byte keys shuffle far cheaper than shingle strings; collision
-    * odds ~1e-10 at 64k distinct shingles. */
-  private def hashedRows(s: SparkSession, dir: String): DataFrame =
-    shingleSets(s, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h64"))
-
-  /** doc_id -> (sorted distinct shingle-hash array, its size). The
-    * verification currency: set intersections on sorted long arrays. */
+  /** doc_id -> (sorted distinct shingle-hash array, its size), via the
+    * codegen'd ShingleHashes expression: one byte-walk over the text,
+    * each shingle hashed as a byte range (bit-identical to
+    * xxhash64(shingle string)), distinct+sorted in place. NARROW — no
+    * explode, no groupBy; this is the single base every near-dup query
+    * derives from, and at 100 TB it is a pure map stage. */
   private def hashArrays(s: SparkSession, dir: String): DataFrame =
-    hashedRows(s, dir).groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("h64"))).as("hs"))
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.expr.ShingleHashes(col("text"), 3).as("hs"))
+      .withColumn("n", size(col("hs")))
 
   /** Exact-verify candidate (ida, idb) pairs against true 3-gram
     * Jaccard (via hash arrays); keep J >= 0.8. At scale the pair set
@@ -119,35 +115,33 @@ object DedupPack extends QueryPack {
     // all-corpus shuffles are groupBy(doc_id) for signatures and
     // groupBy(band, bandHash) for buckets — both linear.
     "d_minhash_lsh" -> ((s, dir) => {
-      val hs = hashArrays(s, dir)
-      val base = hashedRows(s, dir)
-        .withColumn("h", pmod(col("h64"), lit(P)))
-      // (a_i, b_i) must be INDEPENDENT pseudo-random draws: a structured
-      // family like a_i = (2i+1)*c makes h_i(x) an arithmetic
-      // progression in i for fixed x, so one shingle whose progression
-      // stays small is the argmin for a run of consecutive permutations
-      // — observed as a 12-sigma signature-agreement deficit (44/64
-      // where ~63/64 expected for a J=0.98 pair) and a missed true pair
-      // at sf0.1.
-      val rng = new scala.util.Random(20260812L)
-      val sigCols = (0 until 64).map { i =>
-        val a = 1L + math.floorMod(rng.nextLong(), P - 1)
-        val b = math.floorMod(rng.nextLong(), P)
-        min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
-      }
-      val sigs = base.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      val bandCols = (0 until 16).map { bnd =>
-        xxhash64(concat_ws(",", (0 until 4).map(r => col(s"m${bnd * 4 + r}")): _*))
-      }
-      val bands = sigs
-        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      // 64 permutations via ONE typed UDAF (tight-loop update, map-side
+      // combinable — see Sketches.MinHashAgg). Permutation parameters
+      // are INDEPENDENT pseudo-random draws: a structured family like
+      // a_i = (2i+1)*c makes h_i(x) an arithmetic progression in i for
+      // fixed x, so one shingle whose progression stays small is the
+      // argmin for a run of consecutive permutations — observed as a
+      // 12-sigma signature-agreement deficit (44/64 where ~63/64
+      // expected for a J=0.98 pair) and a missed true pair at sf0.1.
+      // signature as a NARROW projection over the per-doc hash array
+      // (MinHashSig expression) — no groupBy shuffle at all; the
+      // equivalent map-side-combinable UDAF (Sketches.MinHashAgg)
+      // remains for exploded-row inputs and is parity-tested.
+      val sigs = hashArrays(s, dir)
+        .withColumn("sig", graft.expr.MinHashSig(col("hs"), 64, 20260812L))
+      // band hash = polynomial combine of the band's 4 minima
+      val bands = sigs.select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 15), b ->
+          |  ((element_at(sig, b*4+1) * 31 + element_at(sig, b*4+2)) * 31
+          |    + element_at(sig, b*4+3)) * 31 + element_at(sig, b*4+4))"""
+          .stripMargin)).as(Seq("band", "bh")))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
         .distinct()
-      verified(cand, hs)
+      verified(cand, sigs.select(col("doc_id"), col("hs"), col("n")))
     }),
 
     // SimHash near-dup: 64-bit signature from bit votes of the
@@ -162,16 +156,11 @@ object DedupPack extends QueryPack {
     // verification. The 64 bit-sums are computed as ONE aggregation
     // over the shingle rows (64 agg columns), not a 64x row explosion.
     "d_simhash" -> ((s, dir) => {
-      val hs = hashArrays(s, dir)
-      val th = hashedRows(s, dir).withColumnRenamed("h64", "h")
-      val bitSums = (0 until 64).map(i =>
-        sum(expr(s"CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
-      val sigs = th.groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(i =>
-            when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_ + _).as("sim"))
+      // 64 bit votes via ONE typed UDAF (Sketches.SimHashAgg): a
+      // primitive-loop update instead of 64 sum(CASE) agg expressions.
+      // signature as a NARROW projection (SimHashSig) — see minhash
+      val sigs = hashArrays(s, dir)
+        .withColumn("sim", graft.expr.SimHashSig(col("hs")))
       val chunks = sigs.select(col("doc_id"), col("sim"), posexplode(expr(
         "transform(sequence(0, 15), c -> (sim >> (c * 4)) & 15)"))
         .as(Seq("chunk", "cv")))
@@ -190,7 +179,7 @@ object DedupPack extends QueryPack {
         .filter(expr("bit_count(a.sim ^ b.sim) <= 16"))
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
         .distinct()
-      verified(cand, hs)
+      verified(cand, sigs.select(col("doc_id"), col("hs"), col("n")))
     }),
 
     // Embedding-cosine near-dup: norms precomputed once per vector,

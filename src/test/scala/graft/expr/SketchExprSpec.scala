@@ -1,0 +1,64 @@
+package graft.expr
+
+import graft.SparkSpec
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+class SketchExprSpec extends SparkSpec {
+
+  test("ShingleHashes == xxhash64 of composed shingle strings (bit parity)") {
+    import graft.text.TextFeatures
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val viaExpr = docs.select(col("doc_id"),
+      ShingleHashes(col("text"), 3).as("hs"))
+    val viaHof = docs
+      .select(col("doc_id"),
+        explode(TextFeatures.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+    val a = viaExpr.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = viaHof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b, "byte-range hashing must equal string hashing")
+    assert(a.nonEmpty)
+  }
+
+  test("ShingleHashes edge cases: short text, empty words") {
+    import spark.implicits._
+    val out = Seq("one two", "a b c", "x  y z", "").toDF("text")
+      .select(ShingleHashes(col("text"), 3).as("hs"))
+      .collect().map(_.getSeq[Long](0).length).toSeq
+    assert(out(0) == 0) // 2 words < 3
+    assert(out(1) == 1) // exactly one trigram
+    assert(out(2) == 2) // "x","","y","z" -> 2 trigrams (empty word kept)
+    assert(out(3) == 0)
+  }
+
+  test("MinHashSig expression == MinHashAgg UDAF (same seed, same sigs)") {
+    val docs = Tables(spark, sf("sf0.001"), "documents").limit(50)
+    val arrays = docs.select(col("doc_id"), ShingleHashes(col("text"), 3).as("hs"))
+    val viaExpr = arrays
+      .select(col("doc_id"), MinHashSig(col("hs"), 64, 20260812L).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = udaf(new graft.scale.Sketches.MinHashAgg(64, 20260812L))
+    val viaUdaf = arrays
+      .select(col("doc_id"), explode(col("hs")).as("h64"))
+      .groupBy(col("doc_id")).agg(agg(col("h64")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr == viaUdaf)
+    assert(viaExpr.nonEmpty)
+  }
+
+  test("SimHashSig expression == SimHashAgg UDAF") {
+    val docs = Tables(spark, sf("sf0.001"), "documents").limit(50)
+    val arrays = docs.select(col("doc_id"), ShingleHashes(col("text"), 3).as("hs"))
+    val viaExpr = arrays.select(col("doc_id"), SimHashSig(col("hs")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = udaf(graft.scale.Sketches.SimHashAgg)
+    val viaUdaf = arrays
+      .select(col("doc_id"), explode(col("hs")).as("h64"))
+      .groupBy(col("doc_id")).agg(agg(col("h64")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaUdaf)
+  }
+}
