@@ -80,11 +80,12 @@ object TextPack extends QueryPack {
     }),
 
     // Document fingerprinting: position-weighted char fingerprint
-    // (order-sensitive, cross-engine-exact; see TextFeatures) + dup
-    // grouping by fingerprint — the cheap first pass of exact dedup.
+    // (order-sensitive, cross-engine-exact) via the codegen'd
+    // CharFingerprint expression (HOF-parity spec-asserted) — the
+    // cheap first pass of exact dedup.
     "t_fingerprint" -> ((s, dir) => {
       Tables(s, dir, "documents")
-        .select(col("doc_id"), charFingerprint("text").as("fp"))
+        .select(col("doc_id"), graft.expr.CharFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     })
   )

@@ -33,6 +33,35 @@ class SinksSpec extends SparkSpec {
     assert(normalize(backCsv) == expected, "csv round-trip differs")
   }
 
+  test("binaryFile source: raw-file ingestion for multimodal payloads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
+    val payloads = Map("a.jpg" -> Array[Byte](1, 2, 3),
+      "b.jpg" -> Array[Byte](9, 8, 7, 6))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"), bytes)
+    }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg").load(dir)
+    assert(df.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val back = df.collect().map(r =>
+      r.getString(0).split('/').last -> r.getAs[Array[Byte]]("content")).toMap
+    assert(back.keySet == payloads.keySet)
+    payloads.foreach { case (k, v) => assert(back(k).toSeq == v.toSeq) }
+  }
+
+  test("persist: reused branch reads from InMemoryTableScan") {
+    val df = sample.filter(col("price") > 100000.0).persist()
+    try {
+      df.count() // materialize
+      val again = df.groupBy(col("o_orderpriority")).count()
+      val plan = again.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"expected cached scan in:\n$plan")
+      assert(again.count() > 0)
+    } finally { df.unpersist(); () }
+  }
+
   test("partitioned parquet: scan prunes partitions for a filtered read") {
     val base = java.nio.file.Files.createTempDirectory("graft_part").toString
     sample.withColumn("y", year(col("d")))
