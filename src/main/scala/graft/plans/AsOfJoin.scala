@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF join — the canonical whole-operator extension (an operator
+  * Spark's built-ins don't provide; guide preference (c): custom
+  * LogicalPlan + SparkStrategy + SparkPlan).
+  *
+  * Semantics (inner): for every left row, join the single right row
+  * with the same key and the LARGEST right timestamp strictly below
+  * the left timestamp; left rows with no such partner are dropped.
+  * Matches DuckDB's `ASOF JOIN ... ON l.k = r.k AND r.ts < l.ts`,
+  * which is the oracle for the query form.
+  *
+  * Physical execution is a sort-merge in one pass: both children are
+  * hash-clustered on the key and sorted by (key, ts) — declared via
+  * requiredChildDistribution/Ordering so EnsureRequirements inserts
+  * exactly the exchanges/sorts a SortMergeJoin would get — then each
+  * co-partition pair merges with O(1) state (the current as-of
+  * candidate). No row amplification, no per-key buffering: state is
+  * one row regardless of group size, the property that makes as-of
+  * joins tractable on billion-row streams where a windowed
+  * lag-formulation must sort whole partitions.
+  *
+  * Key/ts expressions must evaluate to long-backed types (integral or
+  * timestamp).
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                    leftKey: Expression, rightKey: Expression,
+                    leftTs: Expression, rightTs: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: AsOfJoin logical node -> AsOfJoinExec. Register
+  * via `spark.experimental.extraStrategies` (what AsOf.join does) or
+  * GraftExtensions. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lts, rts) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTs: Expression, rightTs: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lt = BindReferences.bindReference(leftTs, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rt = BindReferences.bindReference(rightTs, right.output)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joiner = new JoinedRow
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      // single-row merge state; right rows are reused buffers, so the
+      // candidate is copied exactly once, when it is admitted
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var cand: InternalRow = null
+      var candKey: Long = 0L
+      lIter.flatMap { l =>
+        val lKeyV = lk.eval(l)
+        if (lKeyV == null) None
+        else {
+          val lKey = lKeyV.asInstanceOf[Long]
+          val lTsV = lt.eval(l).asInstanceOf[Long]
+          var advancing = true
+          while (advancing && rHead != null) {
+            val rKeyV = rk.eval(rHead)
+            if (rKeyV == null) {
+              rHead = if (rIter.hasNext) rIter.next() else null
+            } else {
+              val rKey = rKeyV.asInstanceOf[Long]
+              val rTs = rt.eval(rHead).asInstanceOf[Long]
+              if (rKey < lKey || (rKey == lKey && rTs < lTsV)) {
+                if (rKey == lKey) { cand = rHead.copy(); candKey = rKey }
+                rHead = if (rIter.hasNext) rIter.next() else null
+              } else advancing = false
+            }
+          }
+          if (cand != null && candKey == lKey) Some(proj(joiner(l, cand)))
+          else None
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User-facing API. */
+object AsOf {
+  /** Inner as-of join: rows of `left` paired with the latest `right`
+    * row of the same key strictly before the left timestamp. For
+    * self-joins, rename the right side's columns first (distinct
+    * attribute ids). */
+  def join(spark: SparkSession, left: DataFrame, right: DataFrame,
+           leftKey: Column, rightKey: Column,
+           leftTs: Column, rightTs: Column): DataFrame = {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    import org.apache.spark.sql.graft.ColumnBridge
+    org.apache.spark.sql.graft.DatasetBridge.ofRows(spark,
+      AsOfJoin(
+        org.apache.spark.sql.graft.DatasetBridge.plan(left),
+        org.apache.spark.sql.graft.DatasetBridge.plan(right),
+        ColumnBridge.expression(leftKey), ColumnBridge.expression(rightKey),
+        ColumnBridge.expression(leftTs), ColumnBridge.expression(rightTs)))
+  }
+}

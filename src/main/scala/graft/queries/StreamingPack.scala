@@ -24,7 +24,24 @@ object StreamingPack extends QueryPack {
 
     "st_user_sessions" -> ((s, dir) =>
       EventStreams.userSessions(Tables.events(s, dir), watermarked = false)
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // AS-OF join via the custom LogicalPlan + SparkStrategy +
+    // SparkPlan operator (graft.plans.AsOfJoin): each event joined to
+    // the user's latest strictly-earlier event. Oracle: DuckDB's
+    // native ASOF JOIN.
+    "st_asof_prev_event" -> ((s, dir) => {
+      val l = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = Tables.events(s, dir)
+        .select(col("event_id").as("prior_id"), col("user_id").as("r_user"),
+          col("ts").as("r_ts"))
+      graft.plans.AsOf.join(s, l, r,
+        l("user_id"), r("r_user"), l("ts"), r("r_ts"))
+        .select(col("event_id"), col("user_id"), col("prior_id"),
+          (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -59,6 +76,13 @@ object StreamingPack extends QueryPack {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM g)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "st_asof_prev_event" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS prior_id,
+        |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+        |FROM events l ASOF JOIN events r
+        |  ON l.user_id = r.user_id AND r.ts < l.ts
+        |ORDER BY l.event_id""".stripMargin
   )
 }

@@ -17,3 +17,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** DataFrame <-> LogicalPlan bridge for custom logical operators
+  * (same rationale as ColumnBridge: `Dataset.ofRows` and
+  * `queryExecution.analyzed` are the supported internals, scoped
+  * `private[sql]`). */
+object DatasetBridge {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+}
