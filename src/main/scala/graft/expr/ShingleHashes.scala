@@ -36,10 +36,10 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
       s"shingle_hashes requires (string, n >= 1), got ${child.dataType}, n=$n")
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.eval(input.asInstanceOf[UTF8String], n)
+    ShingleHashes.hash(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleHashes.eval($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleHashes.hash($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -52,8 +52,12 @@ object ShingleHashes {
     org.apache.spark.sql.graft.ColumnBridge.column(
       ShingleHashes(org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
 
-  /** Shared by interpreted eval and generated code. */
-  def eval(text: UTF8String, n: Int): ArrayData = {
+  /** Shared by interpreted eval and generated code. NOT named `eval`:
+    * the case class inherits Expression.eval, which suppresses the
+    * companion's static forwarder — janino then can't resolve the
+    * static call and Spark silently falls back to interpreted eval
+    * (caught in round 1 as a CompileException in the test log). */
+  def hash(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes
     // word start offsets under split-on-every-' ' semantics (empty
     // words kept, matching split(text, ' ') / string_split)

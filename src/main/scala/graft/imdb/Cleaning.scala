@@ -58,11 +58,32 @@ object Cleaning {
                         else row.getDouble(row.fieldIndex(c)))).toMap
   }
 
-  /** P7 mean patch: null-or-nonpositive -> mean
-    * (classifier_pipeline.py:354-360). */
+  /** P7 mean patch, NULL-only — exactly the reference's injection
+    * (classifier_pipeline.py:197-199: `when(col.isNull, mean)`;
+    * zero/negative values pass through untouched). */
   def patchWithMean(df: DataFrame, means: Map[String, Double]): DataFrame =
     means.foldLeft(df) { case (d, (c, m)) =>
+      d.withColumn(c, when(col(c).isNull, lit(m)).otherwise(col(c)))
+    }
+
+  /** Extra-data means: per-column mean over the rows where THAT column
+    * is > 0 (classifier_pipeline.py:236-241 filters non-zero before
+    * calc_mean_col), all columns in ONE aggregation pass —
+    * `avg(when(c > 0, c))` ignores the nulled-out rows exactly like
+    * the reference's filter. Null mean falls back to 1.0
+    * (data_utils.py:263). */
+  def nonZeroMeans(df: DataFrame, cols: Seq[String]): Map[String, Double] = {
+    val aggs = cols.map(c => avg(when(col(c) > 0.0, col(c))).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.map(c => c -> (if (row.isNullAt(row.fieldIndex(c))) 1.0
+                        else row.getDouble(row.fieldIndex(c)))).toMap
+  }
+
+  /** Extra-column patch: null OR zero -> mean
+    * (classifier_pipeline.py:354-360). */
+  def patchNullOrZero(df: DataFrame, means: Map[String, Double]): DataFrame =
+    means.foldLeft(df) { case (d, (c, m)) =>
       d.withColumn(c,
-        when(col(c).isNull || col(c) <= 0.0, lit(m)).otherwise(col(c)))
+        when(col(c).isNull || col(c) === 0.0, lit(m)).otherwise(col(c)))
     }
 }

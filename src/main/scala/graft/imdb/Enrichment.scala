@@ -75,6 +75,12 @@ object Enrichment {
       .withColumn("genre",
         when(col("genre").isInCollection(MovieGenres), col("genre"))
           .otherwise("unknown"))
+      // persist: `fresh` feeds several downstream actions (train join,
+      // test-set cache union, final predictions, K2 cache append) —
+      // without it each action re-runs mapPartitions and re-calls the
+      // LLM, and a nondeterministic predictor could emit DIFFERENT
+      // genres per action. MEMORY_AND_DISK so results survive pressure.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (cache.union(fresh), fresh)
   }
 }

@@ -13,7 +13,15 @@ import org.apache.spark.sql.functions._
 object ImdbPipeline {
 
   /** runner.py:53-104 argument surface. `extraCsv` is optional — the
-    * TMDB dump is git-ignored in the reference (SURVEY §7.4 risk 4). */
+    * TMDB dump is git-ignored in the reference (SURVEY §7.4 risk 4).
+    *
+    * `setName`/`modelName` feed the F9 result filename
+    * (`{set_name}_{model_name}_{timestamp}.txt`, runner.py:34,126-131);
+    * `resultPath = Some(p)` pins a fixed path instead (tests, driver
+    * contract). `cacheOutDir` is where the K2 updated genre cache
+    * lands — a separate path rather than the reference's in-place file
+    * rewrite (data_utils.py:404-413), because Spark cannot overwrite a
+    * CSV it is still lazily reading from. */
   case class Config(
     trainGlob: String,
     testCsv: String,
@@ -26,7 +34,19 @@ object ImdbPipeline {
     numTrees: Int = 300,
     batchSize: Int = 20,
     legacyScaler: Boolean = false,
-    predictor: Enrichment.GenrePredictor = Enrichment.StubPredictor)
+    predictor: Enrichment.GenrePredictor = Enrichment.StubPredictor,
+    setName: String = "validation",
+    modelName: String = "stub",
+    resultPath: Option[String] = None,
+    cacheOutDir: Option[String] = None)
+
+  /** F9: timestamped result name, runner.py:34 + 126-131. */
+  def predFileName(setName: String, modelName: String,
+                   at: java.time.LocalDateTime): String = {
+    val ts = at.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+    s"${setName}_${modelName}_$ts.txt"
+  }
 
   /** Stage 2: preprocess one movie set (classifier_pipeline.py:162-208):
     * title normalization (distributed, replaces X1), numeric casts,
@@ -38,11 +58,19 @@ object ImdbPipeline {
     Cleaning.repairYears(Cleaning.numericCasts(cleaned))
   }
 
+  /** Imputation means for runtimeMinutes/numVotes: TRAIN ONLY and
+    * unfiltered, exactly classifier_pipeline.py:189-199 (avg already
+    * skips nulls). Test rows must never shift these — FeaturesSpec
+    * pins the no-leak property. */
+  private[imdb] def imputationMeans(trainPre: DataFrame): Map[String, Double] =
+    Cleaning.columnMeans(trainPre, Seq("runtimeMinutes", "numVotes"))
+
   /** Stage 3 for one set: metadata merge + genre enrichment + decade +
     * extra-data columns (classifier_pipeline.py:320-410). */
   private def engineer(spark: SparkSession, df: DataFrame, writing: DataFrame,
                        directing: DataFrame, cache: DataFrame, cfg: Config,
-                       extra: Option[DataFrame]): (DataFrame, DataFrame) = {
+                       extra: Option[DataFrame],
+                       extraMeans: Map[String, Double]): (DataFrame, DataFrame) = {
     val merged = Metadata.mergeMetadata(df, writing, directing)
     val (genres, fresh) =
       Enrichment.enrich(spark, merged, cache, cfg.predictor, cfg.batchSize)
@@ -51,9 +79,16 @@ object ImdbPipeline {
       .withColumn("genre", coalesce(col("genre"), lit("unknown")))
     val withExtra = extra match {
       case Some(e) =>
-        // J4 + SURVEY §7.4 risk 5: dedup the non-unique imdb_id side
-        withGenre.join(broadcast(e.dropDuplicates("tconst")), Seq("tconst"), "left")
+        // J4 + SURVEY §7.4 risk 5: dedup the non-unique imdb_id side,
+        // then patch null-or-zero with the extra table's non-zero
+        // means (classifier_pipeline.py:354-360)
+        Cleaning.patchNullOrZero(
+          withGenre.join(broadcast(e.dropDuplicates("tconst")), Seq("tconst"), "left"),
+          extraMeans)
       case None =>
+        // no extra table: the reference requires one; 0.0 constants are
+        // graft's documented offline fallback (constant columns carry
+        // zero signal into the forest either way)
         withGenre.withColumn("popularity", lit(0.0))
           .withColumn("budget", lit(0.0)).withColumn("revenue", lit(0.0))
     }
@@ -78,22 +113,25 @@ object ImdbPipeline {
           col("revenue").cast("double"), col("popularity").cast("double"))
     }
 
-    // Stage 2: preprocess; means once, from train (R2)
+    // Stage 2: preprocess; means once, from TRAIN ONLY and unfiltered
+    // (classifier_pipeline.py:189-199 — avg skips nulls; the test set
+    // never leaks into imputation)
     val trainPre = preprocess(train)
     val testPre = preprocess(test)
-    val means =
-      Cleaning.columnMeans(trainPre.filter(col("runtimeMinutes") > 0.0)
-        .unionByName(testPre.withColumn("label", lit(null).cast("boolean")))
-        .filter(col("runtimeMinutes") > 0.0),
-        Seq("runtimeMinutes", "numVotes"))
+    val means = imputationMeans(trainPre)
+    // extra-data means come from the extra table itself, non-zero rows
+    // only (classifier_pipeline.py:236-241)
+    val extraMeans = extra.map(e =>
+      Cleaning.nonZeroMeans(e, Seq("popularity", "budget", "revenue")))
+      .getOrElse(Map.empty)
 
     // Stage 3: features (fit-on-train indexers + scaler)
     val (trainFeat0, freshTrain) =
       engineer(spark, Cleaning.patchWithMean(trainPre, means),
-        writing, directing, cache, cfg, extra)
-    val (testFeat0, _) =
+        writing, directing, cache, cfg, extra, extraMeans)
+    val (testFeat0, freshTest) =
       engineer(spark, Cleaning.patchWithMean(testPre, means),
-        writing, directing, cache.union(freshTrain), cfg, extra)
+        writing, directing, cache.union(freshTrain), cfg, extra, extraMeans)
     val indexers = Features.fitIndexers(trainFeat0)
     val trainIdx = Features.applyIndexers(trainFeat0, indexers)
       .withColumn("label", col("label").cast("double"))
@@ -107,9 +145,22 @@ object ImdbPipeline {
     // Stages 4-5: train, predict, emit (K3 model sink + K1 predictions)
     val model: PipelineModel = ImdbModel.train(trainScaled, cfg.numTrees)
     cfg.modelDir.foreach(d => model.write.overwrite().save(d)) // K3
+    // M7: top-5 importances, like classifier_model.py:84-93
+    val top5 = ImdbModel.topImportances(model, Features.featureCols)
+      .map { case (n, v) => f"$n=$v%.6f" }.mkString(", ")
+    println(s"[imdb] top-5 feature importances: $top5")
     val preds = ImdbModel.predict(model, testScaled)
       .select(col("tconst"), col("prediction"))
-    Writers.savePredictionsTxt(preds, s"${cfg.resultsDir}/predictions")
+    // K1 (F9: timestamped {set}_{model}_{ts}.txt name unless pinned)
+    val predPath = cfg.resultPath.getOrElse(s"${cfg.resultsDir}/" +
+      predFileName(cfg.setName, cfg.modelName, java.time.LocalDateTime.now()))
+    Writers.savePredictionsTxt(preds, predPath)
+    println(s"[imdb] predictions written to $predPath")
+    // K2: persist the updated genre cache (old entries win on dup keys,
+    // data_utils.py:404-413); both fresh sets are persisted DataFrames,
+    // so this re-reads memoized results, not the LLM
+    Writers.saveGenreCache(cache, freshTrain.union(freshTest),
+      cfg.cacheOutDir.getOrElse(s"${cfg.resultsDir}/genre_cache"))
     preds
   }
 }

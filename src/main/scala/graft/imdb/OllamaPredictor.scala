@@ -59,7 +59,10 @@ class OllamaPredictor(
   }
 
   /** Pull the "response" field out of ollama's JSON reply without a
-    * JSON library (none on the unmanaged classpath guaranteed). */
+    * JSON library (none on the unmanaged classpath guaranteed). All
+    * JSON escapes are decoded — including \uXXXX, which a naive
+    * take-next-char branch would turn into literal 'uXXXX' garbage
+    * that then mis-normalizes to 'unknown'. */
   private[imdb] def extractResponse(json: String): String = {
     val key = "\"response\""
     val i = json.indexOf(key)
@@ -69,8 +72,21 @@ class OllamaPredictor(
     val sb = new StringBuilder
     var j = start + 1
     while (j < json.length && json(j) != '"') {
-      if (json(j) == '\\' && j + 1 < json.length) { sb.append(json(j + 1)); j += 2 }
-      else { sb.append(json(j)); j += 1 }
+      if (json(j) == '\\' && j + 1 < json.length) {
+        json(j + 1) match {
+          case 'u' if j + 5 < json.length =>
+            try {
+              sb.append(Integer.parseInt(json.substring(j + 2, j + 6), 16).toChar)
+              j += 6
+            } catch { case _: NumberFormatException => sb.append('�'); j += 2 }
+          case 'n' => sb.append('\n'); j += 2
+          case 't' => sb.append('\t'); j += 2
+          case 'r' => sb.append('\r'); j += 2
+          case 'b' => sb.append('\b'); j += 2
+          case 'f' => sb.append('\f'); j += 2
+          case c => sb.append(c); j += 2 // \" \\ \/ decode to themselves
+        }
+      } else { sb.append(json(j)); j += 1 }
     }
     sb.toString
   }

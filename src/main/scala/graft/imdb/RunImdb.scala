@@ -43,12 +43,14 @@ object RunImdb {
       extraCsv = flagVal("--extra-csv"),
       modelDir = flagVal("--model-dir"),
       numTrees = flagVal("--num-trees").map(_.toInt).getOrElse(300),
-      legacyScaler = flags.contains("--legacy-scaler"))
+      legacyScaler = flags.contains("--legacy-scaler"),
+      setName = setName,
+      modelName = "gemma3_4b",
+      cacheOutDir = flagVal("--cache-out"))
     val preds = ImdbPipeline.run(spark, cfg)
     val n = preds.count()
     val nTrue = preds.filter(org.apache.spark.sql.functions.col("prediction") === 1.0).count()
-    println(s"[imdb] wrote $n predictions ($nTrue True / ${n - nTrue} False) " +
-      s"to $resultsDir/predictions")
+    println(s"[imdb] wrote $n predictions ($nTrue True / ${n - nTrue} False)")
     spark.stop()
   }
 }

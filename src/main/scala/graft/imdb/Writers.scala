@@ -20,13 +20,24 @@ object Writers {
       .coalesce(1)
       .write.mode("overwrite").text(path)
 
-  /** K2: genre-cache CSV — old ∪ new, deduped by tconst, old entries
-    * winning (matches the reference's dict update order,
-    * data_utils.py:404-413). */
+  /** K2: genre-cache CSV — old ∪ new, deduped by tconst with OLD
+    * entries winning deterministically (the reference seeds its dict
+    * from the cache and only inserts genuinely-missing ids,
+    * data_utils.py:370-413 — so old-wins is the observable order).
+    * `dropDuplicates` alone keeps an arbitrary row per key; the
+    * explicit priority + row_number makes the winner deterministic
+    * under task retries too. */
   def saveGenreCache(oldCache: DataFrame, newPredictions: DataFrame,
-                     path: String): Unit =
-    oldCache.union(newPredictions)
-      .dropDuplicates("tconst")
+                     path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("tconst")).orderBy(col("_prio"))
+    oldCache.select(col("tconst"), col("genre")).withColumn("_prio", lit(0))
+      .unionByName(
+        newPredictions.select(col("tconst"), col("genre")).withColumn("_prio", lit(1)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("tconst"), col("genre"))
       .coalesce(1)
       .write.mode("overwrite").option("header", true).csv(path)
+  }
 }

@@ -85,19 +85,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var candKey: Long = 0L
       lIter.flatMap { l =>
         val lKeyV = lk.eval(l)
-        if (lKeyV == null) None
+        val lTsV = if (lKeyV == null) null else lt.eval(l)
+        // null key or null timestamp: no as-of partner is defined —
+        // drop the row, matching DuckDB ASOF (a bare asInstanceOf
+        // would unbox null to 0L and silently match pre-epoch rows)
+        if (lKeyV == null || lTsV == null) None
         else {
-          val lKey = lKeyV.asInstanceOf[Long]
-          val lTsV = lt.eval(l).asInstanceOf[Long]
+          val lKey = AsOf.toLong(lKeyV)
+          val lTs = AsOf.toLong(lTsV)
           var advancing = true
           while (advancing && rHead != null) {
             val rKeyV = rk.eval(rHead)
-            if (rKeyV == null) {
+            val rTsV = if (rKeyV == null) null else rt.eval(rHead)
+            if (rKeyV == null || rTsV == null) {
+              // right rows with null key/ts can never be a candidate
               rHead = if (rIter.hasNext) rIter.next() else null
             } else {
-              val rKey = rKeyV.asInstanceOf[Long]
-              val rTs = rt.eval(rHead).asInstanceOf[Long]
-              if (rKey < lKey || (rKey == lKey && rTs < lTsV)) {
+              val rKey = AsOf.toLong(rKeyV)
+              val rTs = AsOf.toLong(rTsV)
+              if (rKey < lKey || (rKey == lKey && rTs < lTs)) {
                 if (rKey == lKey) { cand = rHead.copy(); candKey = rKey }
                 rHead = if (rIter.hasNext) rIter.next() else null
               } else advancing = false
@@ -117,13 +123,42 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 /** User-facing API. */
 object AsOf {
+  import org.apache.spark.sql.types._
+
+  /** Merge-comparable value extraction: every supported type evals to
+    * Int or Long internally (date = days, timestamp = micros). */
+  private[plans] def toLong(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short => s.longValue()
+    case b: java.lang.Byte => b.longValue()
+    case other => throw new IllegalStateException(
+      s"as-of join key/ts evaluated to unsupported ${other.getClass}")
+  }
+
+  private def requireLongBacked(c: Column, what: String): Unit = {
+    val e = org.apache.spark.sql.graft.ColumnBridge.expression(c)
+    // unresolved columns get their check at runtime in toLong instead
+    if (e.resolved) e.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+           TimestampType | TimestampNTZType => ()
+      case t => throw new IllegalArgumentException(
+        s"as-of join $what must be an integral, date, or timestamp " +
+          s"column (long-backed merge order), got $t — cast it first")
+    }
+  }
+
   /** Inner as-of join: rows of `left` paired with the latest `right`
     * row of the same key strictly before the left timestamp. For
     * self-joins, rename the right side's columns first (distinct
-    * attribute ids). */
+    * attribute ids). Left rows with a null key or timestamp are
+    * dropped (DuckDB ASOF semantics); key/ts columns must be
+    * integral/date/timestamp. */
   def join(spark: SparkSession, left: DataFrame, right: DataFrame,
            leftKey: Column, rightKey: Column,
            leftTs: Column, rightTs: Column): DataFrame = {
+    requireLongBacked(leftKey, "left key"); requireLongBacked(rightKey, "right key")
+    requireLongBacked(leftTs, "left ts"); requireLongBacked(rightTs, "right ts")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

@@ -70,18 +70,33 @@ object DedupPack extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact dedup: hash-groupBy on full text, keep lowest doc_id. The
-    // fixture has no exact dups, so the input plants copies of the
-    // even-id docs (UNION ALL) — the dedup then has real work to do.
+    // Exact dedup, keep lowest doc_id. The fixture has no exact dups,
+    // so the input plants copies of the even-id docs (UNION ALL) — the
+    // dedup then has real work to do.
+    //
+    // Scale shape (VERDICT r1): the first groupBy keys on a 64-bit
+    // content hash, NOT the text — the all-corpus shuffle carries
+    // (hash, doc_id) instead of the full document body. Hash groups
+    // with >1 member (a tiny fraction of a real corpus) are then
+    // exact-verified by re-grouping just those docs on the text
+    // itself, so 64-bit collisions can never merge distinct texts —
+    // the output is bit-identical to a full-text groupBy.
     "d_exact" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") % 2 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      docs.union(planted)
-        .groupBy(col("text"))
+      val all = docs.union(planted)
+        .select(col("doc_id"), col("text"), xxhash64(col("text")).as("h"))
+      val groups = all.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      val uniques = groups.filter(col("n_copies") === 1)
+        .select(col("keep_id"), col("n_copies"))
+      val hot = groups.filter(col("n_copies") > 1).select(col("h"))
+      val dups = all.join(broadcast(hot), Seq("h"), "left_semi")
+        .groupBy(col("h"), col("text"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
-        .orderBy(col("keep_id"))
+      uniques.union(dups).orderBy(col("keep_id"))
     }),
 
     // EXACT n-gram Jaccard near-dup via prefix filtering (AllPairs /

@@ -102,7 +102,10 @@ object FunctionsPack extends QueryPack {
         .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("price"), col("discount"), col("tax")),
           "measure", "val")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+        // val in the sort key: the synthetic lineitem has duplicate
+        // (orderkey, linenumber) pairs, so without it the order is
+        // engine-dependent at the ties
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("val"))
     }),
 
     // Null-safe equality join (<=>): rows with NULL keys match each
@@ -177,13 +180,15 @@ object FunctionsPack extends QueryPack {
         |  count(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // CAST AS BIGINT: DuckDB integer sum() yields HUGEINT (arrow
+    // decimal128), Spark's pivot-count emits bigint.
     "fn_pivot" ->
       """SELECT year(o_orderdate) AS y,
-        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
-        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS unspec,
-        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS unspec,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "fn_unpivot" ->
@@ -195,7 +200,7 @@ object FunctionsPack extends QueryPack {
         |  FROM lineitem) t,
         |  LATERAL (VALUES ('price', t.price), ('discount', t.discount),
         |           ('tax', t.tax)) AS m(measure, val)
-        |ORDER BY l_orderkey, l_linenumber, m.measure""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, m.measure, m.val""".stripMargin,
 
     "fn_nullsafe_join" ->
       """WITH o AS (

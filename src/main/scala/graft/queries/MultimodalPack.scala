@@ -54,11 +54,13 @@ object MultimodalPack extends QueryPack {
         |  3 AS channels
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // CAST AS BIGINT: DuckDB integer sum() yields HUGEINT (arrow
+    // decimal128), Spark emits bigint — values equal, hash differs.
     "mm_kind_stats" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |       ELSE 'video' END AS kind,
         |  count(*) AS n,
-        |  sum(octet_length(encode(text))) AS total_bytes,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  max(octet_length(encode(text))) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -167,6 +167,10 @@ object RelationalPack extends QueryPack {
     }),
 
     // P8: casts (data_utils.py:241, classifier_pipeline.py:366,373).
+    // Sort covers EVERY output column: the synthetic lineitem has
+    // ~24% duplicate (orderkey, linenumber) pairs, so a two-column
+    // sort leaves tie order engine-dependent (the round-1 p8_cast
+    // hash mismatch).
     "p8_cast" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(
@@ -174,17 +178,19 @@ object RelationalPack extends QueryPack {
           col("l_quantity").cast("int").as("qty_int"),
           col("l_extendedprice").cast("decimal(12,2)").as("price_dec"),
           col("l_shipdate").cast("date").as("ship_date"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("qty_int"), col("price_dec"), col("ship_date"))
     }),
 
     // P9: blanket na.fill on remaining nulls (classifier_pipeline.py:399).
+    // q joins the sort key — see p8_cast tie note.
     "p9_fillna" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(
           col("l_orderkey"), col("l_linenumber"),
           when(col("l_discount") > 0.05, lit(null)).otherwise(col("l_quantity")).as("q"))
         .na.fill(0.0, Seq("q"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("q"))
     }),
 
     // ---- joins ----------------------------------------------------------
@@ -469,10 +475,12 @@ object RelationalPack extends QueryPack {
         |  round(max(o_totalprice), 2) AS max_price
         |FROM orders""".stripMargin,
 
+    // CAST AS BIGINT: DuckDB integer sum() yields HUGEINT (arrow
+    // decimal128), Spark emits bigint — values equal, hash differs.
     "a5_null_audit" ->
       """SELECT
-        |  sum(CASE WHEN (CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END) IS NULL THEN 1 ELSE 0 END) AS q_nulls,
-        |  sum(CASE WHEN (CASE WHEN l_tax > 0.04 THEN NULL ELSE l_extendedprice END) IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+        |  CAST(sum(CASE WHEN (CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
+        |  CAST(sum(CASE WHEN (CASE WHEN l_tax > 0.04 THEN NULL ELSE l_extendedprice END) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
         |  count(*) AS cnt
         |FROM lineitem""".stripMargin,
 
@@ -519,12 +527,13 @@ object RelationalPack extends QueryPack {
         |  CAST(l_quantity AS INT) AS qty_int,
         |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
         |  CAST(l_shipdate AS DATE) AS ship_date
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, qty_int, price_dec, ship_date""".stripMargin,
 
     "p9_fillna" ->
       """SELECT l_orderkey, l_linenumber,
         |  coalesce(CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END, 0.0) AS q
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, q""".stripMargin,
 
     "j1_left_join" ->
       """SELECT o.o_orderkey, c.c_name, o.o_totalprice
@@ -655,9 +664,10 @@ object RelationalPack extends QueryPack {
         |  count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // sum(int) is HUGEINT in DuckDB — cast to BIGINT to match Spark.
     "f_json_extract" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  count(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -135,10 +135,12 @@ object TextPack extends QueryPack {
         |       ELSE 'mixed' END AS guess
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // CAST AS BIGINT: DuckDB list_sum() yields HUGEINT (arrow
+    // decimal128), Spark's CharFingerprint emits bigint.
     "t_fingerprint" ->
       """SELECT doc_id,
-        |  list_sum([unicode(text[i]) * i for i in range(1, length(text) + 1)])
-        |    % 1000000007 AS fp
+        |  CAST(list_sum([unicode(text[i]) * i for i in range(1, length(text) + 1)])
+        |    % 1000000007 AS BIGINT) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

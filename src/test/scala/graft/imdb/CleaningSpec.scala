@@ -47,12 +47,34 @@ class CleaningSpec extends SparkSpec {
     assert(m("a") == 3.0 && m("b") == 1.0)
   }
 
-  test("patchWithMean patches null and non-positive values") {
+  test("patchWithMean patches ONLY nulls (classifier_pipeline.py:197-199)") {
     import spark.implicits._
     val df = Seq(Some(5.0), Some(0.0), Some(-1.0), None).toDF("a")
     val out = Cleaning.patchWithMean(df, Map("a" -> 9.0))
       .collect().map(_.getDouble(0)).toSeq
-    assert(out == Seq(5.0, 9.0, 9.0, 9.0))
+    // zero and negative pass through — the reference injects means into
+    // NULL fields only
+    assert(out == Seq(5.0, 0.0, -1.0, 9.0))
+  }
+
+  test("nonZeroMeans: per-column non-zero mean, single pass, 1.0 fallback") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(10.0), Some(0.0)),
+      (Some(0.0), Some(0.0)),
+      (Some(20.0), None: Option[Double]),
+      (None: Option[Double], Some(0.0))).toDF("budget", "revenue")
+    val m = Cleaning.nonZeroMeans(df, Seq("budget", "revenue"))
+    assert(m("budget") == 15.0, "mean over >0 rows only")
+    assert(m("revenue") == 1.0, "all-zero column falls back to 1.0")
+  }
+
+  test("patchNullOrZero patches null AND zero (classifier_pipeline.py:354-360)") {
+    import spark.implicits._
+    val df = Seq(Some(5.0), Some(0.0), Some(-1.0), None).toDF("a")
+    val out = Cleaning.patchNullOrZero(df, Map("a" -> 9.0))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(5.0, 9.0, -1.0, 9.0))
   }
 
   test("fillTitles: cross-column coalesce both directions") {

@@ -35,6 +35,17 @@ class FeaturesSpec extends SparkSpec {
     assert(legacy.toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("imputation means come from TRAIN only — test rows cannot leak in") {
+    import spark.implicits._
+    val trainPre = Seq((Some(10.0), Some(100.0)), (Some(20.0), None))
+      .toDF("runtimeMinutes", "numVotes")
+    val means = ImdbPipeline.imputationMeans(trainPre)
+    // unfiltered train-only means (avg skips nulls, reference
+    // classifier_pipeline.py:189-199); any test-set contribution or a
+    // >0 filter would move these
+    assert(means == Map("runtimeMinutes" -> 15.0, "numVotes" -> 100.0))
+  }
+
   test("indexers: frequencyDesc order, unseen label -> numLabels (keep)") {
     import spark.implicits._
     val train = Seq("x", "x", "x", "y", "y", "z")

@@ -27,8 +27,12 @@ class ImdbPipelineSpec extends SparkSpec {
     val preds = ImdbPipeline.run(spark, cfg)
     assert(preds.count() == 955)
 
-    // K1 contract: one True/False per line, ordered by tconst
-    val txt = new java.io.File(s"$out/predictions").listFiles()
+    // K1 contract: one True/False per line, ordered by tconst; F9: the
+    // default path is the timestamped {set}_{model}_{ts}.txt name
+    val resultDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.matches("validation_stub_\\d{8}_\\d{6}\\.txt"))
+    assert(resultDirs.length == 1, s"expected one timestamped result dir in $out")
+    val txt = resultDirs.head.listFiles()
       .filter(_.getName.endsWith(".txt")).head
     val lines = scala.io.Source.fromFile(txt).getLines().toSeq
     assert(lines.length == 955)
@@ -39,6 +43,17 @@ class ImdbPipelineSpec extends SparkSpec {
       .select(when(col("prediction") === 1.0, "True").otherwise("False"))
       .collect().map(_.getString(0)).toSeq
     assert(lines == sortedPreds)
+
+    // K2 contract: the run wrote an updated genre cache that GREW —
+    // train-set ids are absent from the committed validation cache, so
+    // the stub predictor's fresh rows must land in it
+    val oldCacheSize = Readers.loadGenreCache(spark,
+      s"$dir/validation_gemma3_4b_cache.csv").count()
+    val newCache = Readers.loadGenreCache(spark, s"$out/genre_cache")
+    assert(newCache.count() > oldCacheSize,
+      "updated cache must contain the fresh stub predictions")
+    assert(newCache.select("tconst").distinct().count() == newCache.count(),
+      "cache must stay unique per tconst")
   }
 
   test("accuracy >= 0.75 on the reference's own 80/20 recipe") {
@@ -52,8 +67,7 @@ class ImdbPipelineSpec extends SparkSpec {
     val writing = Readers.loadWriting(spark0, s"$dir/writing.json")
     val directing = Readers.loadDirecting(spark0, s"$dir/directing.json")
     val cache = Readers.loadGenreCache(spark0, s"$dir/train_gemma3_4b_cache.csv")
-    val means = Cleaning.columnMeans(
-      train.filter(col("runtimeMinutes") > 0.0), Seq("runtimeMinutes", "numVotes"))
+    val means = Cleaning.columnMeans(train, Seq("runtimeMinutes", "numVotes"))
     val merged = Metadata.mergeMetadata(
       Cleaning.patchWithMean(train, means), writing, directing)
     val (genres, _) =

@@ -16,6 +16,21 @@ class OllamaPredictorSpec extends AnyFunSuite {
     assert(p.extractResponse("""{"no_response":1}""") == "unknown")
   }
 
+  test("decodes all JSON escapes, including \\uXXXX") {
+    assert(p.extractResponse("""{"response":"Drama"}""") == "Drama")
+    assert(p.extractResponse("""{"response":"Sci-Fi"}""") == "Sci-Fi")
+    assert(p.extractResponse("""{"response":"War\n"}""") == "War\n")
+    assert(p.extractResponse("""{"response":"a\tb\r"}""") == "a\tb\r")
+    assert(p.extractResponse("""{"response":"say \"Drama\""}""") == "say \"Drama\"")
+    assert(p.extractResponse("""{"response":"back\\slash"}""") == "back\\slash")
+    // \uXXXX decodes to the code point (backslash built by concat so
+    // Scala's own unicode-escape scanning can't interfere)
+    val bs = "\\"
+    assert(p.extractResponse("{\"response\":\"" + bs + "u0044rama\"}") == "Drama")
+    // malformed \u doesn't crash the executor task
+    assert(p.extractResponse("{\"response\":\"" + bs + "uZZZZ\"}").nonEmpty)
+  }
+
   test("normalizes against the whitelist like the reference") {
     assert(p.normalize("Drama") == "Drama")
     assert(p.normalize("  drama \n") == "Drama")

@@ -39,6 +39,44 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
   }
 
+  test("null timestamps/keys are dropped, not matched as epoch zero") {
+    import spark.implicits._
+    def ts(m: Int) = Option(java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00"))
+    val l = Seq((1L, Option(10L), ts(5)), (2L, Option(10L), None),
+      (3L, None: Option[Long], ts(7)))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((100L, Option(10L), ts(4)), (101L, Option(10L), None),
+      (102L, None: Option[Long], ts(1)))
+      .toDF("prior_id", "r_user", "r_ts")
+    val out = AsOf.join(spark, l, r, l("user_id"), r("r_user"), l("ts"), r("r_ts"))
+      .select(col("event_id"), col("prior_id"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // left rows 2 (null ts) and 3 (null key) are dropped; right rows
+    // 101/102 (null ts/key) are never candidates — only 1 -> 100 remains
+    assert(out == Map(1L -> 100L))
+  }
+
+  test("integer keys and date timestamps are supported (widened to long)") {
+    import spark.implicits._
+    def d(day: Int) = Option(java.sql.Date.valueOf(f"2024-01-$day%02d"))
+    val l = Seq((1L, 10, d(5)), (2L, 20, d(3))).toDF("event_id", "user_id", "ts")
+    val r = Seq((100L, 10, d(4)), (101L, 20, d(1))).toDF("prior_id", "r_user", "r_ts")
+    val out = AsOf.join(spark, l, r, l("user_id"), r("r_user"), l("ts"), r("r_ts"))
+      .select(col("event_id"), col("prior_id"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out == Map(1L -> 100L, 2L -> 101L))
+  }
+
+  test("string key is rejected with a clear error") {
+    import spark.implicits._
+    val l = Seq(("u1", 1L)).toDF("k", "ts")
+    val r = Seq(("u1", 0L)).toDF("rk", "rts")
+    val err = intercept[IllegalArgumentException] {
+      AsOf.join(spark, l, r, l("k"), r("rk"), l("ts"), r("rts"))
+    }
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("edge cases: empty right partner set, interleaved keys") {
     import spark.implicits._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
