@@ -39,6 +39,33 @@ object MultimodalPack extends QueryPack {
     "mm_frame_sample" -> ((s, dir) => {
       Media.sampleFrames(Media.mediaTable(Tables(s, dir, "documents")), stride = 2)
         .orderBy(col("media_id"), col("frame_no"))
+    }),
+
+    // Resize: binary -> binary through the same batched executor path
+    // as decode (stub transform: truncate to maxBytes). The oracle
+    // recomputes the size metadata, checking the whole binary
+    // round-trip (encode -> batch -> transform -> re-measure).
+    "mm_resize" -> ((s, dir) => {
+      val media = Media.mediaTable(Tables(s, dir, "documents"))
+      Media.resize(s, media, maxBytes = 128).toDF()
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("new_bytes"), col("orig_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Feature extraction: payload -> fixed-dim embedding (stub: 8-bin
+    // byte histogram, L1-normalized float32). Exploded to scalar rows
+    // so the oracle can compare element-wise; the float32 division is
+    // replayed by DuckDB in REAL and widened to double on both sides,
+    // so the comparison is bit-exact, not tolerance-based.
+    "mm_embed" -> ((s, dir) => {
+      val media = Media.mediaTable(Tables(s, dir, "documents"))
+      Media.extractFeatures(s, media)
+        .select(col("media_id"),
+          posexplode(col("embedding")).as(Seq("bucket", "f")))
+        .select(col("media_id"), col("bucket"),
+          round(col("f").cast("double"), 4).as("freq"))
+        .orderBy(col("media_id"), col("bucket"))
     })
   )
 
@@ -73,6 +100,29 @@ object MultimodalPack extends QueryPack {
         |  FROM documents)
         |SELECT media_id, kind, f.f AS frame_no
         |FROM m, LATERAL (SELECT unnest(range(0, n_frames, 2)) AS f) f
-        |ORDER BY media_id, frame_no""".stripMargin
+        |ORDER BY media_id, frame_no""".stripMargin,
+
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  least(octet_length(encode(text)), 128) AS new_bytes,
+        |  octet_length(encode(text)) AS orig_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // ASCII fixture: unicode(char) == byte value, so the byte
+    // histogram is a char histogram; REAL division replays Spark's
+    // float32 arithmetic bit-exactly before the double widening.
+    "mm_embed" ->
+      """WITH chars AS (
+        |  SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) AS n,
+        |    [unicode(text[i]) // 32 for i in range(1, length(text) + 1)] AS bs
+        |  FROM documents)
+        |SELECT media_id, b.b AS bucket,
+        |  round(CAST(CAST(len(list_filter(bs, x -> x = b.b)) AS REAL)
+        |        / CAST(greatest(n, 1) AS REAL) AS DOUBLE), 4) AS freq
+        |FROM chars, (SELECT unnest(range(0, 8)) AS b) b
+        |ORDER BY media_id, bucket""".stripMargin
   )
 }

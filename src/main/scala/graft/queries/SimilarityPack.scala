@@ -59,15 +59,20 @@ object SimilarityPack extends QueryPack {
     // (a recall regression flips recall_ok -> red row).
     "s_knn_lsh" -> ((s, dir) => {
       val e = vecs(s, dir)
-      val lsh10 = knnLshTopK(e).select(col("qid"), col("nid"))
-      val brute10 = bruteTopK(e).select(col("qid"), col("nid"))
-      // recall@10 per query = |lsh10 ∩ brute10| / 10
-      val hits = brute10.join(lsh10, Seq("qid", "nid"), "left_semi")
-        .groupBy(col("qid")).agg(count(lit(1)).as("h"))
-      brute10.select(col("qid")).distinct()
-        .join(hits, Seq("qid"), "left")
-        .agg(count(lit(1)).as("n_queries"),
-          (avg(coalesce(col("h"), lit(0L))) / 10.0 >= 0.5).as("recall_ok"))
+      recallInvariant(knnLshTopK(e), bruteTopK(e), minMeanRecall = 0.5)
+    }),
+
+    // IVF (inverted-file) ANN — the other canonical scale path from
+    // the builder brief: a tiny coarse-quantizer codebook (MLlib
+    // KMeans, cosine distance, seeded) partitions the corpus into
+    // inverted lists; queries probe only their nprobe nearest lists
+    // and exact-re-rank inside them. Same self-verifying invariant
+    // row as s_knn_lsh (raw top-k depends on the learned codebook, so
+    // DuckDB can't reproduce it; the recall floor is the checkable
+    // contract). Ranked output path: knnIvfTopK.
+    "s_knn_ivf" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      recallInvariant(knnIvfTopK(e), bruteTopK(e), minMeanRecall = 0.5)
     }),
 
     // Per-label centroid: element-wise mean embedding per class — the
@@ -157,6 +162,90 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Shared invariant harness for the ANN paths: computes recall@10
+    * of `ann` against the exact `brute` top-10 and emits ONE row
+    * (n_queries, recall_ok). A recall regression below the floor, or
+    * a query the ANN path loses entirely, flips recall_ok -> red
+    * CORRECTNESS row. */
+  private def recallInvariant(ann: DataFrame, brute: DataFrame,
+                              minMeanRecall: Double): DataFrame = {
+    val a = ann.select(col("qid"), col("nid"))
+    val b = brute.select(col("qid"), col("nid"))
+    val hits = b.join(a, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    b.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        (avg(coalesce(col("h"), lit(0L))) / 10.0 >= minMeanRecall)
+          .as("recall_ok"))
+  }
+
+  /** IVF ANN top-10 per query (qid, nid, cos, rk).
+    *
+    * Train: MLlib KMeans (k=`lists`, cosine distance, fixed seed) fits
+    * the coarse quantizer distributedly — at 100 TB you fit it on a
+    * sample, which is exactly what FAISS-style IVF training does; the
+    * codebook itself is tiny BY DESIGN (lists x dim doubles), so
+    * embedding the centroids as plan-time literals for the query
+    * probe is the intended deployment shape, not a driver bottleneck.
+    *
+    * Serve: corpus assignment is one model.transform (narrow, no
+    * shuffle); each query scores the codebook, probes its `nprobe`
+    * closest lists, and the candidate (qid, nid) id pairs — never the
+    * vectors — flow through the dedup, then vectors rejoin broadcast-
+    * style for the exact cosine re-rank, same discipline as the LSH
+    * path. */
+  private[queries] def knnIvfTopK(e: DataFrame,
+                                  lists: Int = 16, nprobe: Int = 6): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fe = e.withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans()
+      .setK(lists).setSeed(42).setMaxIter(5)
+      // random init: kmeans|| runs ~2 Spark jobs per init step, and a
+      // coarse quantizer doesn't need init quality — 5 Lloyd
+      // iterations from a seeded random start converge equivalently
+      // here (recall parity spec-asserted)
+      .setInitMode("random")
+      .setDistanceMeasure("cosine")
+      .setFeaturesCol("fv").setPredictionCol("list")
+      .fit(fe)
+    val assigned = model.transform(fe)
+      .select(col("vec_id").as("nid"), col("list"))
+    val cents = model.clusterCenters.map(_.toArray)
+    // per-query cosine to every centroid -> top-nprobe lists
+    val centCos: Seq[Column] = cents.toIndexedSeq.map { c =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      graft.expr.DotProduct(col("v"), typedLit(c.toSeq)) / (col("nrm") * lit(cn))
+    }
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    import org.apache.spark.sql.expressions.Window
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("list").asc)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        posexplode(array(centCos: _*)).as(Seq("list", "ccos")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("list"))
+    val candIds = broadcast(probes)
+      .join(assigned, Seq("list"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    broadcast(candIds)
+      .join(e.select(col("vec_id").as("nid"), col("v"), col("nrm")), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("nid"), (dot / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   override def oracleSql: Map[String, String] = Map(
     "s_knn_brute" ->
       """WITH e AS (
@@ -179,11 +268,13 @@ object SimilarityPack extends QueryPack {
         |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // s_knn_lsh emits a recall invariant (see queries): the Spark side
-    // genuinely computes ANN-vs-exact recall@10; the oracle pins the
-    // expected invariant. A recall regression (< 0.5 mean) or a query
-    // whose LSH path dies flips the row red.
+    // The ANN paths emit recall invariants (see queries): the Spark
+    // side genuinely computes ANN-vs-exact recall@10; the oracle pins
+    // the expected invariant. A recall regression (< 0.5 mean) or a
+    // query the ANN path loses flips the row red.
     "s_knn_lsh" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
+    "s_knn_ivf" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok"
   )
 }

@@ -87,6 +87,49 @@ object TextPack extends QueryPack {
       Tables(s, dir, "documents")
         .select(col("doc_id"), graft.expr.CharFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Exact TF-IDF, top-3 terms per document — the oracle-checked
+    // relational twin of the MLlib HashingTF+IDF pipeline
+    // (graft.text.TfIdf), the same pattern as m1_freq_index for
+    // StringIndexer. Shape: explode -> two hash aggs (term freq per
+    // doc, doc freq per term) -> broadcast the term-level df (vocab-
+    // sized, small by Heaps' law) back onto the doc-term rows -> per-
+    // doc top-k window. Ranking uses the ROUNDED score so both
+    // engines rank identical values; ties break on the term.
+    "t_tfidf" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("w").asc)
+      tf.join(broadcast(dfreq), Seq("w"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // Deterministic train/eval split by content fingerprint — the
+    // held-out-split operator of a training-data pipeline. Hash-based
+    // (NOT rand()): assignment is reproducible across runs, retries,
+    // and engines, and documents keep their split when the corpus
+    // grows — exactly why production pipelines split on content/URL
+    // hashes instead of random numbers.
+    "t_split" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(graft.expr.CharFingerprint(col("text")), lit(100)) < 80,
+            "train").otherwise("eval").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("split"))
     })
   )
 
@@ -141,6 +184,33 @@ object TextPack extends QueryPack {
       """SELECT doc_id,
         |  CAST(list_sum([unicode(text[i]) * i for i in range(1, length(text) + 1)])
         |    % 1000000007 AS BIGINT) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, w, tfidf, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, w, tfidf FROM r
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "t_split" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_sum([unicode(text[i]) * i for i in range(1, length(text) + 1)])
+        |      % 1000000007 AS fp
+        |  FROM documents)
+        |SELECT CASE WHEN fp % 100 < 80 THEN 'train' ELSE 'eval' END AS split,
+        |  count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -38,6 +38,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN achieves recall >= 0.5 vs brute force (sf0.001)") {
+    val e = SimilarityPack.vecs(spark, sf("sf0.001"))
+    val brute = topk(SimilarityPack.bruteTopK(e))
+    val ivf = topk(SimilarityPack.knnIvfTopK(e))
+    assert(brute.nonEmpty)
+    val recalls = brute.map { case (q, nbrs) =>
+      ivf.getOrElse(q, Set.empty).intersect(nbrs).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@10 = $mean%.3f")
+    assert(mean >= 0.5, s"IVF mean recall@10 degraded: $mean")
+  }
+
+  test("s_knn_ivf invariant row reports recall_ok (sf0.001)") {
+    val rows = SparkEntry.queries("s_knn_ivf")(spark, sf("sf0.001")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_queries") == 10L)
+    assert(rows.head.getAs[Boolean]("recall_ok"))
+  }
+
   test("s_knn_lsh invariant row reports recall_ok (sf0.001)") {
     val rows = SparkEntry.queries("s_knn_lsh")(spark, sf("sf0.001")).collect()
     assert(rows.length == 1)
