@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryPack
 import graft.io.Tables
+import graft.scale.ConnectedComponents
 import graft.text.TextFeatures._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -69,6 +70,26 @@ object DedupPack extends QueryPack {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** MinHash+LSH candidate pairs, exact-verified at J >= 0.8 — shared
+    * by `d_minhash_lsh` (emits the pairs) and `d_cluster` (treats them
+    * as edges of the dup graph). */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = hashArrays(s, dir)
+      .withColumn("sig", graft.expr.MinHashSig(col("hs"), 64, 20260812L))
+    val bands = sigs.select(col("doc_id"), posexplode(expr(
+      """transform(sequence(0, 15), b ->
+        |  ((element_at(sig, b*4+1) * 31 + element_at(sig, b*4+2)) * 31
+        |    + element_at(sig, b*4+3)) * 31 + element_at(sig, b*4+4))"""
+        .stripMargin)).as(Seq("band", "bh")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    verified(cand, sigs.select(col("doc_id"), col("hs"), col("n")))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup, keep lowest doc_id. The fixture has no exact dups,
     // so the input plants copies of the even-id docs (UNION ALL) — the
@@ -130,33 +151,39 @@ object DedupPack extends QueryPack {
     // all-corpus shuffles are groupBy(doc_id) for signatures and
     // groupBy(band, bandHash) for buckets — both linear.
     "d_minhash_lsh" -> ((s, dir) => {
-      // 64 permutations via ONE typed UDAF (tight-loop update, map-side
-      // combinable — see Sketches.MinHashAgg). Permutation parameters
-      // are INDEPENDENT pseudo-random draws: a structured family like
-      // a_i = (2i+1)*c makes h_i(x) an arithmetic progression in i for
-      // fixed x, so one shingle whose progression stays small is the
-      // argmin for a run of consecutive permutations — observed as a
-      // 12-sigma signature-agreement deficit (44/64 where ~63/64
-      // expected for a J=0.98 pair) and a missed true pair at sf0.1.
-      // signature as a NARROW projection over the per-doc hash array
-      // (MinHashSig expression) — no groupBy shuffle at all; the
-      // equivalent map-side-combinable UDAF (Sketches.MinHashAgg)
-      // remains for exploded-row inputs and is parity-tested.
-      val sigs = hashArrays(s, dir)
-        .withColumn("sig", graft.expr.MinHashSig(col("hs"), 64, 20260812L))
-      // band hash = polynomial combine of the band's 4 minima
-      val bands = sigs.select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, 15), b ->
-          |  ((element_at(sig, b*4+1) * 31 + element_at(sig, b*4+2)) * 31
-          |    + element_at(sig, b*4+3)) * 31 + element_at(sig, b*4+4))"""
-          .stripMargin)).as(Seq("band", "bh")))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-        .distinct()
-      verified(cand, sigs.select(col("doc_id"), col("hs"), col("n")))
+      // 64 permutations h_i as INDEPENDENT pseudo-random draws: a
+      // structured family like a_i = (2i+1)*c makes h_i(x) an
+      // arithmetic progression in i for fixed x, so one shingle whose
+      // progression stays small is the argmin for a run of consecutive
+      // permutations — observed as a 12-sigma signature-agreement
+      // deficit (44/64 where ~63/64 expected for a J=0.98 pair) and a
+      // missed true pair at sf0.1. Signature is a NARROW projection
+      // over the per-doc hash array (MinHashSig expression) — no
+      // groupBy shuffle; the equivalent map-side-combinable UDAF
+      // (Sketches.MinHashAgg) remains for exploded-row inputs and is
+      // parity-tested. Band hash = polynomial combine of 4 minima.
+      minhashVerifiedPairs(s, dir)
+    }),
+
+    // Dup-CLUSTER assignment — the completion step of fuzzy dedup: the
+    // verified near-dup pairs become edges of the dup graph, connected
+    // components assign every involved doc to a cluster keyed by its
+    // min doc_id, and `is_rep` marks the one document per cluster a
+    // dedup pass would keep. Transitivity is the point: A~B and B~C
+    // put A and C in one cluster even when J(A, C) < threshold —
+    // pair-level dedup alone over-keeps. See scale/ConnectedComponents
+    // for the iteration/convergence mechanics and the 100 TB notes.
+    "d_cluster" -> ((s, dir) => {
+      val edges = minhashVerifiedPairs(s, dir)
+        .select(col("ida").as("src"), col("idb").as("dst"))
+      val cc = ConnectedComponents.run(edges)
+      val sizes = cc.groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "component")
+        .select(col("node").as("doc_id"), col("component"),
+          col("cluster_size"),
+          (col("node") === col("component")).as("is_rep"))
+        .orderBy(col("doc_id"))
     }),
 
     // SimHash near-dup: 64-bit signature from bit votes of the
@@ -223,8 +250,9 @@ object DedupPack extends QueryPack {
 
   /** Exact 3-gram-Jaccard >= 0.8 pairs — the shared oracle for all
     * three near-dup text queries (their outputs are by construction the
-    * verified-exact answer). */
-  private val exactJaccardSql =
+    * verified-exact answer). The un-ordered form doubles as a nested
+    * subquery for the d_cluster oracle. */
+  private val exactJaccardSubquery =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, s FROM (
       |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -238,7 +266,9 @@ object DedupPack extends QueryPack {
       |  SELECT ida, idb, i * 1.0 / (ca.n + cb.n - i) AS j
       |  FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
       |SELECT ida, idb, round(j, 4) AS jaccard FROM j
-      |WHERE j >= 0.8 ORDER BY ida, idb""".stripMargin
+      |WHERE j >= 0.8""".stripMargin
+
+  private val exactJaccardSql = exactJaccardSubquery + "\nORDER BY ida, idb"
 
   override def oracleSql: Map[String, String] = Map(
     "d_exact" ->
@@ -252,6 +282,27 @@ object DedupPack extends QueryPack {
     "d_ngram_jaccard" -> exactJaccardSql,
     "d_minhash_lsh" -> exactJaccardSql,
     "d_simhash" -> exactJaccardSql,
+
+    // Components via a recursive CTE: min reachable id per node. The
+    // UNION (not UNION ALL) dedups the frontier so the walk terminates.
+    "d_cluster" ->
+      s"""WITH RECURSIVE
+        |p AS ($exactJaccardSubquery),
+        |edges AS (
+        |  SELECT ida AS s, idb AS d FROM p
+        |  UNION SELECT idb AS s, ida AS d FROM p),
+        |walk(node, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT walk.node, e.d FROM walk JOIN edges e ON e.s = walk.r),
+        |comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node),
+        |sizes AS (
+        |  SELECT component, count(*) AS cluster_size
+        |  FROM comp GROUP BY component)
+        |SELECT comp.node AS doc_id, comp.component, sizes.cluster_size,
+        |  comp.node = comp.component AS is_rep
+        |FROM comp JOIN sizes USING (component)
+        |ORDER BY doc_id""".stripMargin,
 
     "d_embed_cos" ->
       """WITH e AS (

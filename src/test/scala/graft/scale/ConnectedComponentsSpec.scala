@@ -1,0 +1,71 @@
+package graft.scale
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.run(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two separate components, min id wins as label") {
+    val got = cc(Seq((3L, 1L), (1L, 2L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long chain converges past one propagation round (diameter > 1)") {
+    // path 9-8-7-...-1: min label must travel the full diameter
+    val got = cc((1L to 8L).map(i => (i + 1, i)))
+    assert(got == (1L to 9L).map(_ -> 1L).toMap)
+  }
+
+  test("cycle and duplicate/self edges are harmless") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (2L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("matches brute-force transitive closure on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    // brute force: repeated relabel over an adjacency map
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var label = nodes.map(n => n -> n).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((a, b) <- edges) {
+        val m = math.min(label(a), label(b))
+        if (label(a) != m || label(b) != m) {
+          label += a -> m; label += b -> m; changed = true
+        }
+      }
+    }
+    assert(cc(edges) == label)
+  }
+
+  test("d_cluster groups the planted near-dup pairs transitively") {
+    val dir = sf("sf0.001")
+    val out = graft.SparkEntry.queries("d_cluster")(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every cluster: size >= 2, exactly one representative = min id
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (comp, members) =>
+      assert(members.length >= 2)
+      assert(members.map(_.getLong(0)).min == comp)
+      assert(members.count(_.getBoolean(3)) == 1)
+      assert(members.forall(_.getLong(2) == members.length))
+    }
+    // clusters are at least as coarse as the pairs: both ends of every
+    // verified pair share a component
+    val pairs = graft.SparkEntry.queries("d_minhash_lsh")(spark, dir)
+      .select(col("ida"), col("idb")).collect()
+    val comp = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { p =>
+      assert(comp(p.getLong(0)) == comp(p.getLong(1)))
+    }
+  }
+}
