@@ -116,6 +116,68 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // Gopher-style repetition signals (Rae et al. 2021, table A1,
+    // adapted to the fixture's single-line docs): duplicate-token
+    // fraction, most-common-token fraction, most-common-bigram
+    // fraction, plus the keep/drop decision a quality filter would
+    // make. Fractions use max(count)/total — no most-frequent-item
+    // tie-break, so both engines agree exactly. Shape: one narrow
+    // bigram construction (transform-with-index, no self-join), then
+    // two hash aggs keyed by (doc, gram) — the tf-idf shuffle shape;
+    // per-doc joins are co-partitioned on doc_id at 100 TB.
+    "t_gopher_repetition" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val base = docs.select(col("doc_id"), size(col("w")).as("n"),
+        size(array_distinct(col("w"))).as("nu"))
+      val tok = docs.select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      val bg = docs.select(col("doc_id"), explode(expr(
+          """transform(slice(w, 1, size(w) - 1),
+            |  (x, i) -> concat(x, ' ', element_at(w, i + 2)))""".stripMargin))
+          .as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("bmx"), sum(col("c")).as("btot"))
+      val dupF = round(lit(1.0) - col("nu") / col("n"), 4)
+      val topT = round(col("mx") / col("tot"), 4)
+      val topB = round(col("bmx") / col("btot"), 4)
+      base.join(tok, "doc_id").join(bg, "doc_id")
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          dupF.as("dup_token_frac"),
+          topT.as("top_token_frac"),
+          topB.as("top_bigram_frac"),
+          (dupF <= 0.6 && topT <= 0.12 && topB <= 0.06).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-document boilerplate detection by shingle document
+    // frequency — the corpus-level complement of the per-doc signals
+    // above (C4 removes spans occurring in many documents; NeMo
+    // Curator's boilerplate filters are the same DF idea). A 3-gram is
+    // "boilerplate" when it appears in >= 3 distinct documents; each
+    // doc reports its boilerplate coverage. Shape: one (doc, shingle)
+    // explode, a shingle-keyed DF agg (vocabulary-sized, sublinear by
+    // Heaps' law), a shingle-keyed join back, a doc-keyed agg — all
+    // hash-partitioned on 8-byte-ish keys, no row wider than (id,
+    // shingle) ever shuffles.
+    "t_boilerplate" -> ((s, dir) => {
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sg"))
+      val dfreq = sh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+      val perDoc = sh.join(dfreq, "sg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("df") >= 3, 1)).as("n_boiler"))
+      val frac = round(col("n_boiler") / col("n_shingles"), 4)
+      perDoc
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          frac.as("boiler_frac"), (frac >= 0.5).as("boilerplate_heavy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic train/eval split by content fingerprint — the
     // held-out-split operator of a training-data pipeline. Hash-based
     // (NOT rand()): assignment is reproducible across runs, retries,
@@ -202,6 +264,47 @@ object TextPack extends QueryPack {
         |  FROM scored)
         |SELECT doc_id, rk, w, tfidf FROM r
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "t_gopher_repetition" ->
+      """WITH q AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nu FROM q),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM q),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM tc GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+        |  FROM q),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, max(c) AS bmx, sum(c) AS btot FROM bc GROUP BY 1),
+        |m AS (
+        |  SELECT doc_id, n,
+        |    round(1 - nu * 1.0 / n, 4) AS dup_f,
+        |    round(mx * 1.0 / tot, 4) AS top_t,
+        |    round(bmx * 1.0 / btot, 4) AS top_b
+        |  FROM base JOIN tt USING (doc_id) JOIN bt USING (doc_id))
+        |SELECT doc_id, n AS n_tokens,
+        |  dup_f AS dup_token_frac, top_t AS top_token_frac,
+        |  top_b AS top_bigram_frac,
+        |  (dup_f <= 0.6 AND top_t <= 0.12 AND top_b <= 0.06) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                         for i in range(1, greatest(len(w) - 1, 1))]) AS s
+        |  FROM w)),
+        |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |m AS (
+        |  SELECT sh.doc_id, count(*) AS n_shingles,
+        |    count(*) FILTER (dfreq.df >= 3) AS n_boiler
+        |  FROM sh JOIN dfreq USING (s) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_boiler,
+        |  round(n_boiler * 1.0 / n_shingles, 4) AS boiler_frac,
+        |  round(n_boiler * 1.0 / n_shingles, 4) >= 0.5 AS boilerplate_heavy
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "t_split" ->
       """WITH f AS (
