@@ -75,6 +75,37 @@ object SimilarityPack extends QueryPack {
       recallInvariant(knnIvfTopK(e), bruteTopK(e), minMeanRecall = 0.5)
     }),
 
+    // Int8 scalar quantization — the embedding-compression operator of
+    // a vector pipeline (FAISS SQ8 / product-DB int8 storage): per-
+    // vector symmetric scale = max|x| / 127, codes = round(x / scale),
+    // 8x smaller than float64 and 4x smaller than float32 at ~1e-3
+    // cosine error. Emits per-vector scale, a code checksum, the max
+    // reconstruction error, and the dequantized-vs-original cosine —
+    // all computed with the identical IEEE operation sequence in both
+    // engines. Pure narrow projection: zero shuffle, and at 100 TB the
+    // codes column (binary-packable) is what ships to the ANN index.
+    "s_quantize" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("scale",
+          expr("array_max(transform(v, x -> abs(x)))") / 127.0)
+        .withColumn("codes", expr(
+          """transform(v, x -> CASE WHEN scale = 0.0 THEN 0L
+            |  ELSE cast(round(x / scale) as bigint) END)""".stripMargin))
+        .withColumn("recon", expr("transform(codes, c -> c * scale)"))
+      e.select(col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_checksum"),
+          round(expr("array_max(zip_with(v, recon, (a, b) -> abs(a - b)))"), 6)
+            .as("max_abs_err"),
+          when(col("scale") === 0.0, lit(1.0))
+            .otherwise(round(dotCols("v", "recon") /
+              (sqrt(dotCols("v", "v")) * sqrt(dotCols("recon", "recon"))), 4))
+            .as("recon_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Per-label centroid: element-wise mean embedding per class — the
     // aggregation shape of IVF coarse quantizers and class prototypes.
     // posexplode + two-level hash agg; 64 x n_labels cells total.
@@ -261,6 +292,33 @@ object SimilarityPack extends QueryPack {
         |  FROM p)
         |SELECT qid, nid, round(c, 4) AS cos, rk FROM r
         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    "s_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        |c AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(round(x / scale) AS BIGINT) END) AS codes
+        |  FROM q),
+        |r AS (
+        |  SELECT vec_id, v, scale, codes,
+        |    list_transform(codes, cd -> cd * scale) AS recon
+        |  FROM c)
+        |SELECT vec_id,
+        |  round(scale, 6) AS scale_r,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_checksum,
+        |  round(list_max([abs(v[i] - recon[i]) for i in range(1, len(v) + 1)]),
+        |        6) AS max_abs_err,
+        |  CASE WHEN scale = 0 THEN 1.0
+        |       ELSE round(list_dot_product(v, recon) /
+        |         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(recon, recon))),
+        |         4) END AS recon_cos
+        |FROM r ORDER BY vec_id""".stripMargin,
 
     "s_label_centroid" ->
       """SELECT label, i.i AS dim,

@@ -41,6 +41,28 @@ object StreamingPack extends QueryPack {
         .select(col("event_id"), col("user_id"), col("prior_id"),
           (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
         .orderBy(col("event_id"))
+    }),
+
+    // Interval-point range join via the binned equi-join rewrite
+    // (scale/RangeJoin): every purchase landing inside the 10-minute
+    // window after an error. No equi-key exists, so the naive plan is
+    // a nested loop over |errors| x |purchases| — the bucket id
+    // manufactures one. RangeJoinSpec asserts the plan contains no
+    // CartesianProduct / BroadcastNestedLoopJoin.
+    "st_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("interval_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("point_id"), col("ts").as("p_ts"))
+      graft.scale.RangeJoin
+        .pointInInterval(intervals, points, "start_ts", "end_ts", "p_ts",
+          bucketSeconds = 600)
+        .select(col("interval_id"), col("point_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("start_ts")))
+            .as("delta_us"))
+        .orderBy(col("interval_id"), col("point_id"))
     })
   )
 
@@ -83,6 +105,19 @@ object StreamingPack extends QueryPack {
         |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
         |FROM events l ASOF JOIN events r
         |  ON l.user_id = r.user_id AND r.ts < l.ts
-        |ORDER BY l.event_id""".stripMargin
+        |ORDER BY l.event_id""".stripMargin,
+
+    "st_range_join" ->
+      """WITH i AS (
+        |  SELECT event_id AS interval_id, ts AS start_ts,
+        |    ts + INTERVAL 10 MINUTE AS end_ts
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id AS point_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT i.interval_id, p.point_id,
+        |  epoch_us(p.p_ts) - epoch_us(i.start_ts) AS delta_us
+        |FROM i JOIN p ON p.p_ts >= i.start_ts AND p.p_ts < i.end_ts
+        |ORDER BY interval_id, point_id""".stripMargin
   )
 }
