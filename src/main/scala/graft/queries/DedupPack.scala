@@ -70,6 +70,39 @@ object DedupPack extends QueryPack {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** The corpus with planted exact dups (copies of the even-id docs;
+    * the fixture itself has none, so the dedup has real work to do). */
+  private def withPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.union(docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** Exact dedup over the planted corpus: (keep_id, n_copies), one row
+    * per distinct text, keeper = min doc_id.
+    *
+    * Scale shape (VERDICT r1): the first groupBy keys on a 64-bit
+    * content hash, NOT the text — the all-corpus shuffle carries
+    * (hash, doc_id) instead of the full document body. Hash groups
+    * with >1 member (a tiny fraction of a real corpus) are then
+    * exact-verified by re-grouping just those docs on the text itself,
+    * so 64-bit collisions can never merge distinct texts — the output
+    * is bit-identical to a full-text groupBy. */
+  private def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    val all = withPlanted(s, dir)
+      .select(col("doc_id"), col("text"), xxhash64(col("text")).as("h"))
+    val groups = all.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val uniques = groups.filter(col("n_copies") === 1)
+      .select(col("keep_id"), col("n_copies"))
+    val hot = groups.filter(col("n_copies") > 1).select(col("h"))
+    val dups = all.join(broadcast(hot), Seq("h"), "left_semi")
+      .groupBy(col("h"), col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+    uniques.union(dups)
+  }
+
   /** MinHash+LSH candidate pairs, exact-verified at J >= 0.8 — shared
     * by `d_minhash_lsh` (emits the pairs) and `d_cluster` (treats them
     * as edges of the dup graph). */
@@ -91,33 +124,31 @@ object DedupPack extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact dedup, keep lowest doc_id. The fixture has no exact dups,
-    // so the input plants copies of the even-id docs (UNION ALL) — the
-    // dedup then has real work to do.
-    //
-    // Scale shape (VERDICT r1): the first groupBy keys on a 64-bit
-    // content hash, NOT the text — the all-corpus shuffle carries
-    // (hash, doc_id) instead of the full document body. Hash groups
-    // with >1 member (a tiny fraction of a real corpus) are then
-    // exact-verified by re-grouping just those docs on the text
-    // itself, so 64-bit collisions can never merge distinct texts —
-    // the output is bit-identical to a full-text groupBy.
-    "d_exact" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-      val planted = docs.filter(col("doc_id") % 2 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      val all = docs.union(planted)
-        .select(col("doc_id"), col("text"), xxhash64(col("text")).as("h"))
-      val groups = all.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      val uniques = groups.filter(col("n_copies") === 1)
-        .select(col("keep_id"), col("n_copies"))
-      val hot = groups.filter(col("n_copies") > 1).select(col("h"))
-      val dups = all.join(broadcast(hot), Seq("h"), "left_semi")
-        .groupBy(col("h"), col("text"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(col("keep_id"), col("n_copies"))
-      uniques.union(dups).orderBy(col("keep_id"))
+    // Exact dedup, keep lowest doc_id — see exactDedup for the
+    // content-hash-grouped scale shape.
+    "d_exact" -> ((s, dir) => exactDedup(s, dir).orderBy(col("keep_id"))),
+
+    // END-TO-END dedup pipeline — the composition a real corpus goes
+    // through before training: exact dedup first (cheap, hash-group),
+    // then near-dup clustering over the survivors (MinHash LSH ->
+    // verify -> connected components), keep one representative per
+    // cluster. Emits the funnel as one auditable row. The stages are
+    // the independently-oracle-checked operators above; this query
+    // pins their COMPOSITION (stage order and survivor sets), which is
+    // where real pipelines break.
+    "d_pipeline" -> ((s, dir) => {
+      val all = withPlanted(s, dir)
+      val survivors = exactDedup(s, dir).select(col("keep_id").as("doc_id"))
+      val cc = ConnectedComponents.run(
+        minhashVerifiedPairs(s, dir)
+          .select(col("ida").as("src"), col("idb").as("dst")))
+      val drops = cc.filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val kept = survivors.join(drops, Seq("doc_id"), "left_anti")
+      all.agg(count(lit(1)).as("n_input"))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_after_exact")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_final"),
+          sum(col("doc_id")).as("kept_id_checksum")))
     }),
 
     // EXACT n-gram Jaccard near-dup via prefix filtering (AllPairs /
@@ -278,6 +309,34 @@ object DedupPack extends QueryPack {
         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM all_docs GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "d_pipeline" ->
+      s"""WITH RECURSIVE
+        |all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |surv AS (SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY text),
+        |p AS ($exactJaccardSubquery),
+        |edges AS (
+        |  SELECT ida AS s, idb AS d FROM p
+        |  UNION SELECT idb AS s, ida AS d FROM p),
+        |walk(node, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT walk.node, e.d FROM walk JOIN edges e ON e.s = walk.r),
+        |comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node),
+        |drops AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+        |kept AS (
+        |  SELECT s.doc_id FROM surv s
+        |  WHERE s.doc_id NOT IN (SELECT doc_id FROM drops))
+        |SELECT
+        |  (SELECT count(*) FROM all_docs) AS n_input,
+        |  (SELECT count(*) FROM surv) AS n_after_exact,
+        |  count(*) AS n_final,
+        |  CAST(sum(doc_id) AS BIGINT) AS kept_id_checksum
+        |FROM kept""".stripMargin,
 
     "d_ngram_jaccard" -> exactJaccardSql,
     "d_minhash_lsh" -> exactJaccardSql,

@@ -77,6 +77,25 @@ object FunctionsPack extends QueryPack {
         .orderBy(col("k_mod"))
     }),
 
+    // VARIANT (Spark 4): parse semi-structured JSON once into the
+    // binary variant encoding, then extract typed paths lazily —
+    // the modern shredded-JSON path (one parse, many cheap typed
+    // reads) vs from_json's schema-up-front contract above. The
+    // oracle is the same JSON read in DuckDB; variant_get's typed
+    // extraction must agree with schema'd parsing exactly.
+    "fn_variant" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("vr"))
+        .select(col("event_id"),
+          expr("variant_get(vr, '$.k', 'int')").as("k"),
+          expr("variant_get(vr, '$.missing', 'string')").as("absent"))
+        .groupBy((col("k") % 7).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("absent")).as("n_absent"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("k_mod"))
+    }),
+
     // Pivot: order counts per year x priority, explicit value list for
     // deterministic columns.
     "fn_pivot" -> ((s, dir) => {
@@ -178,6 +197,13 @@ object FunctionsPack extends QueryPack {
     "fn_from_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
         |  count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "fn_variant" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INT) % 7 AS k_mod,
+        |  count(*) AS cnt,
+        |  CAST(0 AS BIGINT) AS n_absent,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // CAST AS BIGINT: DuckDB integer sum() yields HUGEINT (arrow

@@ -33,6 +33,17 @@ class SinksSpec extends SparkSpec {
     assert(normalize(backCsv) == expected, "csv round-trip differs")
   }
 
+  test("xml source/sink (built-in since Spark 4) round-trips losslessly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    val expected = normalize(sample)
+    sample.write.mode("overwrite").option("rowTag", "order")
+      .format("xml").save(s"$base/xml")
+    // XML is schemaless on read — infer, then cast back
+    val back = spark.read.option("rowTag", "order").format("xml")
+      .load(s"$base/xml")
+    assert(normalize(back) == expected, "xml round-trip differs")
+  }
+
   test("binaryFile source: raw-file ingestion for multimodal payloads") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
     val payloads = Map("a.jpg" -> Array[Byte](1, 2, 3),
