@@ -70,7 +70,31 @@ object AnalyticsPack extends QueryPack {
         .agg(approx_count_distinct(col("l_partkey"), 0.05).as("apx"),
           countDistinct(col("l_partkey")).as("exact"))
         .select((abs(col("apx") - col("exact")) / col("exact") <= 0.05)
-          .as("within_5pct")))
+          .as("within_5pct"))),
+
+    // MERGEABLE distinct-count sketches (Apache DataSketches HLL,
+    // built into Spark 4): per-year partial sketches union into one
+    // global sketch whose estimate is checked against the exact
+    // distinct count. Mergeability is THE distributed-sketch contract
+    // at 100 TB — partials build map-side per partition/day/tenant,
+    // union cheaply at any granularity, and never rescan history;
+    // the exact countDistinct it replaces is a full shuffle of every
+    // distinct value. Sketch bytes differ across engines, so (like
+    // g_approx_distinct) the CHECK is emitted, not the estimate.
+    "g_hll_merge" -> ((s, dir) => {
+      val perYear = Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"),
+          countDistinct(col("o_custkey")).as("yx"))
+      perYear
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(12))).as("est"),
+          count(lit(1)).as("n_years"))
+        .crossJoin(Tables(s, dir, "orders")
+          .agg(countDistinct(col("o_custkey")).as("exact")))
+        .select(col("n_years"), col("exact"),
+          (abs(col("est") - col("exact")) / col("exact") <= 0.05)
+            .as("merged_within_5pct"))
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -109,6 +133,14 @@ object AnalyticsPack extends QueryPack {
     "g_approx_distinct" ->
       """SELECT abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
         |  * 1.0 / count(DISTINCT l_partkey) <= 0.05 AS within_5pct
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    // the oracle pins the exact side and the invariant; the sketch
+    // union itself is engine-internal
+    "g_hll_merge" ->
+      """SELECT count(DISTINCT year(o_orderdate)) AS n_years,
+        |  count(DISTINCT o_custkey) AS exact,
+        |  true AS merged_within_5pct
+        |FROM orders""".stripMargin
   )
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL front door: `spark.sql(...)` over temp views — the same
+  * engine surface as the DataFrame API (both compile to Catalyst
+  * plans), exercised with TPC-H-shaped multi-join analytics. The query
+  * TEXT is shared verbatim with the DuckDB oracle — one definition,
+  * two engines — which keeps the dialect inside the ANSI subset both
+  * support.
+  *
+  * Revenue aggregates go through DECIMAL(18,4): a double sum's value
+  * depends on partial-aggregation order (nondeterministic across
+  * partitionings and engines), while decimal addition is exact and
+  * order-independent — the standard money-column discipline. The sum
+  * is cast back to DECIMAL(18,4) (same scale — a lossless precision
+  * narrowing) because each engine widens a decimal sum differently
+  * (Spark to (28,4), DuckDB to (38,4)) and the driver's hash covers
+  * arrow types; a final round() to fewer decimals would instead sit
+  * on half-boundaries where the engines' rounding modes disagree.
+  *
+  * Scale notes: these plans are the broadcast-dim star shape audited
+  * in RelationalPack — fact tables join broadcast dimensions, the only
+  * fact-fact shuffle keys on l_orderkey = o_orderkey, and AQE handles
+  * skew. `sql_q3`'s top-10 is TakeOrderedAndProject (per-partition
+  * heads + driver merge), never a global sort.
+  */
+object SqlPack extends QueryPack {
+
+  /** TPC-H Q3 (shipping priority), adapted to the fixture's columns:
+    * top-10 unshipped-revenue orders in a market segment. */
+  private val q3 =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS revenue,
+      |  o_orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 (local supplier volume): revenue by nation where
+    * customer and supplier share the nation, one region, one year. */
+  private val q5 =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  private def sql(s: SparkSession, dir: String, tables: Seq[String],
+                  text: String): DataFrame = {
+    tables.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql(text)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q3_shipping" -> ((s, dir) =>
+      sql(s, dir, Seq("customer", "orders", "lineitem"), q3)),
+    "sql_q5_local_volume" -> ((s, dir) =>
+      sql(s, dir, Seq("customer", "orders", "lineitem", "supplier",
+        "nation", "region"), q5))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "sql_q3_shipping" -> q3,
+    "sql_q5_local_volume" -> q5
+  )
+}
