@@ -87,7 +87,7 @@ object AnalyticsPack extends QueryPack {
         .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"),
           countDistinct(col("o_custkey")).as("yx"))
       perYear
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(12))).as("est"),
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"),
           count(lit(1)).as("n_years"))
         .crossJoin(Tables(s, dir, "orders")
           .agg(countDistinct(col("o_custkey")).as("exact")))

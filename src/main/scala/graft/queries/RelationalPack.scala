@@ -171,12 +171,22 @@ object RelationalPack extends QueryPack {
     // ~24% duplicate (orderkey, linenumber) pairs, so a two-column
     // sort leaves tie order engine-dependent (the round-1 p8_cast
     // hash mismatch).
+    //
+    // price_dec goes through DECIMAL(12,2) (the cast under test) but
+    // is emitted as DOUBLE: rounds 1-2 showed the driver's hash
+    // disagrees exactly (and only) when one result mixes decimal AND
+    // date/timestamp columns — decimal-only (sql_q5) and
+    // temporal-only (fn_dates, st_*) outputs hash-match fine, and a
+    // local arrow-level diff of this query is bit-identical in value,
+    // order, and type. decimal→double is exact for 2-dp money values
+    // well inside 2^53, so the oracle comparison is unweakened.
     "p8_cast" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("int").as("qty_int"),
-          col("l_extendedprice").cast("decimal(12,2)").as("price_dec"),
+          col("l_extendedprice").cast("decimal(12,2)").cast("double")
+            .as("price_dec"),
           col("l_shipdate").cast("date").as("ship_date"))
         .orderBy(col("l_orderkey"), col("l_linenumber"),
           col("qty_int"), col("price_dec"), col("ship_date"))
@@ -525,7 +535,7 @@ object RelationalPack extends QueryPack {
     "p8_cast" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_quantity AS INT) AS qty_int,
-        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
         |  CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, qty_int, price_dec, ship_date""".stripMargin,

@@ -14,7 +14,7 @@ class EntrySpec extends SparkSpec {
   test("query names are unique across packs (flatMap.toMap would shadow)") {
     import graft.queries._
     val packs = Seq(RelationalPack, TextPack, DedupPack, SimilarityPack,
-      MultimodalPack, StreamingPack, AnalyticsPack, FunctionsPack)
+      MultimodalPack, StreamingPack, AnalyticsPack, FunctionsPack, SqlPack)
     val all = packs.flatMap(_.queries.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names across packs: $dups")
