@@ -158,21 +158,38 @@ object TextPack extends QueryPack {
     // above (C4 removes spans occurring in many documents; NeMo
     // Curator's boilerplate filters are the same DF idea). A 3-gram is
     // "boilerplate" when it appears in >= 3 distinct documents; each
-    // doc reports its boilerplate coverage. Shape: one (doc, shingle)
-    // explode, a shingle-keyed DF agg (vocabulary-sized, sublinear by
-    // Heaps' law), a shingle-keyed join back, a doc-keyed agg — all
-    // hash-partitioned on 8-byte-ish keys, no row wider than (id,
-    // shingle) ever shuffles.
+    // doc reports its boilerplate coverage.
+    //
+    // Scale shape (the d_exact lesson applied to shingles): nothing
+    // wider than (doc_id, int64 hash) ever shuffles. ShingleHashes
+    // emits each doc's DISTINCT trigrams as 64-bit hashes in one
+    // codegen pass, so per-doc totals are a plain `size()` projection
+    // (zero shuffle); the DF table groups on 8-byte longs
+    // (vocabulary-sized, sublinear by Heaps' law); and the coverage
+    // count is a left-semi join against only the df>=3 hashes — AQE
+    // skew-join splits any hot boilerplate shingle. The string-keyed
+    // formulation this replaces shuffled every trigram's bytes twice
+    // (groupBy + join) and was the round-2 bench's worst query (12 s
+    // of the 79 s total at sf0.1). Hash-vs-string counting differs
+    // only on xxhash64 collisions inside the corpus vocabulary
+    // (~n^2/2^65 — negligible at any tested SF; the DuckDB oracle
+    // still counts exact strings, so a collision would surface as a
+    // red row, not pass silently).
     "t_boilerplate" -> ((s, dir) => {
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sg"))
-      val dfreq = sh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
-      val perDoc = sh.join(dfreq, "sg")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          count(when(col("df") >= 3, 1)).as("n_boiler"))
+      val docs = Tables(s, dir, "documents")
+      val totals = docs.select(col("doc_id"),
+          size(graft.expr.ShingleHashes(col("text"), 3)).cast("long")
+            .as("n_shingles"))
+        .filter(col("n_shingles") > 0)
+      val pairs = docs.select(col("doc_id"),
+        explode(graft.expr.ShingleHashes(col("text"), 3)).as("h"))
+      val boiler = pairs.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3).select(col("h"))
+      val nb = pairs.join(boiler, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
       val frac = round(col("n_boiler") / col("n_shingles"), 4)
-      perDoc
+      totals.join(nb, Seq("doc_id"), "left")
+        .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
         .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
           frac.as("boiler_frac"), (frac >= 0.5).as("boilerplate_heavy"))
         .orderBy(col("doc_id"))
