@@ -47,6 +47,35 @@ object SimilarityPack extends QueryPack {
     // tie-break. Linear in corpus size per query — the exact baseline.
     "s_knn_brute" -> ((s, dir) => bruteTopK(vecs(s, dir))),
 
+    // Metadata-FILTERED vector search — same-class top-5 per query:
+    // the retrieval shape every production vector store must support
+    // (filter on structured metadata, THEN rank by similarity).
+    // Pre-filter semantics: the label predicate is part of the join
+    // condition, so ranking runs over the filtered corpus and top-5 is
+    // exact under the filter — a post-filtered ANN would silently
+    // return < k. The predicate sits in the broadcast hash join key
+    // (label), so at 100 TB the corpus scan prunes to the matching
+    // class partitions before any distance math.
+    "s_knn_filtered" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      broadcast(q)
+        .join(e, col("qlabel") === col("label") &&
+          col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (dot / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"),
+          col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Sign-LSH (random hyperplane) bucketed ANN, emitted as a
     // self-verifying invariant: the query runs the full ANN path
     // (signatures -> bucket join -> ids-only dedup -> vector rejoin ->
@@ -292,6 +321,24 @@ object SimilarityPack extends QueryPack {
         |  FROM p)
         |SELECT qid, nid, round(c, 4) AS cos, rk FROM r
         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    "s_knn_filtered" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM e),
+        |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn
+        |      FROM n WHERE vec_id < 10),
+        |p AS (
+        |  SELECT qid, n.vec_id AS nid,
+        |    list_dot_product(qv, n.v) / (qn * n.nrm) AS c
+        |  FROM q JOIN n ON n.label = q.qlabel AND n.vec_id <> qid),
+        |r AS (SELECT qid, nid, c,
+        |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rk
+        |  FROM p)
+        |SELECT qid, nid, round(c, 4) AS cos, rk FROM r
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "s_quantize" ->
       """WITH e AS (

@@ -74,6 +74,26 @@ object SqlPack extends QueryPack {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    * lost to returns in a quarter. Decimal-only output (no temporal
+    * column), so the exact decimal type is emitted as-is — see the q3
+    * note above for why that combination matters to the driver hash. */
+  private val q10 =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS revenue,
+      |  n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   private def sql(s: SparkSession, dir: String, tables: Seq[String],
                   text: String): DataFrame = {
     tables.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
@@ -85,11 +105,14 @@ object SqlPack extends QueryPack {
       sql(s, dir, Seq("customer", "orders", "lineitem"), q3)),
     "sql_q5_local_volume" -> ((s, dir) =>
       sql(s, dir, Seq("customer", "orders", "lineitem", "supplier",
-        "nation", "region"), q5))
+        "nation", "region"), q5)),
+    "sql_q10_returns" -> ((s, dir) =>
+      sql(s, dir, Seq("customer", "orders", "lineitem", "nation"), q10))
   )
 
   override def oracleSql: Map[String, String] = Map(
     "sql_q3_shipping" -> q3,
-    "sql_q5_local_volume" -> q5
+    "sql_q5_local_volume" -> q5,
+    "sql_q10_returns" -> q10
   )
 }

@@ -209,6 +209,54 @@ object TextPack extends QueryPack {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
         .orderBy(col("split"))
+    }),
+
+    // Sequence packing — the GPT-style concat-and-chunk step that turns
+    // a curated corpus into fixed-length training windows. Documents
+    // are packed per SOURCE shard in doc_id order; each doc is assigned
+    // to the context window containing its first token (floor of the
+    // exclusive running token count / window size) — the bookkeeping a
+    // packed-sequence loader needs to map windows back to documents.
+    // Scale shape: the running sum is a window partitioned by source
+    // (never a global single-partition window), then one hash agg on
+    // (source, chunk) — both keyed shuffles on small keys; token counts
+    // are a pure projection. At 100 TB the shard key is whatever unit
+    // the loader shards by; the plan is unchanged.
+    "t_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val win = 256 // tokens per packed context window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("chunk_id",
+          floor((col("cum") - col("n_tokens")) / lit(win.toDouble)))
+        .groupBy(col("source"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("chunk_id"))
+    }),
+
+    // Stratified (quota) sampling — language rebalancing by
+    // content-hash: downsample the head language to 20%, keep the tail
+    // at 80%. Assignment reuses t_split's position-weighted fingerprint
+    // (deterministic across runs, retries, and engines — never rand()),
+    // so a document's keep/drop fate is a pure function of its text.
+    // Pure projection + one hash agg on lang; at 100 TB the quota map
+    // comes from a corpus-level language census (a_* aggregations) and
+    // the plan is unchanged.
+    "t_sample" -> ((s, dir) => {
+      val fp = pmod(graft.expr.CharFingerprint(col("text")), lit(100))
+      val quota = when(col("lang") === "en", lit(20)).otherwise(lit(80))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), (fp < quota).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          sum(when(col("keep"), col("doc_id"))).as("kept_id_checksum"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -331,6 +379,36 @@ object TextPack extends QueryPack {
         |  FROM documents)
         |SELECT CASE WHEN fp % 100 < 80 THEN 'train' ELSE 'eval' END AS split,
         |  count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source,
+        |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS chunk_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    list_sum([unicode(text[i]) * i for i in range(1, length(text) + 1)])
+        |      % 1000000007 % 100 AS fp
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang,
+        |    fp < CASE WHEN lang = 'en' THEN 20 ELSE 80 END AS keep
+        |  FROM f)
+        |SELECT lang, count(*) AS n_total,
+        |  count(*) FILTER (keep) AS n_kept,
+        |  CAST(sum(doc_id) FILTER (keep) AS BIGINT) AS kept_id_checksum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
