@@ -94,6 +94,28 @@ object SqlPack extends QueryPack {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** Correlated EXISTS — customers holding at least one very large
+    * order. Catalyst decorrelates this to a left-semi hash join on
+    * c_custkey (no per-row subquery execution); the filter on
+    * o_totalprice pushes into the orders scan first. */
+  private val qExists =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Correlated scalar subquery — each order's largest line quantity.
+    * Decorrelates to an aggregate-then-left-join on l_orderkey; the
+    * NULL from orders with no lines is part of the contract. */
+  private val qScalar =
+    """SELECT o_orderkey,
+      |  (SELECT max(l_quantity) FROM lineitem l
+      |   WHERE l.l_orderkey = o.o_orderkey) AS max_qty
+      |FROM orders o
+      |ORDER BY o_orderkey""".stripMargin
+
   private def sql(s: SparkSession, dir: String, tables: Seq[String],
                   text: String): DataFrame = {
     tables.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
@@ -107,12 +129,18 @@ object SqlPack extends QueryPack {
       sql(s, dir, Seq("customer", "orders", "lineitem", "supplier",
         "nation", "region"), q5)),
     "sql_q10_returns" -> ((s, dir) =>
-      sql(s, dir, Seq("customer", "orders", "lineitem", "nation"), q10))
+      sql(s, dir, Seq("customer", "orders", "lineitem", "nation"), q10)),
+    "sql_exists_big_order" -> ((s, dir) =>
+      sql(s, dir, Seq("customer", "orders"), qExists)),
+    "sql_scalar_max_qty" -> ((s, dir) =>
+      sql(s, dir, Seq("orders", "lineitem"), qScalar))
   )
 
   override def oracleSql: Map[String, String] = Map(
     "sql_q3_shipping" -> q3,
     "sql_q5_local_volume" -> q5,
-    "sql_q10_returns" -> q10
+    "sql_q10_returns" -> q10,
+    "sql_exists_big_order" -> qExists,
+    "sql_scalar_max_qty" -> qScalar
   )
 }

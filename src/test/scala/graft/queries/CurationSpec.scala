@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the corpus-curation operators added in round 3:
+  * sequence packing (t_pack), stratified sampling (t_sample), and
+  * metadata-filtered vector search (s_knn_filtered). The DuckDB oracle
+  * pins exact values; these pin the semantic contracts a caller relies
+  * on, on top of the hash compare. */
+class CurationSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("t_pack conserves documents and tokens, packs in order") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packed = TextPack.queries("t_pack")(spark, dir)
+
+    // every document lands in exactly one chunk; token mass conserved
+    val (nDocs, nTokens) = {
+      val r = docs.agg(count(lit(1)), sum(col("n_tokens"))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val p = packed.agg(sum(col("n_docs")), sum(col("n_tokens"))).first()
+    assert(p.getLong(0) == nDocs)
+    assert(p.getLong(1) == nTokens)
+
+    // packing is ordered: within a source, chunk ids rise with doc ids
+    // (first_doc of chunk k+1 > last_doc of chunk k), and chunk 0 exists
+    import spark.implicits._
+    val bad = packed.selectExpr("source", "chunk_id", "first_doc", "last_doc")
+      .withColumn("prev_last",
+        lag(col("last_doc"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("chunk_id"))))
+      .filter(col("prev_last").isNotNull && col("first_doc") <= col("prev_last"))
+    assert(bad.count() == 0)
+    val firstChunks = packed.groupBy(col("source"))
+      .agg(min(col("chunk_id")).as("c0")).filter($"c0" =!= 0L)
+    assert(firstChunks.count() == 0)
+  }
+
+  test("t_sample quotas bind per language and are deterministic") {
+    val out = TextPack.queries("t_sample")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lang, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(kept <= total, s"$lang kept > total")
+      // quota is a bound on the hash bucket, so kept/total concentrates
+      // near it; with ~100 docs/lang allow wide but one-sided slack
+      val frac = kept.toDouble / total
+      if (lang == "en") assert(frac < 0.5, s"en kept $frac, quota 0.2")
+      else assert(frac > 0.5, s"$lang kept $frac, quota 0.8")
+    }
+    // content-hash assignment: identical on a second run
+    val again = TextPack.queries("t_sample")(spark, dir).collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("s_knn_filtered returns only same-label neighbors, k bounded") {
+    val out = SimilarityPack.queries("s_knn_filtered")(spark, dir)
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val q = labels.select(col("vec_id").as("qid"), col("label").as("ql"))
+    val n = labels.select(col("vec_id").as("nid"), col("label").as("nl"))
+    val joined = out.join(q, "qid").join(n, "nid")
+    assert(joined.filter(col("ql") =!= col("nl")).count() == 0)
+    val perQuery = out.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+    assert(perQuery.filter(col("k") > 5).count() == 0)
+    // rank is dense from 1 within each query
+    assert(out.filter(col("rk") < 1 || col("rk") > 5).count() == 0)
+  }
+}
