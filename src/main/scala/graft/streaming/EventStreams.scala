@@ -113,4 +113,63 @@ object EventStreams {
           UserCount(uid, total)
       }
   }
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** Not private: the state Encoder's generated code must see the
+    * accessors (a private case class fails janino compilation). */
+  case class OpenSession(start: Long, end: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  private val SessionGapMs = 30L * 60 * 1000
+
+  /** Sessionization via flatMapGroupsWithState + EventTimeTimeout —
+    * the arbitrary-stateful twin of `userSessions` that EMITS each
+    * session exactly once, when it closes (append mode), instead of
+    * restating open windows. Within a batch, a key's events are sorted
+    * and split on the 30-minute gap; every gap-closed session is
+    * emitted immediately and only the trailing open session is kept as
+    * state, with an event-time timeout at end + gap — the watermark
+    * crossing it fires `hasTimedOut` and flushes the session. State is
+    * O(#active users) x one (start, end, n) triple, evicted by the
+    * timeout; the watermark also bounds how late a row can extend a
+    * session. */
+  def closedUserSessions(spark: SparkSession,
+                         stream: DataFrame): Dataset[ClosedSession] = {
+    import spark.implicits._
+    stream.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessionEvent],
+         state: GroupState[OpenSession]) =>
+          def closed(s: OpenSession) = ClosedSession(uid,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(closed).toList
+            state.remove()
+            out.iterator
+          } else {
+            val times = batch.map(_.ts.getTime).toArray.sorted
+            var open = state.getOption.orNull
+            val out = List.newBuilder[ClosedSession]
+            times.foreach { t =>
+              open match {
+                case null => open = OpenSession(t, t, 1)
+                case s if t - s.end <= SessionGapMs =>
+                  open = OpenSession(s.start, math.max(s.end, t), s.n + 1)
+                case s =>
+                  out += closed(s)
+                  open = OpenSession(t, t, 1)
+              }
+            }
+            if (open != null) {
+              state.update(open)
+              state.setTimeoutTimestamp(open.end + SessionGapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

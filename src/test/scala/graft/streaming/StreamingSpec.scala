@@ -92,6 +92,66 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
   }
 
+  test("watermark drops late rows from an append-mode windowed agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val stream = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.hourlyTypeCounts(stream, watermarked = true)
+      .writeStream.format("memory").queryName("late_agg")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0, 10), "a", 1.0), (2L, ts(0, 20), "a", 1.0))
+      q.processAllAvailable()
+      // advance event time to 03:00 -> watermark (1h lateness) passes
+      // 02:00, closing and emitting the 00:00 window
+      input.addData((3L, ts(3, 0), "a", 1.0))
+      q.processAllAvailable()
+      // this row belongs to the already-closed 00:00 window: too late
+      input.addData((4L, ts(0, 30), "a", 1.0))
+      q.processAllAvailable()
+      // close every window so emitted results are final
+      input.addData((5L, ts(9, 0), "a", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val w0 = spark.table("late_agg")
+      .filter(col("window_start") === ts(0, 0)).select("cnt")
+      .as[Long].collect().toSeq
+    // the 00:00 window emitted once, with only the 2 on-time rows —
+    // the late row neither re-emitted nor re-counted it
+    assert(w0 == Seq(2L), s"late row leaked into closed window: $w0")
+  }
+
+  test("flatMapGroupsWithState emits each session once, on close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("user_id", "ts")
+    val q = EventStreams.closedUserSessions(spark, stream)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      // user 7: two sessions in one batch (gap 02:00 -> intra-batch
+      // close); user 9: one event, closed later by the timeout
+      input.addData((7L, ts(0, 0)), (7L, ts(0, 10)), (7L, ts(2, 0)),
+        (9L, ts(0, 5)))
+      q.processAllAvailable()
+      // watermark jump (10 min lateness) fires the event-time timeouts
+      input.addData((99L, ts(8, 0)))
+      q.processAllAvailable()
+      input.addData((99L, ts(16, 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("closed_sessions")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(out.contains((7L, ts(0, 0), 2L)), s"intra-batch close missing: $out")
+    assert(out.contains((7L, ts(2, 0), 1L)), s"timeout close missing: $out")
+    assert(out.contains((9L, ts(0, 5), 1L)), s"single-event session missing: $out")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
