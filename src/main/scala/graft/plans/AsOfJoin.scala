@@ -33,7 +33,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Expression, rightKey: Expression,
-                    leftTs: Expression, rightTs: Expression)
+                    leftTs: Expression, rightTs: Expression,
+                    forward: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
@@ -46,15 +47,16 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   * GraftExtensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, fwd) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTs: Expression, rightTs: Expression)
+                        leftTs: Expression, rightTs: Expression,
+                        forward: Boolean)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -93,6 +95,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         else {
           val lKey = AsOf.toLong(lKeyV)
           val lTs = AsOf.toLong(lTsV)
+          // advance the right cursor past every row that sorts strictly
+          // before the current left row's as-of horizon; in backward
+          // mode each same-key row passed over becomes the candidate
+          // (largest ts < lTs), in forward mode the first row NOT
+          // passed over is the answer (smallest ts > lTs)
           var advancing = true
           while (advancing && rHead != null) {
             val rKeyV = rk.eval(rHead)
@@ -103,13 +110,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             } else {
               val rKey = AsOf.toLong(rKeyV)
               val rTs = AsOf.toLong(rTsV)
-              if (rKey < lKey || (rKey == lKey && rTs < lTs)) {
-                if (rKey == lKey) { cand = rHead.copy(); candKey = rKey }
+              val behind =
+                if (forward) rKey < lKey || (rKey == lKey && rTs <= lTs)
+                else rKey < lKey || (rKey == lKey && rTs < lTs)
+              if (behind) {
+                if (!forward && rKey == lKey) { cand = rHead.copy(); candKey = rKey }
                 rHead = if (rIter.hasNext) rIter.next() else null
               } else advancing = false
             }
           }
-          if (cand != null && candKey == lKey) Some(proj(joiner(l, cand)))
+          if (forward) {
+            if (rHead != null && AsOf.toLong(rk.eval(rHead)) == lKey)
+              Some(proj(joiner(l, rHead)))
+            else None
+          } else if (cand != null && candKey == lKey)
+            Some(proj(joiner(l, cand)))
           else None
         }
       }
@@ -149,14 +164,16 @@ object AsOf {
   }
 
   /** Inner as-of join: rows of `left` paired with the latest `right`
-    * row of the same key strictly before the left timestamp. For
+    * row of the same key strictly before the left timestamp — or, with
+    * `forward = true`, the earliest one strictly after. For
     * self-joins, rename the right side's columns first (distinct
     * attribute ids). Left rows with a null key or timestamp are
     * dropped (DuckDB ASOF semantics); key/ts columns must be
     * integral/date/timestamp. */
   def join(spark: SparkSession, left: DataFrame, right: DataFrame,
            leftKey: Column, rightKey: Column,
-           leftTs: Column, rightTs: Column): DataFrame = {
+           leftTs: Column, rightTs: Column,
+           forward: Boolean = false): DataFrame = {
     requireLongBacked(leftKey, "left key"); requireLongBacked(rightKey, "right key")
     requireLongBacked(leftTs, "left ts"); requireLongBacked(rightTs, "right ts")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -168,6 +185,7 @@ object AsOf {
         org.apache.spark.sql.graft.DatasetBridge.plan(left),
         org.apache.spark.sql.graft.DatasetBridge.plan(right),
         ColumnBridge.expression(leftKey), ColumnBridge.expression(rightKey),
-        ColumnBridge.expression(leftTs), ColumnBridge.expression(rightTs)))
+        ColumnBridge.expression(leftTs), ColumnBridge.expression(rightTs),
+        forward))
   }
 }

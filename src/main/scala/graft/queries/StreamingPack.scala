@@ -43,6 +43,24 @@ object StreamingPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Same custom operator, forward direction: each event joined to
+    // the user's NEXT strictly-later event — the "time to next action"
+    // shape (churn/latency analyses). Exercises the direction flag of
+    // AsOfJoinExec's merge; oracle is DuckDB ASOF with the inequality
+    // flipped.
+    "st_asof_next_event" -> ((s, dir) => {
+      val l = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = Tables.events(s, dir)
+        .select(col("event_id").as("next_id"), col("user_id").as("r_user"),
+          col("ts").as("r_ts"))
+      graft.plans.AsOf.join(s, l, r,
+        l("user_id"), r("r_user"), l("ts"), r("r_ts"), forward = true)
+        .select(col("event_id"), col("user_id"), col("next_id"),
+          (unix_micros(col("r_ts")) - unix_micros(col("ts"))).as("wait_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Interval-point range join via the binned equi-join rewrite
     // (scale/RangeJoin): every purchase landing inside the 10-minute
     // window after an error. No equi-key exists, so the naive plan is
@@ -105,6 +123,13 @@ object StreamingPack extends QueryPack {
         |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
         |FROM events l ASOF JOIN events r
         |  ON l.user_id = r.user_id AND r.ts < l.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "st_asof_next_event" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS next_id,
+        |  epoch_us(r.ts) - epoch_us(l.ts) AS wait_us
+        |FROM events l ASOF JOIN events r
+        |  ON l.user_id = r.user_id AND r.ts > l.ts
         |ORDER BY l.event_id""".stripMargin,
 
     "st_range_join" ->

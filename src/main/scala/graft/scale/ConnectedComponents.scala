@@ -51,8 +51,13 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // seed with min(node, min neighbor) — same one-shuffle cost as a
+    // plain distinct-node init, but already one propagation step ahead
+    // (saves a full join+agg round on shallow dup-cluster graphs)
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"),
+        least(col("src"), col("mn")).as("component"))
       .localCheckpoint()
     var prevSum = checksum(labels)
     var iter = 0

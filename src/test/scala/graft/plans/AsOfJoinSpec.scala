@@ -29,6 +29,44 @@ class AsOfJoinSpec extends SparkSpec {
     assert(viaAsOf == viaLag)
   }
 
+  test("forward direction == lead-window formulation on the events table") {
+    val dir = sf("sf0.001")
+    val l = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = Tables.events(spark, dir)
+      .select(col("event_id").as("next_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+    val viaAsOf = AsOf.join(spark, l, r,
+      l("user_id"), r("r_user"), l("ts"), r("r_ts"), forward = true)
+      .select(col("event_id"), col("next_id"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val viaLead = Tables.events(spark, dir)
+      .select(col("event_id"), lead(col("event_id"), 1).over(w).as("next_id"))
+      .filter(col("next_id").isNotNull)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+    assert(viaAsOf.nonEmpty)
+    assert(viaAsOf == viaLead)
+  }
+
+  test("forward direction: strictly-after semantics, no partner dropped") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val l = Seq((1L, 10L, ts(5)), (2L, 10L, ts(9)), (3L, 20L, ts(1)))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((100L, 10L, ts(5)), (101L, 10L, ts(9)), (102L, 20L, ts(0)))
+      .toDF("next_id", "r_user", "r_ts")
+    val out = AsOf.join(spark, l, r, l("user_id"), r("r_user"),
+      l("ts"), r("r_ts"), forward = true)
+      .select(col("event_id"), col("next_id"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // 1 @05 -> 101 @09 (equal ts 100 @05 excluded: STRICTLY after);
+    // 2 @09 has no later partner; 3 @01 has only an earlier one
+    assert(out == Map(1L -> 101L))
+  }
+
   test("custom exec appears in the physical plan (strategy fired)") {
     val dir = sf("sf0.001")
     val l = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
