@@ -61,6 +61,30 @@ object StreamingPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Calendar densification (gap fill): hourly error counts with
+    // EVERY hour of the observed span present, empty hours as zero —
+    // what any time-series consumer (anomaly detection, dashboarding)
+    // needs before windowed math. The calendar is generated from a
+    // 1-row bounds aggregate via sequence() + explode (a Generator,
+    // S4's explode machinery reused for synthesis), then left-joined
+    // to the hourly agg. Scale shape: the only corpus-sized work is
+    // the hourly pre-aggregation (shuffle on the hour key); the
+    // calendar side is O(span/step) rows and broadcastable, so gap
+    // filling adds no second pass over the data.
+    "st_gap_fill" -> ((s, dir) => {
+      val err = Tables.events(s, dir).filter(col("event_type") === "error")
+      val hourly = err.groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val cal = err
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      cal.join(hourly, Seq("hour"), "left")
+        .select(col("hour"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy(col("hour"))
+    }),
+
     // Interval-point range join via the binned equi-join rewrite
     // (scale/RangeJoin): every purchase landing inside the 10-minute
     // window after an error. No equi-key exists, so the naive plan is
@@ -124,6 +148,22 @@ object StreamingPack extends QueryPack {
         |FROM events l ASOF JOIN events r
         |  ON l.user_id = r.user_id AND r.ts < l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "st_gap_fill" ->
+      """WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+        |h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt
+        |  FROM e GROUP BY 1),
+        |b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo,
+        |         date_trunc('hour', max(ts)) AS hi
+        |  FROM e),
+        |cal AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM b)
+        |SELECT cal.hour, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+        |FROM cal LEFT JOIN h USING (hour)
+        |ORDER BY hour""".stripMargin,
 
     "st_asof_next_event" ->
       """SELECT l.event_id, l.user_id, r.event_id AS next_id,

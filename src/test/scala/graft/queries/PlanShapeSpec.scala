@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+
+/** Physical-plan regression tests for the properties the 100 TB design
+  * rests on (SCALE.md): filters reach the parquet scan, projections
+  * prune the read schema, dimension joins broadcast, top-k never sorts
+  * globally, and the hashed-shingle rewrite keeps document text out of
+  * every exchange. A regression in any of these stays invisible to the
+  * value-level oracle (results stay right, plans go quadratic/wide) —
+  * which is exactly why they are pinned here at the plan level. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  private def df(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  /** Plan string of the initial physical plan — enough for scan-level
+    * facts (pushdown, read schema), which AQE never changes. */
+  private def plan(name: String): String =
+    df(name).queryExecution.executedPlan.toString
+
+  /** Execute, then return the FINAL adaptive plan (AQE re-plans at
+    * runtime; pre-execution the interesting operators are hidden
+    * inside unevaluated stages). */
+  private def finalPlan(frame: DataFrame): SparkPlan = {
+    frame.collect()
+    frame.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** All shuffle exchanges in a plan, looking through AQE query
+    * stages and reused exchanges (QueryStageExec is a leaf to the
+    * default traversal). */
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+    case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+    case q: QueryStageExec => shuffles(q.plan)
+    case r: ReusedExchangeExec => shuffles(r.child)
+    case e: ShuffleExchangeExec => e +: e.children.flatMap(shuffles)
+    case other => other.children.flatMap(shuffles)
+  }
+
+  test("p4 numeric filter is pushed down to the parquet scan") {
+    val p = plan("p4_filter_numeric")
+    assert(p.contains("PushedFilters: ["), s"no pushdown section:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan.*"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("p1 projection prunes the scan to the selected columns") {
+    val p = plan("p1_project_rename")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("c_custkey"), s"ReadSchema missing key: $read")
+    assert(!read.contains("c_mktsegment"),
+      s"unprojected column still read: $read")
+  }
+
+  test("j1 dimension join broadcasts the small side") {
+    val p = plan("j1_left_join")
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+  }
+
+  test("o4 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("o4_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
+  test("t_boilerplate shuffles hashes, never document text") {
+    val ex = shuffles(finalPlan(df("t_boilerplate")))
+    assert(ex.nonEmpty)
+    ex.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("text") && !cols.contains("sg"),
+        s"document text reaches a shuffle: $cols")
+    }
+  }
+
+  test("d_exact shuffles (hash, id) rows, not document bodies") {
+    val ex = shuffles(finalPlan(df("d_exact")))
+    assert(ex.nonEmpty)
+    // the all-corpus grouping exchange must not carry `text`; only the
+    // tiny verified-dup re-group (left-semi survivors) may
+    val textCarrying = ex.count(_.child.output.exists(_.name == "text"))
+    assert(textCarrying <= 1,
+      s"full-text shuffle regressed: $textCarrying exchanges carry text")
+  }
+
+  test("relational queries keep whole-stage codegen in the hot path") {
+    // codegen'd operators print as `*(id) Op` in the plan string
+    val p = finalPlan(df("q1_agg")).toString
+    assert(p.contains("*("), s"no whole-stage-codegen spans:\n$p")
+  }
+}
