@@ -59,7 +59,7 @@ object AccentFold {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.accentFoldDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => CollapseAccentFold)
   }
 }
@@ -80,16 +80,58 @@ object CollapseAccentFold
 }
 
 object GraftFunctions {
-  private[graft] val accentFoldDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier("accent_fold"),
-      new ExpressionInfo(classOf[AccentFold].getName, "accent_fold"),
-      (exprs: Seq[Expression]) => AccentFold(exprs.head))
 
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = accentFoldDescriptor
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(id.funcName, builder, "built-in")
-    val _ = info // ExpressionInfo used by the extensions path
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** Int literal argument of a SQL call (e.g. shingle_hashes(text, 3));
+    * non-literal shapes fail analysis with a clear message instead of a
+    * MatchError. */
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn expects an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a literal argument")
   }
+
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn expects an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a literal argument")
+  }
+
+  private def d(name: String, clazz: Class[_],
+                builder: Seq[Expression] => Expression): Descriptor =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  /** Every custom expression, SQL-callable — the full extension
+    * surface is available to `spark.sql(...)` users, not only the
+    * Column API. */
+  private[graft] val descriptors: Seq[Descriptor] = Seq(
+    d("accent_fold", classOf[AccentFold], es => AccentFold(es.head)),
+    d("py_title_case", classOf[PyTitleCase], es => PyTitleCase(es.head)),
+    d("char_fingerprint", classOf[CharFingerprint],
+      es => CharFingerprint(es.head)),
+    d("dot_product", classOf[DotProduct], es => DotProduct(es(0), es(1))),
+    d("shingle_hashes", classOf[ShingleHashes],
+      es => ShingleHashes(es.head, intArg(es(1), "shingle_hashes"))),
+    d("minhash_sig", classOf[MinHashSig],
+      es => MinHashSig(es.head, intArg(es(1), "minhash_sig"),
+        longArg(es(2), "minhash_sig"))),
+    d("simhash_sig", classOf[SimHashSig], es => SimHashSig(es.head)))
+
+  private[graft] val accentFoldDescriptor: Descriptor = descriptors.head
+
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
 }
