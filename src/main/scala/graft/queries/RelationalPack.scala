@@ -369,6 +369,23 @@ object RelationalPack extends QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    // Error-safe casts/arithmetic under ANSI mode — the migration
+    // surface a reference pipeline built on silent-null PySpark casts
+    // hits first on Spark 4 (ANSI on by default: bad casts and /0
+    // THROW). try_cast/try_divide/try_add restore per-value
+    // null-on-error semantics without disabling ANSI globally; the
+    // oracle mirrors them with TRY_CAST / NULLIF guards.
+    "f_try_cast" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+            .as("prio_num"),
+          expr("try_divide(o_totalprice, o_orderkey % 3)").as("risky_div"),
+          expr("try_cast(o_orderdate AS DATE)").as("ok_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // F4/F5: blank→null + cross-column coalesce (data_utils.py:177-178,
     // 208-213).
     "f_blank_null_coalesce" -> ((s, dir) => {
@@ -647,6 +664,14 @@ object RelationalPack extends QueryPack {
         |  SELECT o_custkey AS c_custkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "f_try_cast" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INT) AS prio_int,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+        |  o_totalprice / NULLIF(o_orderkey % 3, 0) AS risky_div,
+        |  TRY_CAST(o_orderdate AS DATE) AS ok_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "f_string_funcs" ->
       """SELECT p_partkey,
