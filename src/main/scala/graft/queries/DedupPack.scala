@@ -48,12 +48,24 @@ object DedupPack extends QueryPack {
     * each shingle hashed as a byte range (bit-identical to
     * xxhash64(shingle string)), distinct+sorted in place. NARROW — no
     * explode, no groupBy; this is the single base every near-dup query
-    * derives from, and at 100 TB it is a pure map stage. */
+    * derives from, and at 100 TB it is a pure map stage.
+    *
+    * Memoized + persisted per (session, sfDir): the signature table IS
+    * the materialized artifact of a dedup pipeline, and every near-dup
+    * query self-joins over it — without the persist each join side
+    * re-scans the corpus and re-hashes every document (7 file scans
+    * per query observed in the d_simhash plan). MEMORY_AND_DISK: the
+    * table is a narrow (id, longs) projection, orders of magnitude
+    * smaller than the corpus text it replaces. */
+  private val hashArraysCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def hashArrays(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        graft.expr.ShingleHashes(col("text"), 3).as("hs"))
-      .withColumn("n", size(col("hs")))
+    hashArraysCache.computeIfAbsent((s, dir), _ =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.expr.ShingleHashes(col("text"), 3).as("hs"))
+        .withColumn("n", size(col("hs")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Exact-verify candidate (ida, idb) pairs against true 3-gram
     * Jaccard (via hash arrays); keep J >= 0.8. At scale the pair set
