@@ -62,6 +62,21 @@ object AnalyticsPack extends QueryPack {
         round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
         round(median(col("o_totalprice")), 2).as("med"))),
 
+    // Grouped exact quantiles — the per-cohort latency/price
+    // distribution shape every analytics consumer asks for. Exact
+    // `percentile` (interpolating, matching DuckDB quantile_cont)
+    // keeps the oracle tight; the 100 TB path swaps in
+    // percentile_approx (t-digest, mergeable partial aggs) — the
+    // trade is spec-visible, not silent, because this exact twin
+    // pins the target values.
+    "g_grouped_quantiles" -> ((s, dir) =>
+      Tables(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(round(expr("percentile(s_acctbal, 0.5)"), 2).as("p50"),
+          round(expr("percentile(s_acctbal, 0.95)"), 2).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))),
+
     // approx_count_distinct (HLL++): sketches differ across engines,
     // so the CHECK is emitted, not the estimate: both engines assert
     // their own estimate lands within 5% of their exact count.
@@ -122,6 +137,13 @@ object AnalyticsPack extends QueryPack {
     "g_distinct" ->
       """SELECT DISTINCT o_orderpriority, o_orderstatus
         |FROM orders ORDER BY 1, 2""".stripMargin,
+
+    "g_grouped_quantiles" ->
+      """SELECT s_nationkey,
+        |  round(quantile_cont(s_acctbal, 0.5), 2) AS p50,
+        |  round(quantile_cont(s_acctbal, 0.95), 2) AS p95,
+        |  count(*) AS n
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g_percentiles" ->
       """SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS p25,

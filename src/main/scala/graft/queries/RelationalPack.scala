@@ -355,6 +355,21 @@ object RelationalPack extends QueryPack {
       c.except(o).orderBy(col("c_custkey"))
     }),
 
+    // Schema-evolution union: unionByName(allowMissingColumns) aligns
+    // by NAME and nulls the absent columns — the append shape when a
+    // newer ingest adds fields (positional union U1 would silently
+    // misalign). Here: an old feed without acctbal union a new feed
+    // without mktsegment.
+    "u4_union_by_name" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val oldFeed = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val newFeed = cust.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      oldFeed.unionByName(newFeed, allowMissingColumns = true)
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- scalar functions ---------------------------------------------------
     // F2/F3: regex strip, trim+initcap, length, substring
     // (data_utils.py:182-184).
@@ -656,6 +671,15 @@ object RelationalPack extends QueryPack {
         |  INTERSECT
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
         |ORDER BY o_custkey""".stripMargin,
+
+    "u4_union_by_name" ->
+      """SELECT c_custkey, c_name, c_mktsegment, NULL AS c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment,
+        |  c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin,
 
     "u3_except" ->
       """SELECT * FROM (
