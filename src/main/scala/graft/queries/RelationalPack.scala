@@ -445,6 +445,30 @@ object RelationalPack extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Top-1-per-group WITHOUT a window: max_by — one partial+final
+    // hash agg (the shuffle carries ONE candidate per group per
+    // partition) versus w1's sort-based WindowExec that materializes
+    // and sorts every group member. At 100 TB this is THE top-1
+    // shape; w1 keeps the window form for reference parity, this
+    // query pins the agg twin to the same answer. The (count desc,
+    // suppkey asc) tie-break is encoded in one bigint ordering key —
+    // count * 1e6 - suppkey — identical semantics in both engines
+    // with no struct-comparison dialect risk (suppkey < 1e6 at every
+    // tested SF; spec'd by the w1 cross-check below).
+    "w5_top1_maxby" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("supp_count"))
+      t(s, dir, "supplier")
+        .join(counts, col("s_suppkey") === col("l_suppkey"), "left")
+        .withColumn("supp_count", coalesce(col("supp_count"), lit(0L)))
+        .groupBy(col("s_nationkey"))
+        .agg(
+          expr("max_by(s_suppkey, supp_count * 1000000 - s_suppkey)")
+            .as("top_suppkey"),
+          max(col("supp_count")).as("top_count"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // M1 as relational algebra: StringIndexer's frequencyDesc label→index
     // mapping (data_utils.py:267-298) — index = dense order by (count
     // desc, label asc), cast double exactly like MLlib's output column.
@@ -671,6 +695,18 @@ object RelationalPack extends QueryPack {
         |  INTERSECT
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
         |ORDER BY o_custkey""".stripMargin,
+
+    "w5_top1_maxby" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*) AS supp_count FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT s.s_nationkey, s.s_suppkey,
+        |    coalesce(c.supp_count, 0) AS supp_count
+        |  FROM supplier s LEFT JOIN c ON s.s_suppkey = c.l_suppkey)
+        |SELECT s_nationkey,
+        |  max_by(s_suppkey, supp_count * 1000000 - s_suppkey) AS top_suppkey,
+        |  CAST(max(supp_count) AS BIGINT) AS top_count
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "u4_union_by_name" ->
       """SELECT c_custkey, c_name, c_mktsegment, NULL AS c_acctbal

@@ -59,6 +59,21 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("w5 max_by top-1 == w1 window top-1 (agg twin equivalence)") {
+    val viaAgg = RelationalPack.queries("w5_top1_maxby")(spark, dir)
+      .select(col("s_nationkey"), col("top_suppkey"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nat = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val viaWindow = RelationalPack.topSupplierPerNation(spark, dir)
+      .select(col("n_name").as("nm"), col("s_suppkey"))
+      .join(nat, col("nm") === col("n_name"))
+      .select(col("n_nationkey"), col("s_suppkey"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viaAgg.nonEmpty)
+    assert(viaAgg == viaWindow)
+  }
+
   test("s_knn_filtered returns only same-label neighbors, k bounded") {
     val out = SimilarityPack.queries("s_knn_filtered")(spark, dir)
     val labels = Tables(spark, dir, "embeddings")
