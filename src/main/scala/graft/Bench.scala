@@ -11,6 +11,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+
+        graft.plans.Top1WindowToMaxBy :+ graft.expr.CollapseAccentFold
     // warm up the JVM, codegen, and parquet footers so the first timed
     // query isn't charged ~3s of session startup
     try {

@@ -17,6 +17,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // production-path optimizer rules (w1's window top-1 rewrites to
+    // max_by and must STILL hash-match the DuckDB oracle)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+
+        graft.plans.Top1WindowToMaxBy :+ graft.expr.CollapseAccentFold
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

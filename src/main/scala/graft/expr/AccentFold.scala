@@ -61,6 +61,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => CollapseAccentFold)
+    ext.injectOptimizerRule(_ => graft.plans.Top1WindowToMaxBy)
   }
 }
 

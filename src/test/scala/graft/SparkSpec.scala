@@ -23,6 +23,9 @@ object SparkSpec {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+
+        graft.plans.Top1WindowToMaxBy :+ graft.expr.CollapseAccentFold
     s
   }
 }
