@@ -94,6 +94,23 @@ object SqlPack extends QueryPack {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q18 (large-volume customers): HAVING over a fact
+    * aggregation feeding an IN subquery — Catalyst plans the IN as a
+    * left-semi join against the HAVING'd aggregate, so the fact table
+    * aggregates once and the outer join reuses it. */
+  private val q18 =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      |GROUP BY c_custkey, c_name, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 50""".stripMargin
+
   /** Correlated EXISTS — customers holding at least one very large
     * order. Catalyst decorrelates this to a left-semi hash join on
     * c_custkey (no per-row subquery execution); the filter on
@@ -133,7 +150,9 @@ object SqlPack extends QueryPack {
     "sql_exists_big_order" -> ((s, dir) =>
       sql(s, dir, Seq("customer", "orders"), qExists)),
     "sql_scalar_max_qty" -> ((s, dir) =>
-      sql(s, dir, Seq("orders", "lineitem"), qScalar))
+      sql(s, dir, Seq("orders", "lineitem"), qScalar)),
+    "sql_q18_big_volume" -> ((s, dir) =>
+      sql(s, dir, Seq("customer", "orders", "lineitem"), q18))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -141,6 +160,7 @@ object SqlPack extends QueryPack {
     "sql_q5_local_volume" -> q5,
     "sql_q10_returns" -> q10,
     "sql_exists_big_order" -> qExists,
-    "sql_scalar_max_qty" -> qScalar
+    "sql_scalar_max_qty" -> qScalar,
+    "sql_q18_big_volume" -> q18
   )
 }
