@@ -57,10 +57,10 @@ object AnalyticsPack extends QueryPack {
     // same interpolation definition.
     "g_percentiles" -> ((s, dir) =>
       Tables(s, dir, "orders").agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
-        round(median(col("o_totalprice")), 2).as("med"))),
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        round(median(col("o_totalprice")), 4).as("med"))),
 
     // Grouped exact quantiles — the per-cohort latency/price
     // distribution shape every analytics consumer asks for. Exact
@@ -69,11 +69,19 @@ object AnalyticsPack extends QueryPack {
     // percentile_approx (t-digest, mergeable partial aggs) — the
     // trade is spec-visible, not silent, because this exact twin
     // pins the target values.
+    //
+    // round(..., 4), NOT 2: interpolating between 2-decimal money
+    // values at fractions that are multiples of 0.05 yields values
+    // with up to 4 exact decimals — a .xx5 median sits ON the
+    // 2-decimal half-boundary where the engines' rounding modes
+    // disagree (caught at sf0.1: one nation's p50 came back 4692.99
+    // vs 4692.98). At 4 decimals the round is a no-op cleaner and
+    // boundary-free for any group size.
     "g_grouped_quantiles" -> ((s, dir) =>
       Tables(s, dir, "supplier")
         .groupBy(col("s_nationkey"))
-        .agg(round(expr("percentile(s_acctbal, 0.5)"), 2).as("p50"),
-          round(expr("percentile(s_acctbal, 0.95)"), 2).as("p95"),
+        .agg(round(expr("percentile(s_acctbal, 0.5)"), 4).as("p50"),
+          round(expr("percentile(s_acctbal, 0.95)"), 4).as("p95"),
           count(lit(1)).as("n"))
         .orderBy(col("s_nationkey"))),
 
@@ -140,16 +148,16 @@ object AnalyticsPack extends QueryPack {
 
     "g_grouped_quantiles" ->
       """SELECT s_nationkey,
-        |  round(quantile_cont(s_acctbal, 0.5), 2) AS p50,
-        |  round(quantile_cont(s_acctbal, 0.95), 2) AS p95,
+        |  round(quantile_cont(s_acctbal, 0.5), 4) AS p50,
+        |  round(quantile_cont(s_acctbal, 0.95), 4) AS p95,
         |  count(*) AS n
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g_percentiles" ->
-      """SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
-        |  round(median(o_totalprice), 2) AS med
+      """SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  round(median(o_totalprice), 4) AS med
         |FROM orders""".stripMargin,
 
     "g_approx_distinct" ->

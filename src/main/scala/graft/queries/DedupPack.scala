@@ -116,9 +116,19 @@ object DedupPack extends QueryPack {
   }
 
   /** MinHash+LSH candidate pairs, exact-verified at J >= 0.8 — shared
-    * by `d_minhash_lsh` (emits the pairs) and `d_cluster` (treats them
-    * as edges of the dup graph). */
-  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    * by `d_minhash_lsh` (emits the pairs), `d_cluster` (edges of the
+    * dup graph), and `d_pipeline`. Memoized + persisted like
+    * hashArrays: the verified pair set is the OTHER materialized
+    * artifact of a dedup pipeline (tiny — one row per true near-dup
+    * pair), and the clustering stage iterates over it. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((s, dir), _ =>
+      minhashVerifiedPairsUncached(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def minhashVerifiedPairsUncached(s: SparkSession, dir: String): DataFrame = {
     val sigs = hashArrays(s, dir)
       .withColumn("sig", graft.expr.MinHashSig(col("hs"), 64, 20260812L))
     val bands = sigs.select(col("doc_id"), posexplode(expr(
