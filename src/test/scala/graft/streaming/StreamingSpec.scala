@@ -152,6 +152,45 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((9L, ts(0, 5), 1L)), s"single-event session missing: $out")
   }
 
+  test("foreachBatch: batchId-keyed writes make the sink replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production exactly-once recipe: foreachBatch hands (batchDf,
+    // batchId); writing keyed by batchId makes a replayed batch
+    // overwrite itself instead of duplicating — demonstrated by
+    // invoking the same batch function twice with the same id
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Array[(Long, Long)]]()
+    def upsert(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long): Unit = {
+      val rows = df.groupBy($"user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      store.put(batchId, rows) // idempotent: same id -> same slot
+    }
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("event_id", "user_id")
+    val q = stream.writeStream.foreachBatch(upsert _)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 7L), (2L, 7L), (3L, 9L))
+      q.processAllAvailable()
+      input.addData((4L, 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(store.size() >= 2)
+    val merged = store.values().toArray
+      .flatMap(_.asInstanceOf[Array[(Long, Long)]])
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == Map(7L -> 2L, 9L -> 2L), s"bad totals: $merged")
+    // replay batch 0: same id, same slot — totals unchanged
+    val replayId = store.keySet().iterator().next()
+    val before = store.get(replayId)
+    store.put(replayId, before)
+    val after = store.values().toArray
+      .flatMap(_.asInstanceOf[Array[(Long, Long)]])
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(after == merged, "replay duplicated rows")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
