@@ -103,6 +103,26 @@ class Top1WindowToMaxBySpec extends SparkSpec {
     assert(hasWindow(d4), "must not fire on top-k > 1")
   }
 
+  test("property: rewritten top-1 == in-memory reference on random data") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 8) {
+      val n = 20 + rnd.nextInt(200)
+      val rows = Seq.fill(n)((rnd.nextInt(6).toLong,
+        rnd.nextInt(40).toLong, rnd.nextInt(15).toLong))
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        // score desc, id asc — mirror the window order exactly
+        g -> rs.minBy(r => (-r._3, r._2))._2
+      }
+      val df = rows.toDF("grp", "id", "score")
+      val w = Window.partitionBy($"grp").orderBy($"score".desc, $"id".asc)
+      val out = df.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      assert(!hasWindow(out), s"trial $trial: rule did not fire")
+      val got = out.select("grp", "id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial differs: $got vs $expected")
+    }
+  }
+
   test("w1's production query goes through the rewrite and agrees") {
     val dir = sf("sf0.001")
     val viaRule = graft.queries.RelationalPack
