@@ -78,6 +78,24 @@ class MalformedRecordsSpec extends SparkSpec {
     assertThrows[SparkException](df.collect())
   }
 
+  test("corrupt parquet file: fail-fast by default, skippable by conf") {
+    val d = Files.createTempDirectory("graft_corrupt")
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("id").write.parquet(d.resolve("good").toString)
+    // a second "parquet" file that is garbage bytes
+    val bad = d.resolve("good").resolve("part-corrupt.parquet")
+    Files.write(bad, Array.fill[Byte](256)(0x42))
+    val path = d.resolve("good").toString
+    // default: the scan fails loudly (no silent data loss)
+    assertThrows[org.apache.spark.SparkException](
+      spark.read.parquet(path).collect())
+    // opt-in skip: quarantine-style reads for a corpus with known rot
+    val lax = spark.newSession()
+    lax.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    val ids = lax.read.parquet(path).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("JSON PERMISSIVE captures unparsable lines") {
     val p = writeLines("rows.json", Seq(
       """{"id": 1, "name": "a"}""",
