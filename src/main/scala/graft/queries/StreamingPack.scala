@@ -61,6 +61,30 @@ object StreamingPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Incremental aggregation — the materialized-view-maintenance
+    // pattern: history is kept as ALGEBRAIC partials (sum, count per
+    // key), a new batch aggregates alone, and the refreshed view is
+    // partials MERGED BY KEY — never a rescan of history. avg is
+    // reconstructed from merged sums/counts, which is exactly why the
+    // stored shape must be (sum, count), not avg. The oracle computes
+    // the same view from scratch over the full table — merge-equals-
+    // recompute is the algebraic-aggregate contract that makes
+    // incremental refresh sound at 100 TB.
+    "st_incremental_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cutoff = expr("TIMESTAMP '1997-01-20 00:00:00'")
+      def partials(df: DataFrame) = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      val history = partials(ev.filter(col("ts") < cutoff))
+      val fresh = partials(ev.filter(col("ts") >= cutoff))
+      history.unionByName(fresh)
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n_events"),
+          round(sum(col("sv")), 2).as("sum_value"),
+          round(sum(col("sv")) / sum(col("cnt")), 4).as("avg_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Calendar densification (gap fill): hourly error counts with
     // EVERY hour of the observed span present, empty hours as zero —
     // what any time-series consumer (anomaly detection, dashboarding)
@@ -148,6 +172,13 @@ object StreamingPack extends QueryPack {
         |FROM events l ASOF JOIN events r
         |  ON l.user_id = r.user_id AND r.ts < l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // full recompute — must equal the Spark side's partial merge
+    "st_incremental_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(sum(value) / count(*), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "st_gap_fill" ->
       """WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
