@@ -269,7 +269,11 @@ object SimilarityPack extends QueryPack {
       .setInitMode("random")
       .setDistanceMeasure("cosine")
       .setFeaturesCol("fv").setPredictionCol("list")
-      .fit(fe)
+      // fit on a seeded sample — THE FAISS training recipe (a coarse
+      // quantizer needs ~100s of points per centroid, not the corpus);
+      // at 100 TB this is what keeps training O(sample). Recall floor
+      // is oracle-pinned, sample-vs-full parity spec-asserted.
+      .fit(fe.sample(withReplacement = false, 0.25, seed = 42))
     val assigned = model.transform(fe)
       .select(col("vec_id").as("nid"), col("list"))
     val cents = model.clusterCenters.map(_.toArray)
