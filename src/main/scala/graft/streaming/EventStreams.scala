@@ -55,6 +55,19 @@ object EventStreams {
     stream.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Streaming CONTENT dedup — d_exact's streaming twin: documents
+    * arriving on a stream are deduplicated by a 64-bit content hash
+    * inside the watermark horizon. The dedup state holds one 8-byte
+    * hash per distinct document seen within the horizon — never the
+    * text — the same narrow-key discipline as the batch operator; the
+    * horizon is the ingest-dedup contract (cross-horizon dups belong
+    * to the periodic batch pass). */
+  def dedupedByContent(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("content_hash", xxhash64(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("content_hash"))
+
   /** Open a file-based stream over the driver-generated events parquet.
     * Single-file fixture is fine: the file source treats the directory
     * listing as the stream. Normalizes the TIMESTAMP(NANOS) column the

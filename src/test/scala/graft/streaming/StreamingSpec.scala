@@ -152,6 +152,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((9L, ts(0, 5), 1L)), s"single-event session missing: $out")
   }
 
+  test("streaming content dedup suppresses same-text docs across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.dedupedByContent(stream)
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, t0, "alpha beta"), (2L, t0, "alpha beta"), // dup in batch
+        (3L, t0, "gamma"))
+      q.processAllAvailable()
+      input.addData((4L, t0, "gamma"), (5L, t0, "delta")) // dup across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("content_dedup").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L), s"content dedup kept: $kept")
+  }
+
   test("foreachBatch: batchId-keyed writes make the sink replay-idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
