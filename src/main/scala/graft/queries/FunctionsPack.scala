@@ -161,10 +161,32 @@ object FunctionsPack extends QueryPack {
           first(col("s_suppkey")).over(wFull).as("poorest"),
           last(col("s_suppkey")).over(wFull).as("richest"))
         .orderBy(col("s_nationkey"), col("s_suppkey"))
+    }),
+
+    // Deterministic string aggregation: collect_list has no intrinsic
+    // order (partial-agg arrival order), so the SORT must be explicit
+    // before the join — sort_array + array_join is the reproducible
+    // form of GROUP_CONCAT/string_agg, and the only one an oracle (or
+    // a retried stage) can pin.
+    "fn_string_agg" -> ((s, dir) => {
+      Tables(s, dir, "region")
+        .join(Tables(s, dir, "nation"),
+          col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"), count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "fn_string_agg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
     "fn_dates" ->
       """SELECT o_orderkey,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
