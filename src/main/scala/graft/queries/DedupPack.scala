@@ -239,6 +239,52 @@ object DedupPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // CONTAINMENT near-dup — the asymmetric complement of Jaccard:
+    // C(A in B) = |A ∩ B| / |A| >= 0.9 catches a document copied INTO
+    // a larger one (quote farms, boilerplate wrappers), which
+    // symmetric J >= 0.8 misses once the host grows. Exact candidate
+    // guarantee by the containment prefix filter (PPJoin adapted):
+    // order each doc's shingles by GLOBAL (df, hash) — rarest first —
+    // and index only the first floor((1-t)*n)+1; if A-in-B holds, B
+    // must share one of those (fewer than (1-t)*n+1 of A's shingles
+    // can be missing), so probing A's prefix against the full
+    // inverted index is exact. The df table is vocabulary-sized
+    // (Heaps-sublinear) and the prefix shrinks the probe side 10x at
+    // t=0.9; keys are 8-byte hashes throughout.
+    "d_containment" -> ((s, dir) => {
+      val t = 0.9
+      val hs = hashArrays(s, dir)
+      val all = hs.select(col("doc_id"), col("n"), explode(col("hs")).as("h"))
+      val dfreq = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      import org.apache.spark.sql.expressions.Window
+      val byRarity = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("h").asc)
+      // prefix length = n - ceil(t*n) + 1, in INTEGER arithmetic
+      // (t = 9/10): double floor((1-t)*n) loses exactly the boundary
+      // cases — (1-0.9)*10 is 0.999... in binary, so a 10-shingle doc
+      // indexed 1 shingle instead of 2 and candidate generation
+      // dropped a true containment pair (caught by the oracle gate)
+      val prefix = all.join(dfreq, "h")
+        .withColumn("pos", row_number().over(byRarity))
+        .filter(col("pos") <= expr("n - CAST((n * 9 + 9) DIV 10 AS INT) + 1"))
+        .select(col("doc_id").as("ida"), col("h"))
+      val cand = prefix
+        .join(all.select(col("doc_id").as("idb"), col("h")), Seq("h"))
+        .filter(col("ida") =!= col("idb"))
+        .select(col("ida"), col("idb"))
+        .distinct()
+      val ha = hs.select(col("doc_id").as("ida"), col("hs").as("hsa"),
+        col("n").as("na"))
+      val hb = hs.select(col("doc_id").as("idb"), col("hs").as("hsb"))
+      cand.join(ha, "ida").join(hb, "idb")
+        .select(col("ida"), col("idb"),
+          (size(array_intersect(col("hsa"), col("hsb"))) / col("na"))
+            .as("c"))
+        .filter(col("c") >= t)
+        .select(col("ida"), col("idb"), round(col("c"), 4).as("containment"))
+        .orderBy(col("ida"), col("idb"))
+    }),
+
     // SimHash near-dup: 64-bit signature from bit votes of the
     // xxhash64'd 3-gram SHINGLES (not unigrams: with a small shared
     // vocabulary every document has near-identical unigram statistics,
@@ -363,6 +409,25 @@ object DedupPack extends QueryPack {
     "d_ngram_jaccard" -> exactJaccardSql,
     "d_minhash_lsh" -> exactJaccardSql,
     "d_simhash" -> exactJaccardSql,
+
+    // exact containment over ALL ordered pairs (both directions):
+    // pairs sharing zero shingles cannot reach the threshold, so the
+    // shared-shingle join is complete
+    "d_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                         for i in range(1, greatest(len(w) - 1, 1))]) AS s
+        |  FROM w)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb, round(i * 1.0 / ca.n, 4) AS containment
+        |FROM inter JOIN cnt ca ON ca.doc_id = ida
+        |WHERE i * 1.0 / ca.n >= 0.9
+        |ORDER BY ida, idb""".stripMargin,
 
     // Components via a recursive CTE: min reachable id per node. The
     // UNION (not UNION ALL) dedups the frontier so the walk terminates.
