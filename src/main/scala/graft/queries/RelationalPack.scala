@@ -469,6 +469,30 @@ object RelationalPack extends QueryPack {
         .orderBy(col("s_nationkey"))
     }),
 
+    // Top-K-per-group via the typed bounded-buffer Aggregator
+    // (scale/TopKAggregator) instead of a window: the shuffle carries
+    // at most k rows per group per partition — the generalization of
+    // w5's max_by shape to k > 1, and the only viable top-k when a
+    // group is billions of rows. Oracle: the window formulation in
+    // SQL, interchangeable because both use (score desc, id asc).
+    "w6_topk_aggregator" -> ((s, dir) => {
+      import graft.scale.TopKAggregator
+      import s.implicits._
+      val scored = t(s, dir, "supplier")
+        .select(col("s_nationkey"),
+          col("s_suppkey").as("id"), col("s_acctbal").as("score"))
+      scored.as[(Int, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => TopKAggregator.Scored(r._2, r._3))
+        .agg(TopKAggregator.topK(3).toColumn.name("top"))
+        .flatMap { case (nk, top) =>
+          top.zipWithIndex.map { case (sc, i) =>
+            (nk, i + 1, sc.id, sc.score) }
+        }
+        .toDF("s_nationkey", "rk", "s_suppkey", "acctbal")
+        .orderBy(col("s_nationkey"), col("rk"))
+    }),
+
     // M1 as relational algebra: StringIndexer's frequencyDesc label→index
     // mapping (data_utils.py:267-298) — index = dense order by (count
     // desc, label asc), cast double exactly like MLlib's output column.
@@ -695,6 +719,15 @@ object RelationalPack extends QueryPack {
         |  INTERSECT
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
         |ORDER BY o_custkey""".stripMargin,
+
+    "w6_topk_aggregator" ->
+      """WITH r AS (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY s_acctbal DESC, s_suppkey ASC) AS rk
+        |  FROM supplier)
+        |SELECT s_nationkey, rk, s_suppkey, s_acctbal AS acctbal
+        |FROM r WHERE rk <= 3 ORDER BY s_nationkey, rk""".stripMargin,
 
     "w5_top1_maxby" ->
       """WITH c AS (
