@@ -469,6 +469,25 @@ object RelationalPack extends QueryPack {
         .orderBy(col("s_nationkey"))
     }),
 
+    // Salted skew join in the oracle gate: the fact side is salted by
+    // a deterministic hash of its columns, the dim side replicated
+    // per salt, and the result must be EXACTLY the plain join — which
+    // is what the DuckDB oracle computes. Pins the multiplicity
+    // contract (no duplicated/lost rows) that makes the salt safe to
+    // deploy under task retries; see scale/SkewJoin for mechanics.
+    "j9_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      graft.scale.SkewJoin.saltedJoin(
+        li,
+        t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "l_orderkey", salt = 8)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("o_orderpriority"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     // Top-K-per-group via the typed bounded-buffer Aggregator
     // (scale/TopKAggregator) instead of a window: the shuffle carries
     // at most k rows per group per partition — the generalization of
@@ -719,6 +738,11 @@ object RelationalPack extends QueryPack {
         |  INTERSECT
         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
         |ORDER BY o_custkey""".stripMargin,
+
+    "j9_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "w6_topk_aggregator" ->
       """WITH r AS (
