@@ -163,6 +163,31 @@ object FunctionsPack extends QueryPack {
         .orderBy(col("s_nationkey"), col("s_suppkey"))
     }),
 
+    // Running DISTINCT count per partition — the cumulative-coverage
+    // curve ("how many distinct parts seen so far") behind
+    // dedup-progress and catalog-growth monitoring. Spark has no
+    // count(DISTINCT) OVER; size(collect_set() OVER) is the
+    // equivalent, computed incrementally for an UNBOUNDED
+    // PRECEDING..CURRENT ROW frame. Determinism: the window order
+    // ends in l_partkey, so frame-order ties share the element being
+    // introduced and every row's running count is well-defined.
+    // Scale note: state is the per-partition distinct set — this is a
+    // small-dimension-partition operator by design (use HLL sketches
+    // for high-cardinality running estimates).
+    "fn_window_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"),
+          size(collect_set(col("l_partkey")).over(w)).cast("long")
+            .as("run_distinct"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"))
+    }),
+
     // Deterministic string aggregation: collect_list has no intrinsic
     // order (partial-agg arrival order), so the SORT must be explicit
     // before the join — sort_array + array_join is the reproducible
@@ -180,6 +205,14 @@ object FunctionsPack extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "fn_window_distinct" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey,
+        |  count(DISTINCT l_partkey) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_orderkey, l_linenumber, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_distinct
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_partkey""".stripMargin,
+
     "fn_string_agg" ->
       """SELECT r_name,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
