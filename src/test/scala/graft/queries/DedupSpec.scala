@@ -15,6 +15,49 @@ class DedupSpec extends SparkSpec {
     assert(rows("d_simhash") == exact, "simhash recall/precision != exact")
   }
 
+  test("containment == brute force over random corpora (prefix exactness)") {
+    // the prefix filter's completeness guarantee is the part a fixture
+    // can't stress: random corpora with planted subset-docs must yield
+    // EXACTLY the brute-force containment pairs
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "pi", "rho")
+    for (trial <- 1 to 3) {
+      val base = (0 until 30).map { i =>
+        i.toLong -> Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+      }
+      // plant: doc 100+i = doc i plus a few extra words (i contained in it)
+      val planted = base.take(5).map { case (id, ws) =>
+        (id + 100) -> (ws ++ Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.size))))
+      }
+      val docs = (base ++ planted).map { case (id, ws) => (id, ws.mkString(" ")) }
+      def shingles(ws: Seq[String]): Set[Seq[String]] =
+        if (ws.length < 3) Set.empty else ws.sliding(3).map(_.toSeq).toSet
+      val sets = docs.map { case (id, text) =>
+        id -> shingles(text.split(" ").toSeq) }.toMap
+      val expected = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty
+        c = sa.intersect(sb).size.toDouble / sa.size
+        if c >= 0.9
+      } yield (a, b)).toSet
+
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_cont$trial")
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length($"text").cast("long"))
+        .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+      val got = SparkEntry.queries("d_containment")(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"trial $trial: got ${got.size} pairs, expected ${expected.size}: " +
+          s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("exact dedup keeps lowest id and counts planted copies") {
     val out = SparkEntry.queries("d_exact")(spark, sf("sf0.001")).collect()
     // 500 docs, even ids planted once more -> 250 groups of 2, 250 of 1
