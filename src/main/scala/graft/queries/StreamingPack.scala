@@ -61,6 +61,21 @@ object StreamingPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Session SPANS — the session-window shape with both bounds:
+    // session_window's end is last-event + gap (Spark's definition),
+    // which the oracle reproduces as max(ts) + INTERVAL. Together with
+    // st_user_sessions (starts/counts) this pins the full session
+    // geometry the flatMapGroupsWithState sessionizer emits in
+    // streaming (StreamingSpec's close-once test).
+    "st_session_spans" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // Incremental aggregation — the materialized-view-maintenance
     // pattern: history is kept as ALGEBRAIC partials (sum, count per
     // key), a new batch aggregates alone, and the refreshed view is
@@ -172,6 +187,24 @@ object StreamingPack extends QueryPack {
         |FROM events l ASOF JOIN events r
         |  ON l.user_id = r.user_id AND r.ts < l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "st_session_spans" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     // full recompute — must equal the Spark side's partial merge
     "st_incremental_agg" ->
