@@ -25,10 +25,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The round harness captures only the last ~2000 chars of sbt output
+    // and parses the JSON line found there. With 100 queries at full
+    // double precision the line ran ~3 KB and rounds 1-2 recorded
+    // parsed=null. Emit a bounded line: total + query count + the 25
+    // slowest queries at millisecond precision (they dominate the total;
+    // BASELINE.md records the same set for round-over-round comparison).
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2).take(25)
+    val qs = slowest.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
