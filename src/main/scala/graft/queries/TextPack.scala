@@ -257,6 +257,93 @@ object TextPack extends QueryPack {
           count(when(col("keep"), 1)).as("n_kept"),
           sum(when(col("keep"), col("doc_id"))).as("kept_id_checksum"))
         .orderBy(col("lang"))
+    }),
+
+    // Eval-set n-gram decontamination — the benchmark-hygiene step a
+    // training pipeline runs before a model sees the corpus: any
+    // training document sharing word-trigrams with the held-out eval
+    // set is flagged (the GPT-3/C4-audit recipe). Eval membership here
+    // is the deterministic content split (doc_id % 10 = 0); in
+    // production it is the benchmark corpus itself.
+    //
+    // Scale shape: the eval trigram set is distinct-hashed and TINY
+    // relative to the corpus (benchmarks are MBs, the corpus is TBs),
+    // so the check is a broadcast left-semi join of 8-byte hashes
+    // against each train doc's shingles — one corpus scan, nothing
+    // wider than (doc_id, int64) in any exchange, overlap counted by a
+    // map-side-combinable hash agg on doc_id. The overlap fraction is
+    // emitted in integer basis points (`div` — exact in both engines,
+    // no float rounding at the contamination threshold).
+    "t_decontam" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val isEval = col("doc_id") % 10 === 0
+      val sh = docs.select(col("doc_id"),
+        explode(graft.expr.ShingleHashes(col("text"), 3)).as("h"))
+      val evalH = sh.filter(isEval).select(col("h")).distinct()
+      val overlap = sh.filter(!isEval)
+        .join(evalH, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      docs.filter(!isEval)
+        .select(col("doc_id"),
+          size(graft.expr.ShingleHashes(col("text"), 3)).cast("long")
+            .as("n_shingles"))
+        .filter(col("n_shingles") > 0)
+        .join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("overlap_bp", expr("n_overlap * 10000 div n_shingles"))
+        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+          col("overlap_bp"),
+          (col("n_overlap") >= 5 || col("overlap_bp") >= 2000)
+            .as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer vocabulary build — frequency-ranked token ids with a
+    // min-frequency floor, the fit step of any word-level tokenizer
+    // (and the shape of a BPE merge-table build: count, rank, assign
+    // ids). The corpus-wide token count is one map-side-combinable
+    // hash agg; the global rank window runs AFTER the min-frequency
+    // filter, over the Heaps'-law-sublinear vocabulary (thousands of
+    // rows at 100 TB), never over the corpus — the one global window
+    // here is driver-bounded by construction.
+    "t_vocab" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 5)
+      val w = Window.orderBy(desc("freq"), asc("token"))
+      counts
+        .withColumn("id", row_number().over(w).cast("long") - 1)
+        .orderBy(col("id")).limit(100)
+    }),
+
+    // Bigram LM counting — the canonical MapReduce workload: bigram
+    // counts and conditional probabilities P(w2|w1), the KenLM-style
+    // counting pass of n-gram language modeling (used in pipelines as
+    // a perplexity-proxy quality signal). The denominator reuses the
+    // bigram counts (c1 = Σ_w2 c12) instead of re-scanning the corpus,
+    // so the whole query is: one narrow bigram projection (zip_with of
+    // two slices — no self-join on position), two token-keyed hash
+    // aggs, one join on w1 (head-token skew handled by AQE), and a
+    // TakeOrderedAndProject top-50. Probabilities in integer basis
+    // points (exact in both engines).
+    "t_bigram_lm" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val pairs = Tables(s, dir, "documents")
+        .select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c12 = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      c12.join(c1, Seq("w1"))
+        .withColumn("p_bp", expr("c12 * 10000 div c1"))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("p_bp"))
+        .orderBy(desc("c12"), col("w1"), col("w2")).limit(50)
     })
   )
 
@@ -409,6 +496,47 @@ object TextPack extends QueryPack {
         |SELECT lang, count(*) AS n_total,
         |  count(*) FILTER (keep) AS n_kept,
         |  CAST(sum(doc_id) FILTER (keep) AS BIGINT) AS kept_id_checksum
-        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                         for i in range(1, greatest(len(w) - 1, 1))]) AS s
+        |  FROM w)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (
+        |  SELECT sh.doc_id, count(*) AS n_shingles, count(ev.s) AS n_overlap
+        |  FROM sh LEFT JOIN ev ON sh.s = ev.s
+        |  WHERE sh.doc_id % 10 <> 0 GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_overlap,
+        |  n_overlap * 10000 // n_shingles AS overlap_bp,
+        |  (n_overlap >= 5 OR n_overlap * 10000 // n_shingles >= 2000)
+        |    AS contaminated
+        |FROM tr ORDER BY doc_id""".stripMargin,
+
+    "t_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (
+        |  SELECT token, count(*) AS freq FROM t
+        |  WHERE len(token) > 0 GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT token, freq,
+        |  row_number() OVER (ORDER BY freq DESC, token) - 1 AS id
+        |FROM c ORDER BY id LIMIT 100""".stripMargin,
+
+    "t_bigram_lm" ->
+      """WITH q AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+        |  FROM q),
+        |c12 AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        |    count(*) AS c12
+        |  FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1)
+        |SELECT w1, w2, c12, c1, c12 * 10000 // c1 AS p_bp
+        |FROM c12 JOIN c1 USING (w1)
+        |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin
   )
 }
