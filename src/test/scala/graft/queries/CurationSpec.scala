@@ -87,4 +87,47 @@ class CurationSpec extends SparkSpec {
     // rank is dense from 1 within each query
     assert(out.filter(col("rk") < 1 || col("rk") > 5).count() == 0)
   }
+
+  test("t_decontam excludes eval docs and flags exact eval copies") {
+    val out = TextPack.queries("t_decontam")(spark, dir)
+    // eval membership (doc_id % 10 = 0) never appears in the output
+    assert(out.filter(col("doc_id") % 10 === 0).count() == 0)
+    // overlap is bounded by the shingle count; basis points consistent
+    assert(out.filter(col("n_overlap") > col("n_shingles")).count() == 0)
+    assert(out.filter(col("overlap_bp") > 10000).count() == 0)
+    // a train doc whose text is byte-identical to some eval doc has
+    // full trigram overlap -> must be flagged (the exact-dup leak case
+    // decontamination exists to catch)
+    val docs = Tables(spark, dir, "documents")
+    val evalTexts = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("text")).distinct()
+    val leaked = docs.filter(col("doc_id") % 10 =!= 0)
+      .join(evalTexts, Seq("text"), "left_semi")
+      .select(col("doc_id"))
+    val flagged = out.filter(col("contaminated")).select(col("doc_id"))
+    assert(leaked.join(flagged, Seq("doc_id"), "left_anti").count() == 0,
+      "an exact eval copy escaped the contamination flag")
+  }
+
+  test("t_vocab ids are dense ranks; freq floor holds") {
+    val out = TextPack.queries("t_vocab")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(2)).toSeq == out.indices.map(_.toLong),
+      "vocab ids not dense from 0")
+    val freqs = out.map(_.getLong(1))
+    assert(freqs.forall(_ >= 5))
+    assert(freqs.sameElements(freqs.sorted(Ordering[Long].reverse)),
+      "vocab not ordered by descending frequency")
+  }
+
+  test("t_bigram_lm probabilities are consistent fractions") {
+    val out = TextPack.queries("t_bigram_lm")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (c12, c1, bp) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(c12 <= c1, "bigram count exceeds its unigram denominator")
+      assert(bp == c12 * 10000 / c1, "basis points not exact integer div")
+      assert(bp <= 10000)
+    }
+  }
 }

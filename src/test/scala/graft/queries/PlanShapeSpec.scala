@@ -92,6 +92,26 @@ class PlanShapeSpec extends SparkSpec {
       s"full-text shuffle regressed: $textCarrying exchanges carry text")
   }
 
+  test("t_decontam broadcasts the eval hash set; text stays out of exchanges") {
+    val frame = df("t_decontam")
+    val p = finalPlan(frame)
+    // the contamination probe is a broadcast left-semi hash join — the
+    // eval trigram set must never be the build side of a shuffled join
+    assert(p.toString.contains("BroadcastHashJoin") &&
+      p.toString.contains("LeftSemi"),
+      s"eval-set probe not a broadcast semi join:\n$p")
+    shuffles(p).foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"document text reaches a decontamination shuffle: $cols")
+    }
+  }
+
+  test("t_bigram_lm top-k plans as TakeOrderedAndProject") {
+    val p = plan("t_bigram_lm")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
   test("relational queries keep whole-stage codegen in the hot path") {
     // codegen'd operators print as `*(id) Op` in the plan string
     val p = finalPlan(df("q1_agg")).toString
