@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.io.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — the file-clustering side of a 100 TB
+  * engine. The reference (single-node pandas-ish pipeline) has no
+  * layout concept; at cluster scale, HOW rows are assigned to files
+  * decides whether min/max file statistics can prune scans, which is
+  * worth more than any single query optimization on a 100 TB table.
+  *
+  * Z-ORDER (Morton) clustering: interleave the bits of two (or more)
+  * low-cardinality-bucketed columns so that a CONTIGUOUS range of
+  * z-values maps to a small TILE in (x, y) space. Writing files by
+  * z-range then bounds every file's min/max span on BOTH dimensions —
+  * a filter on either column prunes most files. A plain sort by x
+  * gives perfect x-spans but useless y-spans; z-order trades a little
+  * of each for bounded both. This is Delta/Iceberg `OPTIMIZE ZORDER
+  * BY`, expressed as a pure codegen bit-twiddling projection + one
+  * hash agg (here reporting per-bucket stats; a real write would
+  * `repartitionByRange($"z")` before the sink — same z column).
+  */
+object LayoutPack extends QueryPack {
+
+  private val Bits = 10 // 10 bits per dimension -> 20-bit z-values
+
+  /** Morton interleave of two Bits-bit non-negative columns: x's bit i
+    * lands at z-bit 2i, y's at 2i+1. Pure codegen arithmetic — no UDF.
+    */
+  private def zval(x: Column, y: Column): Column =
+    (0 until Bits).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bucket lineitem by contiguous z-ranges (top 6 z-bits = 64
+    // buckets) and report each bucket's row count and min/max span on
+    // both dimensions. The layout guarantee under test: a bucket of
+    // 2^14 contiguous z-codes is exactly a 128x128 (x, y) tile, so
+    // every bucket's span is <= 127 on BOTH columns — vs 1023 for the
+    // whole table — which is precisely the file-statistics pruning
+    // win. Plan: narrow projection (bit ops) + one hash agg on the
+    // 6-bit bucket key; at 100 TB the same z column feeds
+    // repartitionByRange + per-file writes.
+    "ly_zorder" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(1024)).as("x"),
+          pmod(col("l_suppkey"), lit(1024)).as("y"))
+        .withColumn("z", zval(col("x"), col("y")))
+        .withColumn("bucket", expr("z div 16384"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy(col("bucket"))
+    })
+  )
+
+  /** The DuckDB oracle rebuilds the same interleave with explicit
+    * shift-mask terms (generated, not hand-typed, so both sides share
+    * one definition of the bit layout). */
+  private val zTerms: String = (0 until Bits).map { i =>
+    s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))"
+  }.mkString(" | ")
+
+  override def oracleSql: Map[String, String] = Map(
+    "ly_zorder" ->
+      s"""WITH b AS (
+         |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+         |z AS (SELECT x, y, $zTerms AS z FROM b)
+         |SELECT z // 16384 AS bucket, count(*) AS n,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

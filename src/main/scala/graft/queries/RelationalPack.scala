@@ -488,6 +488,43 @@ object RelationalPack extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
+    // J10: MERGE INTO semantics (the lakehouse upsert) expressed as
+    // one full-outer join + action classification — the plan
+    // Delta/Iceberg MERGE lowers to once file pruning is done. The
+    // source is a simulated CDC batch derived deterministically from
+    // orders: per-customer 1997+ order stats (matched -> update), a
+    // key-shifted slice (custkey % 97 = 0 -> key + 10^7) exercising
+    // the not-matched-by-target insert branch, and customers with no
+    // recent orders taking the not-matched-by-source path (keep here;
+    // a DELETE variant drops them). Classification is by KEY presence
+    // (never by value-column nullness — a null payload must not flip a
+    // row's action). Scale shape: one shuffled equi-join on the merge
+    // key — with file statistics a real MERGE touches only matching
+    // files; the source side (one CDC batch) is typically
+    // broadcastable.
+    "j10_merge_upsert" -> ((s, dir) => {
+      val tgt = t(s, dir, "customer")
+        .select(col("c_custkey").as("tkey"), col("c_acctbal"))
+      val base = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) >= 1997)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("vol"))
+      val src = base.select(
+        when(col("o_custkey") % 97 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("skey"),
+        col("n_orders"), col("vol"))
+      tgt.join(src, col("tkey") === col("skey"), "full_outer")
+        .select(coalesce(col("tkey"), col("skey")).as("key"),
+          when(col("tkey").isNull, lit("insert"))
+            .when(col("skey").isNull, lit("keep"))
+            .otherwise(lit("update")).as("action"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          round(coalesce(col("vol"), lit(0.0)), 2).as("order_vol"),
+          round(coalesce(col("c_acctbal"), lit(0.0)), 2).as("acctbal"))
+        .orderBy(col("key"))
+    }),
+
     // Top-K-per-group via the typed bounded-buffer Aggregator
     // (scale/TopKAggregator) instead of a window: the shuffle carries
     // at most k rows per group per partition — the generalization of
@@ -743,6 +780,26 @@ object RelationalPack extends QueryPack {
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "j10_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS vol
+        |  FROM orders WHERE year(o_orderdate) >= 1997 GROUP BY 1),
+        |src AS (
+        |  SELECT CASE WHEN o_custkey % 97 = 0 THEN o_custkey + 10000000
+        |              ELSE o_custkey END AS skey,
+        |    n_orders, vol FROM base),
+        |tgt AS (SELECT c_custkey AS tkey, c_acctbal FROM customer)
+        |SELECT coalesce(tkey, skey) AS key,
+        |  CASE WHEN tkey IS NULL THEN 'insert'
+        |       WHEN skey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action,
+        |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+        |  round(coalesce(vol, 0.0), 2) AS order_vol,
+        |  round(coalesce(c_acctbal, 0.0), 2) AS acctbal
+        |FROM tgt FULL OUTER JOIN src ON tkey = skey
+        |ORDER BY key""".stripMargin,
 
     "w6_topk_aggregator" ->
       """WITH r AS (
