@@ -10,7 +10,7 @@ import graft.queries.{AnalyticsPack, DedupPack, FunctionsPack, LayoutPack, Multi
   */
 object SparkEntry {
 
-  private def packs: Seq[QueryPack] = Seq(
+  private[graft] def packs: Seq[QueryPack] = Seq(
     RelationalPack, TextPack, DedupPack, SimilarityPack,
     MultimodalPack, StreamingPack, AnalyticsPack, FunctionsPack, SqlPack,
     LayoutPack

@@ -117,6 +117,33 @@ object AnalyticsPack extends QueryPack {
         .select(col("n_years"), col("exact"),
           (abs(col("est") - col("exact")) / col("exact") <= 0.05)
             .as("merged_within_5pct"))
+    }),
+
+    // EXACT heavy hitters via Misra-Gries pruning + verified recount
+    // (scale/MisraGries): the k=63-counter sketch guarantees every
+    // token with true frequency > n/64 survives as a candidate, so
+    // filtering the exact recount at the stricter n/50 threshold
+    // yields EXACTLY the >2%-of-token-mass tokens — the sketch only
+    // bounds the shuffle (candidate tokens, <= k of them, instead of
+    // the whole vocabulary), it never decides membership. Same
+    // sketch-prunes/exact-verifies shape as the dedup and ANN packs;
+    // the DuckDB oracle computes the plain exact answer.
+    "g_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val cands = toks.as[String]
+        .select(graft.scale.MisraGries.sketch(63).toColumn.name("cands"))
+        .toDF("cands")
+        .select(explode(col("cands")).as("token"))
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cands), Seq("token"), "left_semi")
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(tot))
+        .filter(col("freq") * 50 > col("n_total"))
+        .select(col("token"), col("freq"), col("n_total"))
+        .orderBy(desc("freq"), col("token"))
     })
   )
 
@@ -171,6 +198,15 @@ object AnalyticsPack extends QueryPack {
       """SELECT count(DISTINCT year(o_orderdate)) AS n_years,
         |  count(DISTINCT o_custkey) AS exact,
         |  true AS merged_within_5pct
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "g_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tt AS (SELECT token FROM t WHERE len(token) > 0),
+        |tot AS (SELECT count(*) AS n_total FROM tt),
+        |c AS (SELECT token, count(*) AS freq FROM tt GROUP BY 1)
+        |SELECT token, freq, n_total FROM c, tot
+        |WHERE freq * 50 > n_total ORDER BY freq DESC, token""".stripMargin
   )
 }

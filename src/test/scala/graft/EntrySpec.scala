@@ -12,10 +12,9 @@ class EntrySpec extends SparkSpec {
   }
 
   test("query names are unique across packs (flatMap.toMap would shadow)") {
-    import graft.queries._
-    val packs = Seq(RelationalPack, TextPack, DedupPack, SimilarityPack,
-      MultimodalPack, StreamingPack, AnalyticsPack, FunctionsPack, SqlPack)
-    val all = packs.flatMap(_.queries.keys)
+    // the production pack list itself — a spec-local copy would drift
+    // every time a pack is added (it did: LayoutPack, round 3)
+    val all = SparkEntry.packs.flatMap(_.queries.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names across packs: $dups")
     assert(SparkEntry.queries.size == all.size)
