@@ -505,8 +505,11 @@ object RelationalPack extends QueryPack {
     "j10_merge_upsert" -> ((s, dir) => {
       val tgt = t(s, dir, "customer")
         .select(col("c_custkey").as("tkey"), col("c_acctbal"))
+      // lower-bound form, not year(): a raw column comparison reaches
+      // the parquet scan as a pushed filter (row-group pruning);
+      // year() >= 1997 and >= '1997-01-01' select identical rows
       val base = t(s, dir, "orders")
-        .filter(year(col("o_orderdate")) >= 1997)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz"))
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("vol"))
