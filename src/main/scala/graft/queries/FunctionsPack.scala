@@ -163,6 +163,26 @@ object FunctionsPack extends QueryPack {
         .orderBy(col("s_nationkey"), col("s_suppkey"))
     }),
 
+    // Value-RANGE window frame — the frame kind ROWS can't express:
+    // "peers within +-100.0 of MY value", used for local-density and
+    // neighborhood smoothing. Frame membership is decided by VALUE
+    // comparison (IEEE-exact, identical across engines), so unlike a
+    // ROWS frame there is no tie-order dependence to pin. Same
+    // one-shuffle-on-partition-key plan shape as every other window.
+    "fn_window_range" -> ((s, dir) => {
+      Tables(s, dir, "supplier").createOrReplaceTempView("supplier_wr")
+      s.sql(
+        """SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal,
+          |  count(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+          |    RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS n_near,
+          |  round(sum(s_acctbal) OVER (PARTITION BY s_nationkey
+          |    ORDER BY s_acctbal
+          |    RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING), 2)
+          |    AS sum_near
+          |FROM supplier_wr
+          |ORDER BY s_nationkey, s_suppkey""".stripMargin)
+    }),
+
     // Running DISTINCT count per partition — the cumulative-coverage
     // curve ("how many distinct parts seen so far") behind
     // dedup-progress and catalog-growth monitoring. Spark has no
@@ -305,6 +325,15 @@ object FunctionsPack extends QueryPack {
         |    AND UNBOUNDED FOLLOWING) AS richest
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "fn_window_range" ->
+      """SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal,
+        |  count(*) OVER w AS n_near,
+        |  round(sum(s_acctbal) OVER w, 2) AS sum_near
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal
+        |  RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING)
         |ORDER BY s_nationkey, s_suppkey""".stripMargin
   )
 }

@@ -130,6 +130,28 @@ object StreamingPack extends QueryPack {
     // a nested loop over |errors| x |purchases| — the bucket id
     // manufactures one. RangeJoinSpec asserts the plan contains no
     // CartesianProduct / BroadcastNestedLoopJoin.
+    // Per-event trailing 1-hour rolling aggregate — the event-time
+    // RANGE frame ("all MY user's events in the hour before me"), the
+    // per-row twin of the sliding windowed agg and the batch shape of
+    // a streaming feature like "requests in the last hour". The frame
+    // is keyed on unix_micros(ts) (bigint, engine-portable bounds);
+    // RANGE semantics include ts-peers symmetrically, so duplicate
+    // timestamps cannot make the result order-dependent. One shuffle
+    // on user_id; per-partition state is the frame's sliding buffer —
+    // bounded by an hour of one user's events, the same bound the
+    // streaming formulation's watermark state carries.
+    "st_rolling_window" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_rw")
+      s.sql(
+        """SELECT user_id, event_id,
+          |  count(*) OVER w AS n_1h,
+          |  round(sum(value) OVER w, 2) AS sum_1h
+          |FROM events_rw
+          |WINDOW w AS (PARTITION BY user_id ORDER BY unix_micros(ts)
+          |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, event_id""".stripMargin)
+    }),
+
     "st_range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val intervals = ev.filter(col("event_type") === "error")
@@ -235,6 +257,15 @@ object StreamingPack extends QueryPack {
         |FROM events l ASOF JOIN events r
         |  ON l.user_id = r.user_id AND r.ts > l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "st_rolling_window" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 2) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "st_range_join" ->
       """WITH i AS (
