@@ -31,11 +31,27 @@ object Bench {
     // parsed=null. Emit a bounded line: total + query count + the 25
     // slowest queries at millisecond precision (they dominate the total;
     // BASELINE.md records the same set for round-over-round comparison).
+    // Locale.ROOT: the f-interpolator is locale-sensitive — a
+    // comma-decimal locale would emit invalid JSON and re-break parsing.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
     val slowest = results.sortBy(-_._2).take(25)
-    val qs = slowest.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = slowest.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query timings go to a side file so bench_compare.py can
+    // regression-check ALL queries, not just the top-25 of the line.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_full.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => } // side artifact only — never fail bench
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -133,14 +133,18 @@ object AnalyticsPack extends QueryPack {
       val toks = Tables(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
+      // sketch AND stream length in ONE pass (two scans total, not
+      // three); the 1-row result broadcasts candidates + n_total
+      // together, and the inner join (candidate tokens are unique)
+      // both filters to candidates and attaches the denominator
       val cands = toks.as[String]
-        .select(graft.scale.MisraGries.sketch(63).toColumn.name("cands"))
-        .toDF("cands")
-        .select(explode(col("cands")).as("token"))
-      val tot = toks.agg(count(lit(1)).as("n_total"))
-      toks.join(broadcast(cands), Seq("token"), "left_semi")
-        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-        .crossJoin(broadcast(tot))
+        .select(graft.scale.MisraGries.sketch(63).toColumn.name("cands"),
+          count(lit(1)).as[Long].name("n_total"))
+        .toDF("cands", "n_total")
+        .select(explode(col("cands")).as("token"), col("n_total"))
+      toks.join(broadcast(cands), Seq("token"))
+        .groupBy(col("token"), col("n_total"))
+        .agg(count(lit(1)).as("freq"))
         .filter(col("freq") * 50 > col("n_total"))
         .select(col("token"), col("freq"), col("n_total"))
         .orderBy(desc("freq"), col("token"))

@@ -124,12 +124,6 @@ object StreamingPack extends QueryPack {
         .orderBy(col("hour"))
     }),
 
-    // Interval-point range join via the binned equi-join rewrite
-    // (scale/RangeJoin): every purchase landing inside the 10-minute
-    // window after an error. No equi-key exists, so the naive plan is
-    // a nested loop over |errors| x |purchases| — the bucket id
-    // manufactures one. RangeJoinSpec asserts the plan contains no
-    // CartesianProduct / BroadcastNestedLoopJoin.
     // Per-event trailing 1-hour rolling aggregate — the event-time
     // RANGE frame ("all MY user's events in the hour before me"), the
     // per-row twin of the sliding windowed agg and the batch shape of
@@ -152,6 +146,12 @@ object StreamingPack extends QueryPack {
           |ORDER BY user_id, event_id""".stripMargin)
     }),
 
+    // Interval-point range join via the binned equi-join rewrite
+    // (scale/RangeJoin): every purchase landing inside the 10-minute
+    // window after an error. No equi-key exists, so the naive plan is
+    // a nested loop over |errors| x |purchases| — the bucket id
+    // manufactures one. RangeJoinSpec asserts the plan contains no
+    // CartesianProduct / BroadcastNestedLoopJoin.
     "st_range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val intervals = ev.filter(col("event_type") === "error")

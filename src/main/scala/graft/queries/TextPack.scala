@@ -281,7 +281,7 @@ object TextPack extends QueryPack {
         explode(graft.expr.ShingleHashes(col("text"), 3)).as("h"))
       val evalH = sh.filter(isEval).select(col("h")).distinct()
       val overlap = sh.filter(!isEval)
-        .join(evalH, Seq("h"), "left_semi")
+        .join(broadcast(evalH), Seq("h"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
       docs.filter(!isEval)
         .select(col("doc_id"),

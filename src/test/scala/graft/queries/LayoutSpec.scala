@@ -23,8 +23,9 @@ class LayoutSpec extends SparkSpec {
       assert(xs <= 127, s"bucket $b x-span $xs exceeds the 128-tile bound")
       assert(ys <= 127, s"bucket $b y-span $ys exceeds the 128-tile bound")
     }
-    // and the action classification partner: j10 exercises all three
-    // merge branches on this data
+  }
+
+  test("j10_merge_upsert exercises all three merge branches") {
     val actions = RelationalPack.queries("j10_merge_upsert")(spark, dir)
       .groupBy(col("action")).count().collect()
       .map(r => r.getString(0)).toSet
