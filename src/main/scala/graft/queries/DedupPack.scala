@@ -128,14 +128,19 @@ object DedupPack extends QueryPack {
       minhashVerifiedPairsUncached(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  private def minhashVerifiedPairsUncached(s: SparkSession, dir: String): DataFrame = {
-    val sigs = hashArrays(s, dir)
-      .withColumn("sig", graft.expr.MinHashSig(col("hs"), 64, 20260812L))
-    val bands = sigs.select(col("doc_id"), posexplode(expr(
+  /** (doc_id, band, bandHash) rows: 16 bands of 4 signature slots each
+    * — the LSH bucket keys every banding consumer joins on. */
+  private def bandHashes(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(expr(
       """transform(sequence(0, 15), b ->
         |  ((element_at(sig, b*4+1) * 31 + element_at(sig, b*4+2)) * 31
         |    + element_at(sig, b*4+3)) * 31 + element_at(sig, b*4+4))"""
         .stripMargin)).as(Seq("band", "bh")))
+
+  private def minhashVerifiedPairsUncached(s: SparkSession, dir: String): DataFrame = {
+    val sigs = hashArrays(s, dir)
+      .withColumn("sig", graft.expr.MinHashSig(col("hs"), 64, 20260812L))
+    val bands = bandHashes(sigs)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -196,6 +201,39 @@ object DedupPack extends QueryPack {
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
         .distinct()
       verified(cand, hs)
+    }),
+
+    // INCREMENTAL (cross-batch) dedup — dedup an incoming batch
+    // against the existing corpus without re-pairing the corpus with
+    // itself. At 100 TB history is never re-deduped: its materialized
+    // signature/band index is probed by the (comparatively tiny) new
+    // batch, so the band join is existing-index x broadcast(incoming)
+    // and only CROSS pairs (existing, incoming) are generated — the
+    // existing-existing quadratic never re-runs. Batch membership here
+    // is doc_id % 3 = 0; matches are exact-verified at J >= 0.8 like
+    // every near-dup path (LSH prunes, Jaccard decides). Emits a full
+    // incoming census: match count, earliest matching doc, dup flag.
+    "d_incremental" -> ((s, dir) => {
+      val isInc = col("doc_id") % 3 === 0
+      val sigs = hashArrays(s, dir)
+        .withColumn("sig", graft.expr.MinHashSig(col("hs"), 64, 20260812L))
+      val bands = bandHashes(sigs)
+      val cand = bands.filter(!isInc).as("a")
+        .join(broadcast(bands.filter(isInc)).as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .distinct()
+      val matches = verified(cand, hashArrays(s, dir))
+        .select(col("idb").as("doc_id"), col("ida"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("ida")).as("first_match"))
+      Tables(s, dir, "documents").filter(isInc).select(col("doc_id"))
+        .join(matches, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("first_match"), lit(-1L)).as("first_match"),
+          col("n_matches").isNotNull.as("is_dup"))
+        .orderBy(col("doc_id"))
     }),
 
     // MinHash + LSH near-dup: 64 permutations h_i(x) = (a_i*x + b_i)
@@ -428,6 +466,33 @@ object DedupPack extends QueryPack {
         |FROM inter JOIN cnt ca ON ca.doc_id = ida
         |WHERE i * 1.0 / ca.n >= 0.9
         |ORDER BY ida, idb""".stripMargin,
+
+    "d_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                         for i in range(1, greatest(len(w) - 1, 1))]) AS s
+        |  FROM w)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT e.doc_id AS ide, i.doc_id AS idi, count(*) AS i
+        |  FROM sh e JOIN sh i USING (s)
+        |  WHERE e.doc_id % 3 <> 0 AND i.doc_id % 3 = 0
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT ide, idi, i * 1.0 / (ce.n + ci.n - i) AS j
+        |  FROM inter JOIN cnt ce ON ce.doc_id = ide
+        |             JOIN cnt ci ON ci.doc_id = idi),
+        |m AS (
+        |  SELECT idi, count(*) AS n_matches, min(ide) AS first_match
+        |  FROM j WHERE j >= 0.8 GROUP BY 1),
+        |inc AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+        |SELECT inc.doc_id,
+        |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+        |  coalesce(m.first_match, -1) AS first_match,
+        |  m.idi IS NOT NULL AS is_dup
+        |FROM inc LEFT JOIN m ON m.idi = inc.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Components via a recursive CTE: min reachable id per node. The
     // UNION (not UNION ALL) dedups the frontier so the walk terminates.
