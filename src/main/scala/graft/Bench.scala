@@ -50,7 +50,11 @@ object Bench {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => } // side artifact only — never fail bench
+    } catch { // side artifact only — never fail bench, but say so: a
+      // silent miss would let bench_compare read a STALE file
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] full-timings write to $outPath failed: $e")
+    }
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

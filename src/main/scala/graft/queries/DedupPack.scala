@@ -210,11 +210,13 @@ object DedupPack extends QueryPack {
     // batch, so the band join is existing-index x broadcast(incoming)
     // and only CROSS pairs (existing, incoming) are generated — the
     // existing-existing quadratic never re-runs. Batch membership here
-    // is doc_id % 3 = 0; matches are exact-verified at J >= 0.8 like
+    // is doc_id % 20 = 0 (a 5% ingest — small enough that broadcasting
+    // its band rows is the honest shape, unlike a half-corpus "batch");
+    // matches are exact-verified at J >= 0.8 like
     // every near-dup path (LSH prunes, Jaccard decides). Emits a full
     // incoming census: match count, earliest matching doc, dup flag.
     "d_incremental" -> ((s, dir) => {
-      val isInc = col("doc_id") % 3 === 0
+      val isInc = col("doc_id") % 20 === 0
       val sigs = hashArrays(s, dir)
         .withColumn("sig", graft.expr.MinHashSig(col("hs"), 64, 20260812L))
       val bands = bandHashes(sigs)
@@ -477,7 +479,7 @@ object DedupPack extends QueryPack {
         |inter AS (
         |  SELECT e.doc_id AS ide, i.doc_id AS idi, count(*) AS i
         |  FROM sh e JOIN sh i USING (s)
-        |  WHERE e.doc_id % 3 <> 0 AND i.doc_id % 3 = 0
+        |  WHERE e.doc_id % 20 <> 0 AND i.doc_id % 20 = 0
         |  GROUP BY 1, 2),
         |j AS (
         |  SELECT ide, idi, i * 1.0 / (ce.n + ci.n - i) AS j
@@ -486,7 +488,7 @@ object DedupPack extends QueryPack {
         |m AS (
         |  SELECT idi, count(*) AS n_matches, min(ide) AS first_match
         |  FROM j WHERE j >= 0.8 GROUP BY 1),
-        |inc AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+        |inc AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0)
         |SELECT inc.doc_id,
         |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
         |  coalesce(m.first_match, -1) AS first_match,
