@@ -65,4 +65,20 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_.getLong(1) == 2L) == 250)
     assert(out.forall(r => r.getLong(0) < 100000)) // kept id is the original
   }
+
+  test("incremental dedup: full incoming census, matches point at history") {
+    val out = SparkEntry.queries("d_incremental")(spark, sf("sf0.001"))
+      .collect()
+    // exactly the 5% ingest set, one row per incoming doc
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(0) % 20 == 0))
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    out.foreach { r =>
+      val (n, first, dup) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(dup == (n > 0), "is_dup inconsistent with match count")
+      if (dup) assert(first >= 0 && first % 20 != 0,
+        s"first_match $first is not an existing-corpus doc")
+      else assert(first == -1L)
+    }
+  }
 }
