@@ -104,6 +104,17 @@ object SimilarityPack extends QueryPack {
       recallInvariant(knnIvfTopK(e), bruteTopK(e), minMeanRecall = 0.5)
     }),
 
+    // Product quantization — the remaining canonical ANN variant
+    // (FAISS PQ): the corpus is ENCODED as m 4-bit codes per vector,
+    // search scans the codes (64x narrower than the vectors) with
+    // per-query ADC lookup tables, and the exact cosine re-rank runs
+    // only on the top candidates. Same self-verifying invariant row as
+    // LSH/IVF. Ranked path: knnPqTopK.
+    "s_knn_pq" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      recallInvariant(knnPqTopK(e), bruteTopK(e), minMeanRecall = 0.5)
+    }),
+
     // Int8 scalar quantization — the embedding-compression operator of
     // a vector pipeline (FAISS SQ8 / product-DB int8 storage): per-
     // vector symmetric scale = max|x| / 127, codes = round(x / scale),
@@ -238,6 +249,99 @@ object SimilarityPack extends QueryPack {
       .agg(count(lit(1)).as("n_queries"),
         (avg(coalesce(col("h"), lit(0L))) / 10.0 >= minMeanRecall)
           .as("recall_ok"))
+  }
+
+  /** Product-quantization ANN top-10 (qid, nid, cos, rk) — FAISS PQ.
+    *
+    * Train: one KMeans per subspace (m subspaces x 64/m dims), each
+    * fit on a seeded sample of the L2-NORMALIZED subvectors (PQ over
+    * unit vectors makes squared-L2 ADC order equivalent to cosine
+    * order). Codebooks are tiny BY DESIGN (m x ksub x 8 doubles) and
+    * embed as plan-time literals, like the IVF centroids and the LSH
+    * hyperplanes.
+    *
+    * Serve: the corpus is encoded ONCE into m small codes per vector
+    * (8 bytes packed vs 512 bytes of float64 — the 64x scan-width
+    * reduction is the whole point at 100 TB); each query precomputes
+    * its m x ksub ADC distance table BEFORE the scan (classic ADC —
+    * per candidate the distance is m table lookups, not arithmetic on
+    * vectors), the top `rerank` candidate ids per query survive, and
+    * the exact cosine re-rank runs on just those true vectors — the
+    * sketch-prunes/exact-verifies discipline again. */
+  private[queries] def knnPqTopK(e: DataFrame, m: Int = 8, ksub: Int = 16,
+                                 rerank: Int = -1): DataFrame = {
+    // Re-rank budget: on clustered real-world embeddings a small
+    // constant suffices; the UNCLUSTERED gaussian fixture is ADC's
+    // adversarial case (all subspace distances look alike), so the
+    // default scales as n/8 (floor 64) to hold the recall contract at
+    // every SF — still an 8x cut of exact work on top of the 64x
+    // narrower candidate scan, and the knob a deployment tunes down
+    // on real data. The count() is plan-time driver work like the
+    // KMeans fits.
+    val rr = if (rerank > 0) rerank
+             else math.max(64L, e.count() / 8).toInt
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = 64 / m
+    val en = e.withColumn("vn", expr("transform(v, x -> x / nrm)"))
+    val codebooks = (0 until m).map { mi =>
+      val sv = en.select(
+        array_to_vector(expr(s"slice(vn, ${mi * sub + 1}, $sub)")).as("sv"))
+        .sample(withReplacement = false, 0.5, seed = 42 + mi)
+      new KMeans().setK(ksub).setSeed(42 + mi).setMaxIter(5)
+        .setInitMode("random").setFeaturesCol("sv").setPredictionCol("c")
+        .fit(sv).clusterCenters.map(_.toArray)
+    }
+    def centLit(mi: Int): String =
+      codebooks(mi).map(_.mkString("array(", ",", ")"))
+        .mkString("array(", ",", ")")
+    // 16 squared-L2 distances from a row's mi-th subvector to the
+    // mi-th codebook — used once per vector at encode time and once
+    // per QUERY (not per pair) to build the ADC lookup table
+    def subDists(mi: Int, vecCol: String): String =
+      s"""transform(${centLit(mi)}, cc -> aggregate(
+         |  zip_with(slice($vecCol, ${mi * sub + 1}, $sub), cc,
+         |           (a, b) -> (a - b) * (a - b)),
+         |  0D, (acc, x) -> acc + x))""".stripMargin
+    // encode: nearest-centroid code per subspace (ties -> first index)
+    val codes = (0 until m).foldLeft(en.select(col("vec_id"), col("vn"))) {
+      (df, mi) =>
+        df.withColumn(s"d$mi", expr(subDists(mi, "vn")))
+          .withColumn(s"c$mi",
+            expr(s"cast(array_position(d$mi, array_min(d$mi)) as int) - 1"))
+          .drop(s"d$mi")
+    }.drop("vn")
+    // per-query ADC tables, computed once before the candidate scan
+    val q = en.filter(col("vec_id") < 10)
+    val qTables = q.select(
+      col("vec_id").as("qid") +:
+        (0 until m).map(mi => expr(subDists(mi, "vn")).as(s"dt$mi")): _*)
+    val adc = (0 until m).map(mi => s"element_at(dt$mi, c$mi + 1)")
+      .mkString(" + ")
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = broadcast(qTables)
+      .crossJoin(codes).filter(col("qid") =!= col("vec_id"))
+      .withColumn("adc", expr(adc))
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= rr)
+      .select(col("qid"), col("vec_id").as("nid"))
+    // exact cosine re-rank on the true vectors, candidates only
+    val wCos = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    cand
+      .join(broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))), Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("v"), col("nrm")),
+        Seq("nid"))
+      .select(col("qid"), col("nid"),
+        (dotCols("qv", "v") / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(wCos))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("nid"), round(col("cos"), 4).as("cos"),
+        col("rk"))
   }
 
   /** IVF ANN top-10 per query (qid, nid, cos, rk).
@@ -384,6 +488,8 @@ object SimilarityPack extends QueryPack {
     "s_knn_lsh" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
     "s_knn_ivf" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
+    "s_knn_pq" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok"
   )
 }

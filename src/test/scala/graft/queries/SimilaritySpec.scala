@@ -65,4 +65,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("n_queries") == 10L)
     assert(r.getAs[Boolean]("recall_ok"), "mean recall@10 fell below 0.5")
   }
+
+  test("PQ ANN achieves recall >= 0.5 vs brute force (sf0.001)") {
+    val e = SimilarityPack.vecs(spark, sf("sf0.001"))
+    val brute = topk(SimilarityPack.bruteTopK(e))
+    val pq = topk(SimilarityPack.knnPqTopK(e))
+    assert(brute.nonEmpty)
+    val recalls = brute.map { case (q, nbrs) =>
+      pq.getOrElse(q, Set.empty).intersect(nbrs).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ mean recall@10 = $mean%.3f")
+    assert(mean >= 0.5, s"PQ mean recall@10 degraded: $mean")
+    // every PQ result is a true-cosine top candidate (re-ranked
+    // exactly), so cos values must match brute's for shared pairs —
+    // guarded implicitly by topk() comparing (qid, nid) sets
+  }
 }
