@@ -203,6 +203,32 @@ object DedupPack extends QueryPack {
       verified(cand, hs)
     }),
 
+    // Exact-substring dedup pairs (the Lee et al. 2021 "Deduplicating
+    // Training Data Makes Language Models Better" shape, approximated
+    // with fixed 12-word windows instead of a suffix array): two
+    // documents are substring-dups when they share ANY exact 12-word
+    // window; emit the pair with how many distinct windows they share.
+    // Runs on the planted corpus so the operator has real work.
+    //
+    // Scale shape: windows are 8-byte ShingleHashes (one codegen pass,
+    // distinct per doc — never the window text), so the inverted-index
+    // self-join shuffles (hash, doc_id) pairs only. A 12-word window is
+    // ~unique in a real corpus unless genuinely duplicated, so posting
+    // lists are short; a df cap (t_boilerplate's lesson) would bound
+    // any pathological hot window. The pair agg keys on (ida, idb) —
+    // output-sized, tiny.
+    "d_substr" -> ((s, dir) => {
+      val win = withPlanted(s, dir)
+        .select(col("doc_id"),
+          explode(graft.expr.ShingleHashes(col("text"), 12)).as("h"))
+      val a = win.select(col("h"), col("doc_id").as("ida"))
+      val b = win.select(col("h"), col("doc_id").as("idb"))
+      a.join(b, "h").filter(col("ida") < col("idb"))
+        .groupBy(col("ida"), col("idb"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("ida"), col("idb"))
+    }),
+
     // INCREMENTAL (cross-batch) dedup — dedup an incoming batch
     // against the existing corpus without re-pairing the corpus with
     // itself. At 100 TB history is never re-deduped: its materialized
@@ -449,6 +475,26 @@ object DedupPack extends QueryPack {
     "d_ngram_jaccard" -> exactJaccardSql,
     "d_minhash_lsh" -> exactJaccardSql,
     "d_simhash" -> exactJaccardSql,
+
+    // distinct 12-word windows per doc as strings (the Spark side
+    // hashes the same windows; counts agree absent xxhash64 collision)
+    "d_substr" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+11], ' ')
+        |            for i in range(1, greatest(len(w) - 10, 1))]) AS s
+        |  FROM w)),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS n_shared
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb, n_shared FROM pairs ORDER BY ida, idb""".stripMargin,
 
     // exact containment over ALL ordered pairs (both directions):
     // pairs sharing zero shingles cannot reach the threshold, so the

@@ -146,6 +146,56 @@ object StreamingPack extends QueryPack {
           |ORDER BY user_id, event_id""".stripMargin)
     }),
 
+    // Ordered conversion funnel (view -> click -> purchase): how many
+    // users reach each stage, where a stage only counts if it happens
+    // strictly AFTER the user's first event of the previous stage —
+    // the event-analytics shape every product pipeline runs. Scale
+    // shape: each stage is one keyed shuffle on user_id and the stage
+    // frontier (one row per qualifying user) shrinks monotonically, so
+    // stages 2..k join a corpus-sized filter against an already-tiny
+    // aggregated side (AQE broadcasts it); no window over a global
+    // ordering, no per-user event-list materialization.
+    "e_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_view").as("stage"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click_after_view").as("stage"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase_after_click").as("stage"), col("n_users")))
+        .orderBy(col("stage"))
+    }),
+
+    // Cohort retention matrix: users grouped by the day of their first
+    // event (cohort), counted on each later day they were active —
+    // (cohort_day, day_offset) -> distinct active users. Scale shape:
+    // one keyed shuffle for the per-user first-event min, one
+    // (user, day) distinct (map-side partials collapse the per-day
+    // event fan-in), one user_id-keyed join against the tiny firsts
+    // side, and a final hash agg on the calendar-sized
+    // (cohort, offset) key. Nothing ever groups on an unbounded key
+    // and no per-user history is collected.
+    "e_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).cast("date").as("cohort_day"))
+      val days = ev.select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      firsts.join(days, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Interval-point range join via the binned equi-join rewrite
     // (scale/RangeJoin): every purchase landing inside the 10-minute
     // window after an error. No equi-key exists, so the naive plan is
@@ -266,6 +316,37 @@ object StreamingPack extends QueryPack {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "e_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click_after_view', count(*) FROM c
+        |UNION ALL
+        |SELECT '3_purchase_after_click', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "e_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT f.cohort_day,
+        |  date_diff('day', f.cohort_day, d.day) AS day_offset,
+        |  count(*) AS n_users
+        |FROM f JOIN d USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "st_range_join" ->
       """WITH i AS (

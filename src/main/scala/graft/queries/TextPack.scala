@@ -259,6 +259,41 @@ object TextPack extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Weighted corpus mixing with epoch oversampling — the step that
+    // turns per-source mixture weights into an emitted training
+    // corpus: weight 2.5 means every doc appears twice and half the
+    // docs a third time; weight 0.5 keeps half the source. The
+    // fractional part is decided by the same deterministic content
+    // fingerprint as t_split (never rand(): assignment survives
+    // retries, reruns, and engine swaps). Scale shape: a pure
+    // projection computes the copy count, a generator (explode of a
+    // bounded sequence) emits the copies, and one hash agg on the
+    // source key summarizes — no shuffle wider than the final
+    // per-source rollup; at 100 TB the emitted corpus streams straight
+    // to the packer (t_pack) without materializing.
+    "t_mix" -> ((s, dir) => {
+      val fp = pmod(graft.expr.CharFingerprint(col("text")), lit(100))
+      val w = when(col("source").isin("src0", "src1", "src2"), 2.5)
+        .when(col("source").isin("src3", "src4"), 0.5)
+        .otherwise(1.0)
+      val copies = (floor(w) +
+        when(fp < (w - floor(w)) * 100, 1).otherwise(0)).cast("int")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          copies.as("n_copies"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          explode(expr(
+            "CASE WHEN n_copies >= 1 THEN sequence(1, n_copies) " +
+              "ELSE array() END")).as("epoch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_emitted"),
+          countDistinct(col("doc_id")).as("n_docs_kept"),
+          sum(col("n_tokens")).as("tok_emitted"),
+          sum(col("doc_id") * col("epoch")).as("id_checksum"))
+        .orderBy(col("source"))
+    }),
+
     // Eval-set n-gram decontamination — the benchmark-hygiene step a
     // training pipeline runs before a model sees the corpus: any
     // training document sharing word-trigrams with the held-out eval
@@ -497,6 +532,32 @@ object TextPack extends QueryPack {
         |  count(*) FILTER (keep) AS n_kept,
         |  CAST(sum(doc_id) FILTER (keep) AS BIGINT) AS kept_id_checksum
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t_mix" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+        |    list_sum([unicode(text[i]) * i for i in range(1, length(text) + 1)])
+        |      % 1000000007 % 100 AS fp
+        |  FROM documents),
+        |w AS (
+        |  SELECT *, CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2.5
+        |                 WHEN source IN ('src3', 'src4') THEN 0.5
+        |                 ELSE 1.0 END AS w
+        |  FROM f),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(floor(w) + CASE WHEN fp < (w - floor(w)) * 100
+        |                         THEN 1 ELSE 0 END AS INT) AS n_copies
+        |  FROM w),
+        |e AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    unnest(generate_series(1, n_copies)) AS epoch
+        |  FROM c)
+        |SELECT source, count(*) AS n_emitted,
+        |  count(DISTINCT doc_id) AS n_docs_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_emitted,
+        |  CAST(sum(doc_id * epoch) AS BIGINT) AS id_checksum
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t_decontam" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

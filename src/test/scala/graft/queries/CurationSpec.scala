@@ -120,6 +120,30 @@ class CurationSpec extends SparkSpec {
       "vocab not ordered by descending frequency")
   }
 
+  test("t_mix emits per-source copies matching the weight schedule") {
+    val out = TextPack.queries("t_mix")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val baseCounts = Tables(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (src, emitted, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val n = baseCounts(src)
+      src match {
+        case "src0" | "src1" | "src2" => // weight 2.5: 2n..3n, all kept
+          assert(emitted >= 2 * n && emitted <= 3 * n, s"$src emitted $emitted of $n")
+          assert(kept == n)
+        case "src3" | "src4" => // weight 0.5: at most n, a strict subset
+          assert(emitted <= n && kept == emitted)
+        case _ => // weight 1.0: identity
+          assert(emitted == n && kept == n)
+      }
+    }
+    // deterministic: content-hash assignment, not rand()
+    val again = TextPack.queries("t_mix")(spark, dir).collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("t_bigram_lm probabilities are consistent fractions") {
     val out = TextPack.queries("t_bigram_lm")(spark, dir).collect()
     assert(out.nonEmpty)

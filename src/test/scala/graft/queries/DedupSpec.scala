@@ -66,6 +66,28 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) < 100000)) // kept id is the original
   }
 
+  test("d_substr finds every planted copy pair with full window overlap") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val out = SparkEntry.queries("d_substr")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every even doc with >= 12 words shares ALL its windows with its
+    // planted copy at id+100000
+    val wins = graft.io.Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        size(graft.expr.ShingleHashes(col("text"), 12)).as("nw"))
+      .filter(col("nw") > 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(wins.nonEmpty)
+    wins.foreach { case (id, nw) =>
+      assert(out.get((id, id + 100000)).contains(nw.toLong),
+        s"planted pair ($id, ${id + 100000}) missing or partial")
+    }
+    // shared counts are positive and bounded by either side's windows
+    assert(out.values.forall(_ >= 1))
+  }
+
   test("incremental dedup: full incoming census, matches point at history") {
     val out = SparkEntry.queries("d_incremental")(spark, sf("sf0.001"))
       .collect()
