@@ -82,6 +82,23 @@ object DedupPack extends QueryPack {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Embeddings with planted near-dup copies: every 5th vector gets a
+    * perturbed twin at id+100000 (element-wise nudge of magnitude
+    * <= 0.03 — cosine vs the original ~0.999, far above the 0.95
+    * semantic-dup threshold; all other pairs sit below 0.5). The
+    * perturbation is pure double arithmetic on plain literals so the
+    * DuckDB oracle reproduces it bit-exactly. */
+  private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val planted = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(v, (x, i) -> x + 0.01D * ((i % 7) - 3))").as("v"))
+    e.union(planted)
+      .withColumn("nrm", sqrt(SimilarityPack.dotCols("v", "v")))
+  }
+
   /** The corpus with planted exact dups (copies of the even-id docs;
     * the fixture itself has none, so the dedup has real work to do). */
   private def withPlanted(s: SparkSession, dir: String): DataFrame = {
@@ -389,6 +406,56 @@ object DedupPack extends QueryPack {
       verified(cand, sigs.select(col("doc_id"), col("hs"), col("n")))
     }),
 
+    // SemDeDup (Abbas et al. 2023) — SEMANTIC dedup census over
+    // embeddings: drop all but one representative of every group of
+    // vectors with cosine >= 0.95. The corpus plants perturbed copies
+    // of every 5th vector (deterministic element-wise nudge the oracle
+    // reproduces bit-exactly), since the raw fixture has no semantic
+    // dups. Candidates come from 16-bit sign-signature pigeonhole
+    // banding (4 bands x 4 bits: any pair within Hamming 3 shares a
+    // band — at cos 0.95+ expected flips are ~0.1 of 16 bits), are
+    // exact-verified on the true vectors, and connected components
+    // elect min-id representatives. The DuckDB oracle computes the
+    // same census from ALL-pairs exact cosine — a banding recall miss
+    // turns the row red, so the gate tests recall, not just plumbing.
+    //
+    // Scale shape: signatures are a narrow (vec_id, 16-bit sig)
+    // projection (hyperplanes are plan-time literals); the band join
+    // carries id pairs only; exact cosine runs on candidates, not the
+    // n^2 pair space — the d_embed_cos quadratic baseline is exactly
+    // what this path replaces at 100 TB.
+    "d_semdedup" -> ((s, dir) => {
+      val ev = plantedVecs(s, dir)
+      val rng = new scala.util.Random(7)
+      val planes = Array.fill(16, 64)(rng.nextDouble() * 2 - 1)
+      val sigCol = (0 until 16).map { p =>
+        when(graft.expr.DotProduct(col("v"), typedLit(planes(p).toSeq)) > 0,
+          lit(1L << (15 - p))).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = ev.select(col("vec_id"), sigCol.as("sig"))
+      val bands = sigs.select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(sig, (3 - b) * 4) % 16)"))
+        .as(Seq("band", "bb")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+        .distinct()
+      val va = ev.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
+      val vb = ev.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
+      val pairs = cand.join(va, "ida").join(vb, "idb")
+        .filter(SimilarityPack.dotCols("va", "vb") / (col("na") * col("nb")) >= 0.95)
+        .select(col("ida").as("src"), col("idb").as("dst"))
+      val cc = ConnectedComponents.run(pairs)
+      ev.select(col("vec_id"))
+        .join(cc, ev("vec_id") === cc("node"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("rep_id"))
+        .withColumn("is_kept", col("rep_id") === col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Embedding-cosine near-dup: norms precomputed once per vector,
     // pair filter on cosine >= 0.45. All-pairs is the correctness
     // baseline (the fixture has no planted vector dups; 0.45 keeps the
@@ -562,6 +629,36 @@ object DedupPack extends QueryPack {
         |  comp.node = comp.component AS is_rep
         |FROM comp JOIN sizes USING (component)
         |ORDER BY doc_id""".stripMargin,
+
+    // all-pairs exact cosine over the planted corpus + recursive-CTE
+    // components — the brute-force twin of the banded Spark path
+    "d_semdedup" ->
+      """WITH RECURSIVE
+        |all_v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    [CAST(embedding[i] AS DOUBLE) + 0.01 * (((i - 1) % 7) - 3)
+        |     for i in range(1, len(embedding) + 1)]
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v),
+        |p AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95),
+        |edges AS (
+        |  SELECT ida AS s, idb AS d FROM p
+        |  UNION SELECT idb AS s, ida AS d FROM p),
+        |walk(node, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT walk.node, e.d FROM walk JOIN edges e ON e.s = walk.r),
+        |comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node)
+        |SELECT n.vec_id,
+        |  CAST(coalesce(comp.component, n.vec_id) AS BIGINT) AS rep_id,
+        |  coalesce(comp.component, n.vec_id) = n.vec_id AS is_kept
+        |FROM n LEFT JOIN comp ON comp.node = n.vec_id
+        |ORDER BY n.vec_id""".stripMargin,
 
     "d_embed_cos" ->
       """WITH e AS (

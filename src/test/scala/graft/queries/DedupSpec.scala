@@ -88,6 +88,25 @@ class DedupSpec extends SparkSpec {
     assert(out.values.forall(_ >= 1))
   }
 
+  test("d_semdedup merges every planted twin, keeps everything else") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("d_semdedup")(spark, sf("sf0.001"))
+    val rows = out.collect()
+    val n = graft.io.Tables(spark, sf("sf0.001"), "embeddings").count()
+    val planted = rows.count(_.getLong(0) >= 100000)
+    assert(rows.length == n + planted)
+    // every planted twin points at its original and is dropped
+    rows.filter(_.getLong(0) >= 100000).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 100000,
+        s"twin ${r.getLong(0)} rep ${r.getLong(1)}")
+      assert(!r.getBoolean(2))
+    }
+    // originals (and all non-planted vectors) keep themselves
+    rows.filter(_.getLong(0) < 100000).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) && r.getBoolean(2))
+    }
+  }
+
   test("incremental dedup: full incoming census, matches point at history") {
     val out = SparkEntry.queries("d_incremental")(spark, sf("sf0.001"))
       .collect()
