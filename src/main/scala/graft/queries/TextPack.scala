@@ -384,6 +384,40 @@ object TextPack extends QueryPack {
         .orderBy(col("id")).limit(100)
     }),
 
+    // LM quality scoring — APPLY the corpus bigram LM to every
+    // document (the CCNet/KenLM-filter shape: score each doc by how
+    // probable its token transitions are under a reference LM; low
+    // scores mark gibberish). The LM here is the corpus's own bigram
+    // model (t_bigram_lm's counting pass); per-bigram P(w2|w1) and the
+    // per-doc average are integer basis points (`div` — exact in both
+    // engines; a float log-prob average would be summation-order-
+    // sensitive at the rounding boundary). Scale shape: the LM table
+    // is vocabulary^2-bounded (Heaps-sublinear — MBs at 100 TB), so
+    // scoring is one corpus bigram projection joined against a
+    // broadcastable LM + a doc-keyed hash agg; at 100 TB the LM comes
+    // from a held-out reference corpus and the plan is unchanged.
+    "t_lm_score" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val docBigrams = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c12 = docBigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val lm = c12.join(c1, "w1")
+        .select(col("w1"), col("w2"), expr("c12 * 10000 div c1").as("p_bp"))
+      docBigrams.join(broadcast(lm), Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_bp")).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("s div n_bigrams").as("score_bp"))
+        .withColumn("keep", col("score_bp") >= 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // Bigram LM counting — the canonical MapReduce workload: bigram
     // counts and conditional probabilities P(w2|w1), the KenLM-style
     // counting pass of n-gram language modeling (used in pipelines as
@@ -632,6 +666,27 @@ object TextPack extends QueryPack {
         |SELECT token, freq,
         |  row_number() OVER (ORDER BY freq DESC, token) - 1 AS id
         |FROM c ORDER BY id LIMIT 100""".stripMargin,
+
+    "t_lm_score" ->
+      """WITH q AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+        |                         for i in range(1, len(w))]) AS b
+        |  FROM q),
+        |c12 AS (SELECT b, count(*) AS c12 FROM bg GROUP BY 1),
+        |c1 AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+        |  FROM c12 GROUP BY 1),
+        |lm AS (
+        |  SELECT b, c12 * 10000 // c1 AS p_bp
+        |  FROM c12 JOIN c1 ON split_part(b, ' ', 1) = w1),
+        |d AS (
+        |  SELECT doc_id, sum(p_bp) AS s, count(*) AS n
+        |  FROM bg JOIN lm USING (b) GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+        |  CAST(s // n AS BIGINT) AS score_bp,
+        |  s // n >= 100 AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "t_bigram_lm" ->
       """WITH q AS (SELECT string_split(text, ' ') AS w FROM documents),

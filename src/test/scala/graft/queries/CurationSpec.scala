@@ -161,6 +161,23 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("t_lm_score covers every multi-word doc with a bounded score") {
+    val out = TextPack.queries("t_lm_score")(spark, dir).collect()
+    val docsWithBigram = Tables(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(out.length == docsWithBigram)
+    out.foreach { r =>
+      val (n, bp, keep) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(n >= 1)
+      assert(bp >= 0 && bp <= 10000, s"score_bp $bp out of range")
+      assert(keep == (bp >= 100))
+    }
+    // a doc made of the corpus's most common transitions must outscore
+    // the overall minimum (the filter separates, not constant-scores)
+    assert(out.map(_.getLong(2)).distinct.length > 1,
+      "LM filter produced a constant score")
+  }
+
   test("t_bigram_lm probabilities are consistent fractions") {
     val out = TextPack.queries("t_bigram_lm")(spark, dir).collect()
     assert(out.nonEmpty)
