@@ -411,35 +411,40 @@ object DedupPack extends QueryPack {
     // vectors with cosine >= 0.95. The corpus plants perturbed copies
     // of every 5th vector (deterministic element-wise nudge the oracle
     // reproduces bit-exactly), since the raw fixture has no semantic
-    // dups. Candidates come from 16-bit sign-signature pigeonhole
-    // banding (4 bands x 4 bits: any pair within Hamming 3 shares a
-    // band — at cos 0.95+ expected flips are ~0.1 of 16 bits), are
-    // exact-verified on the true vectors, and connected components
-    // elect min-id representatives. The DuckDB oracle computes the
-    // same census from ALL-pairs exact cosine — a banding recall miss
-    // turns the row red, so the gate tests recall, not just plumbing.
+    // dups. Candidate generation is the d_simhash geometry applied to
+    // sign signatures: 64 literal hyperplanes give a 64-bit signature;
+    // 16 x 4-bit pigeonhole blocks make blocking recall-EXACT to
+    // Hamming 15 (dup twins at cos ~0.999 flip ~3 of 64 bits even for
+    // small-norm vectors — a 16-bit/4-band first cut missed one
+    // planted pair at sf0.1, caught by the oracle's all-pairs census);
+    // an xor+bit_count Hamming <= 15 pre-filter on the 8-byte sigs
+    // prunes the block-join candidates before any vector math, then
+    // exact cosine verifies and connected components elect min-id
+    // representatives.
     //
-    // Scale shape: signatures are a narrow (vec_id, 16-bit sig)
-    // projection (hyperplanes are plan-time literals); the band join
-    // carries id pairs only; exact cosine runs on candidates, not the
-    // n^2 pair space — the d_embed_cos quadratic baseline is exactly
-    // what this path replaces at 100 TB.
+    // Scale shape: signatures are a narrow (vec_id, int64) projection
+    // (hyperplanes are plan-time literals); the block join and
+    // pre-filter carry (id, id) and (id, long) pairs only; exact
+    // cosine runs on the Hamming survivors, not the n^2 pair space —
+    // the d_embed_cos quadratic baseline is exactly what this path
+    // replaces at 100 TB.
     "d_semdedup" -> ((s, dir) => {
       val ev = plantedVecs(s, dir)
       val rng = new scala.util.Random(7)
-      val planes = Array.fill(16, 64)(rng.nextDouble() * 2 - 1)
-      val sigCol = (0 until 16).map { p =>
+      val planes = Array.fill(64, 64)(rng.nextDouble() * 2 - 1)
+      val sigCol = (0 until 64).map { p =>
         when(graft.expr.DotProduct(col("v"), typedLit(planes(p).toSeq)) > 0,
-          lit(1L << (15 - p))).otherwise(lit(0L))
+          lit(1L << (63 - p))).otherwise(lit(0L))
       }.reduce(_ + _)
       val sigs = ev.select(col("vec_id"), sigCol.as("sig"))
-      val bands = sigs.select(col("vec_id"), posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(sig, (3 - b) * 4) % 16)"))
-        .as(Seq("band", "bb")))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
-            col("a.vec_id") < col("b.vec_id"))
+      val blocks = sigs.select(col("vec_id"), col("sig"), posexplode(expr(
+        "transform(sequence(0, 15), b -> shiftright(sig, (15 - b) * 4) & 15)"))
+        .as(Seq("blk", "bb")))
+      val cand = blocks.as("a")
+        .join(blocks.as("b"),
+          col("a.blk") === col("b.blk") && col("a.bb") === col("b.bb") &&
+            col("a.vec_id") < col("b.vec_id") &&
+            bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 15)
         .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
         .distinct()
       val va = ev.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))

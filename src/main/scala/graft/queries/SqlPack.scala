@@ -111,6 +111,45 @@ object SqlPack extends QueryPack {
       |ORDER BY total_qty DESC, o_orderkey
       |LIMIT 50""".stripMargin
 
+  /** TPC-H Q12 (shipping-mode priority), adapted to the fixture's
+    * columns (no l_shipmode/l_commitdate; returnflag plays the mode):
+    * conditional counts of high- vs low-priority orders per flag —
+    * the canonical CASE-inside-agg rollup. One fact-fact join keyed
+    * on the orderkey, one tiny grouped output. */
+  private val q12 =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q14 (promotion effect): promo revenue share in a month.
+    * Money stays DECIMAL end-to-end; the percentage is a double
+    * computed FROM the two exact decimal sums (a deterministic
+    * function, identical in both engines — no float aggregation). */
+  private val q14 =
+    """SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS promo_revenue,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS total_revenue,
+      |  (CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS DOUBLE) * 100)
+      |    / CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS DECIMAL(18,4)) AS DOUBLE) AS promo_pct
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
   /** Correlated EXISTS — customers holding at least one very large
     * order. Catalyst decorrelates this to a left-semi hash join on
     * c_custkey (no per-row subquery execution); the filter on
@@ -152,7 +191,11 @@ object SqlPack extends QueryPack {
     "sql_scalar_max_qty" -> ((s, dir) =>
       sql(s, dir, Seq("orders", "lineitem"), qScalar)),
     "sql_q18_big_volume" -> ((s, dir) =>
-      sql(s, dir, Seq("customer", "orders", "lineitem"), q18))
+      sql(s, dir, Seq("customer", "orders", "lineitem"), q18)),
+    "sql_q12_priority" -> ((s, dir) =>
+      sql(s, dir, Seq("orders", "lineitem"), q12)),
+    "sql_q14_promo" -> ((s, dir) =>
+      sql(s, dir, Seq("lineitem", "part"), q14))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -161,6 +204,8 @@ object SqlPack extends QueryPack {
     "sql_q10_returns" -> q10,
     "sql_exists_big_order" -> qExists,
     "sql_scalar_max_qty" -> qScalar,
-    "sql_q18_big_volume" -> q18
+    "sql_q18_big_volume" -> q18,
+    "sql_q12_priority" -> q12,
+    "sql_q14_promo" -> q14
   )
 }
