@@ -283,22 +283,31 @@ object SimilarityPack extends QueryPack {
     val sub = 64 / m
     val en = e.withColumn("vn", expr("transform(v, x -> x / nrm)"))
     // Codebook training is driver-local Lloyd's over ONE bounded
-    // seeded sample — exactly FAISS's train(): PQ codebooks are fit
-    // in memory on a few thousand vectors regardless of corpus size,
-    // so the driver work is O(sample), not O(corpus). (The previous
+    // sample — exactly FAISS's train(): PQ codebooks are fit in
+    // memory on a few thousand vectors regardless of corpus size, so
+    // the driver work is O(sample), not O(corpus). (The previous
     // formulation ran 8 MLlib KMeans jobs over the same tiny sample;
     // per-job scheduling overhead was ~3/4 of the query's wall time.)
-    // The sample is made deterministic independent of partitioning by
-    // the vec_id TakeOrdered, so the codebooks — and the ADC ranking —
-    // are reproducible across runs and cluster layouts.
+    // Sample membership is a pure function of vec_id (NOT
+    // Dataset.sample, whose per-partition RNG draws a different row
+    // set under a different partitioning), and the TakeOrdered fixes
+    // the row order — so the codebooks, and with them the ADC
+    // ranking, are reproducible across runs AND cluster layouts.
     val sample = en.select(col("vec_id"), col("vn"))
-      .sample(withReplacement = false, 0.5, seed = 42)
+      .filter(pmod(col("vec_id"), lit(2)) === 0)
       .orderBy(col("vec_id")).limit(4096)
       .collect().map(_.getSeq[Double](1).toArray)
     val codebooks = (0 until m).map { mi =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
       val rnd = new scala.util.Random(42 + mi)
-      val centers = Array.fill(ksub)(pts(rnd.nextInt(pts.length)).clone())
+      // distinct shuffled indices: no duplicate initial centers (a
+      // twin center never separates under Lloyd's), no crash on a
+      // tiny sample (cycle) — and ksub zero vectors on an empty one
+      val idx = rnd.shuffle(pts.indices.toVector)
+      val centers = Array.tabulate(ksub) { c =>
+        if (idx.isEmpty) new Array[Double](sub)
+        else pts(idx(c % idx.length)).clone()
+      }
       var it = 0
       while (it < 5) {
         val sums = Array.fill(ksub)(new Array[Double](sub))

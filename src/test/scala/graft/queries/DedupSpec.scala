@@ -88,6 +88,31 @@ class DedupSpec extends SparkSpec {
     assert(out.values.forall(_ >= 1))
   }
 
+  test("nibble blocking is pigeonhole-exact to the Hamming bound") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // random 64-bit sigs + planted close pairs (Hamming 1..15): the
+    // block join must return EXACTLY the pairs within the bound
+    val rnd = new scala.util.Random(13)
+    val base = Seq.tabulate(200)(i => (i.toLong, rnd.nextLong()))
+    val close = base.take(30).map { case (id, sig) =>
+      val flips = 1 + rnd.nextInt(15)
+      val bits = rnd.shuffle((0 until 64).toList).take(flips)
+      (id + 1000, bits.foldLeft(sig)((s, b) => s ^ (1L << b)))
+    }
+    val all = base ++ close
+    val df = all.toDF("id", "sig")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val expected = (for {
+      (ia, sa) <- all; (ib, sb) <- all
+      if ia < ib && ham(sa, sb) <= 15
+    } yield (ia, ib)).toSet
+    val got = DedupPack.nibbleBlockCandidates(df, "id", "sig", maxHamming = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("d_semdedup merges every planted twin, keeps everything else") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("d_semdedup")(spark, sf("sf0.001"))
