@@ -174,6 +174,30 @@ object StreamingPack extends QueryPack {
         .orderBy(col("stage"))
     }),
 
+    // Last-touch attribution: every purchase credited to the user's
+    // latest strictly-earlier click — the marketing-attribution shape,
+    // and a composition proof for the custom as-of operator (the same
+    // AsOfJoinExec that powers st_asof_* running over event-type-
+    // filtered sides rather than the whole table). One sort-merge pass
+    // with O(1) state per user partition; the type filters push into
+    // both scans before the operator sees a row.
+    "e_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val r = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("r_user"), col("ts").as("r_ts"))
+      graft.plans.AsOf.join(s, l, r,
+        l("user_id"), r("r_user"), l("ts"), r("r_ts"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("r_ts")))
+            .as("latency_us"),
+          col("value").as("attributed_value"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // Cohort retention matrix: users grouped by the day of their first
     // event (cohort), counted on each later day they were active —
     // (cohort_day, day_offset) -> distinct active users. Scale shape:
@@ -335,6 +359,20 @@ object StreamingPack extends QueryPack {
         |UNION ALL
         |SELECT '3_purchase_after_click', count(*) FROM p
         |ORDER BY stage""".stripMargin,
+
+    "e_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id, c.click_id,
+        |  epoch_us(p.ts) - epoch_us(c.c_ts) AS latency_us,
+        |  p.value AS attributed_value
+        |FROM p ASOF JOIN c
+        |  ON p.user_id = c.user_id AND c.c_ts < p.ts
+        |ORDER BY purchase_id""".stripMargin,
 
     "e_retention" ->
       """WITH f AS (

@@ -29,6 +29,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(s2 > 0, "fixture should convert at least one user")
   }
 
+  test("e_attribution credits the latest prior click, nothing between") {
+    val ev = Tables.events(spark, dir)
+    val out = StreamingPack.queries("e_attribution")(spark, dir)
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val j = out.join(clicks, "click_id").join(purchases, "purchase_id")
+    assert(j.count() == out.count(), "attributed ids must resolve")
+    // the credited click strictly precedes the purchase
+    assert(j.filter(col("click_ts") >= col("p_ts")).count() == 0)
+    // and no OTHER click of the same user falls between them
+    val between = j.join(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("other_ts")), Seq("user_id"))
+      .filter(col("other_ts") > col("click_ts") &&
+        col("other_ts") < col("p_ts"))
+    assert(between.count() == 0, "a later click was skipped")
+  }
+
   test("e_retention: day 0 counts every cohort member; bounds hold") {
     val out = StreamingPack.queries("e_retention")(spark, dir)
     // offsets are non-negative (first event defines the cohort floor)
