@@ -126,7 +126,10 @@ object GraftFunctions {
     d("minhash_sig", classOf[MinHashSig],
       es => MinHashSig(es.head, intArg(es(1), "minhash_sig"),
         longArg(es(2), "minhash_sig"))),
-    d("simhash_sig", classOf[SimHashSig], es => SimHashSig(es.head)))
+    d("simhash_sig", classOf[SimHashSig], es => SimHashSig(es.head)),
+    d("sign_bits_sig", classOf[SignBitsSig],
+      es => SignBitsSig(es.head, intArg(es(1), "sign_bits_sig"),
+        longArg(es(2), "sign_bits_sig"))))
 
   private[graft] val accentFoldDescriptor: Descriptor = descriptors.head
 

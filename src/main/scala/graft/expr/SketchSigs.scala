@@ -53,6 +53,40 @@ object SketchSigs {
     new GenericArrayData(out)
   }
 
+  // hyperplane matrices per (bits, dim, seed), built once per JVM —
+  // the same plan-time-literal discipline as the LSH hyperplanes and
+  // the minhash permutations (deterministic, engine-independent)
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Double]]()
+
+  private def planes(bits: Int, dim: Int, seed: Long): Array[Double] =
+    planesCache.computeIfAbsent((bits, dim, seed), { case (b, d, sd) =>
+      val rng = new scala.util.Random(sd)
+      Array.fill(b * d)(rng.nextDouble() * 2 - 1) // row-major, plane-major
+    })
+
+  /** Sign-LSH signature of a double vector: bit (bits-1-p) is set when
+    * plane p's dot product is positive. One pass over the vector per
+    * plane, left-to-right IEEE order (DotProduct's contract), so the
+    * result is bit-identical to the composed
+    * `when(DotProduct(v, plane_p) > 0, 1L << (bits-1-p))` chain it
+    * replaces — without the 64-branch codegen tree. */
+  def signBits(v: ArrayData, bits: Int, seed: Long): Long = {
+    val dim = v.numElements()
+    val pl = planes(bits, dim, seed)
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var d = 0.0
+      var i = 0
+      val off = p * dim
+      while (i < dim) { d += v.getDouble(i) * pl(off + i); i += 1 }
+      if (d > 0) sig |= 1L << (bits - 1 - p)
+      p += 1
+    }
+    sig
+  }
+
   /** SimHash signature: sign bits of per-bit +-1 votes. */
   def simHash(hashes: ArrayData): Long = {
     val votes = new Array[Int](64)
@@ -96,6 +130,37 @@ object MinHashSig {
     org.apache.spark.sql.graft.ColumnBridge.column(
       MinHashSig(org.apache.spark.sql.graft.ColumnBridge.expression(hashes),
         numPerms, seed))
+}
+
+/** 64-bit (or narrower) sign-LSH signature over an array<double>
+  * column — the embedding-space sibling of SimHashSig. Hyperplanes
+  * are a pure function of (bits, dim, seed), generated once per JVM:
+  * the signature is a narrow codegen projection, never a per-row
+  * hash chain or a 64-branch CASE tree. */
+case class SignBitsSig(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_bits_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _)
+      if bits >= 1 && bits <= 64 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sign_bits_sig needs (array<double>, 1 <= bits <= 64), got $t, bits=$bits")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchSigs.signBits(input.asInstanceOf[ArrayData], bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.SketchSigs.signBits($c, $bits, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): SignBitsSig =
+    copy(child = newChild)
+}
+
+object SignBitsSig {
+  def apply(v: Column, bits: Int, seed: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SignBitsSig(org.apache.spark.sql.graft.ColumnBridge.expression(v),
+        bits, seed))
 }
 
 case class SimHashSig(child: Expression) extends UnaryExpression {

@@ -452,13 +452,12 @@ object DedupPack extends QueryPack {
     // replaces at 100 TB.
     "d_semdedup" -> ((s, dir) => {
       val ev = plantedVecs(s, dir)
-      val rng = new scala.util.Random(7)
-      val planes = Array.fill(64, 64)(rng.nextDouble() * 2 - 1)
-      val sigCol = (0 until 64).map { p =>
-        when(graft.expr.DotProduct(col("v"), typedLit(planes(p).toSeq)) > 0,
-          lit(1L << (63 - p))).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val sigs = ev.select(col("vec_id"), sigCol.as("sig"))
+      // 64 sign bits in ONE codegen expression (SignBitsSig) — the
+      // composed 64-branch when(DotProduct > 0) chain it replaces
+      // produced the same bits (parity spec-pinned) but a codegen tree
+      // janino spends seconds compiling
+      val sigs = ev.select(col("vec_id"),
+        graft.expr.SignBitsSig(col("v"), 64, 7L).as("sig"))
       val cand = nibbleBlockCandidates(sigs, "vec_id", "sig", maxHamming = 15)
       val va = ev.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
       val vb = ev.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))

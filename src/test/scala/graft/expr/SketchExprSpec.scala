@@ -49,6 +49,26 @@ class SketchExprSpec extends SparkSpec {
     assert(viaExpr.nonEmpty)
   }
 
+  test("SignBitsSig == composed when(DotProduct > 0) chain (bit parity)") {
+    val vecs = Tables(spark, sf("sf0.001"), "embeddings").limit(50)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val viaExpr = vecs.select(col("vec_id"), SignBitsSig(col("v"), 64, 7L).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the formulation the expression replaced: same Random(7) planes,
+    // same bit order, same left-to-right dot-product fold
+    val rng = new scala.util.Random(7)
+    val planes = Array.fill(64, 64)(rng.nextDouble() * 2 - 1)
+    val sigCol = (0 until 64).map { p =>
+      when(DotProduct(col("v"), typedLit(planes(p).toSeq)) > 0,
+        lit(1L << (63 - p))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val viaChain = vecs.select(col("vec_id"), sigCol.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaChain)
+    assert(viaExpr.nonEmpty)
+  }
+
   test("SimHashSig expression == SimHashAgg UDAF") {
     val docs = Tables(spark, sf("sf0.001"), "documents").limit(50)
     val arrays = docs.select(col("doc_id"), ShingleHashes(col("text"), 3).as("hs"))

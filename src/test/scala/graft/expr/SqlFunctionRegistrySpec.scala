@@ -45,6 +45,15 @@ class SqlFunctionRegistrySpec extends SparkSpec {
     assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
   }
 
+  test("sign_bits_sig from SQL == Column API") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(Seq(0.5, -1.25, 2.0, 0.75)).toDF("v")
+    val viaSql = df.selectExpr("sign_bits_sig(v, 16, 7L) AS s").first().getLong(0)
+    val viaCol = df.select(SignBitsSig(col("v"), 16, 7L).as("s")).first().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("dot_product in SQL == oracle-order fold") {
     val r = sqlOne(
       "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
