@@ -259,6 +259,81 @@ object TextPack extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // END-TO-END curation pipeline — the composition a training corpus
+    // actually goes through, in the order production pipelines run it:
+    // quality filter (Gopher repetition) -> eval-set decontamination ->
+    // exact dedup -> per-source token budget. Each stage is an
+    // independently-oracle-checked operator above; this query pins
+    // their COMPOSITION (stage order and survivor sets) as one
+    // auditable census row — the d_pipeline discipline applied to
+    // curation. Stage 3 groups on text for the census (the fixture has
+    // no exact dups here; d_exact demonstrates the content-hash-
+    // grouped scale shape the production stage would use).
+    "t_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docsRaw = Tables(s, dir, "documents")
+      val isEval = col("doc_id") % 10 === 0
+      val train = docsRaw.filter(!isEval)
+      // stage 1: Gopher repetition quality gate (t_gopher_repetition)
+      val w = train.select(col("doc_id"), split(col("text"), " ").as("w"))
+      val base = w.select(col("doc_id"), size(col("w")).as("n"),
+        size(array_distinct(col("w"))).as("nu"))
+      val tok = w.select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      val bg = w.select(col("doc_id"), explode(expr(
+          """transform(slice(w, 1, size(w) - 1),
+            |  (x, i) -> concat(x, ' ', element_at(w, i + 2)))""".stripMargin))
+          .as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("bmx"), sum(col("c")).as("btot"))
+      val qual = base.join(tok, "doc_id").join(bg, "doc_id")
+        .filter(round(lit(1.0) - col("nu") / col("n"), 4) <= 0.6 &&
+          round(col("mx") / col("tot"), 4) <= 0.12 &&
+          round(col("bmx") / col("btot"), 4) <= 0.06)
+        .select(col("doc_id"))
+      // stage 2: eval-set trigram decontamination (t_decontam)
+      val sh = docsRaw.select(col("doc_id"),
+        explode(graft.expr.ShingleHashes(col("text"), 3)).as("h"))
+      val evalH = sh.filter(isEval).select(col("h")).distinct()
+      val overlap = sh.filter(!isEval)
+        .join(broadcast(evalH), Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      val contaminated = train
+        .select(col("doc_id"),
+          size(graft.expr.ShingleHashes(col("text"), 3)).cast("long")
+            .as("n_shingles"))
+        .join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .filter(col("n_overlap") >= 5 ||
+          expr("n_overlap * 10000 div n_shingles") >= 2000)
+        .select(col("doc_id"))
+      val clean = qual.join(contaminated, Seq("doc_id"), "left_anti")
+      // stage 3: exact dedup among survivors (keep min doc_id)
+      val cleanDocs = train.join(clean, "doc_id")
+      val unique = cleanDocs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      // stage 4: per-source token budget in fingerprint order (t_budget)
+      val fp = pmod(graft.expr.CharFingerprint(col("text")), lit(1000000))
+      val bw = Window.partitionBy(col("source"))
+        .orderBy(col("fp"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = cleanDocs.join(unique, "doc_id")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          fp.as("fp"))
+        .withColumn("cum", sum(col("n_tokens")).over(bw))
+        .filter(col("cum") - col("n_tokens") < 2000)
+      docsRaw.agg(count(lit(1)).as("n_input"))
+        .crossJoin(train.agg(count(lit(1)).as("n_train")))
+        .crossJoin(qual.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+        .crossJoin(unique.agg(count(lit(1)).as("n_unique")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_final"),
+          sum(col("n_tokens")).as("tok_final"),
+          sum(col("doc_id")).as("kept_id_checksum")))
+    }),
+
     // Token-budget subsampling — cap each source at a token budget,
     // not a document quota: greedily keep documents in deterministic
     // content-fingerprint order until the source's running token count
@@ -596,6 +671,69 @@ object TextPack extends QueryPack {
         |  count(*) FILTER (keep) AS n_kept,
         |  CAST(sum(doc_id) FILTER (keep) AS BIGINT) AS kept_id_checksum
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t_pipeline" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        |q AS (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+        |base AS (
+        |  SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nu FROM q),
+        |tc AS (
+        |  SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM q) GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM tc GROUP BY 1),
+        |bgc AS (
+        |  SELECT doc_id, b, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+        |        FROM q) GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, max(c) AS bmx, sum(c) AS btot FROM bgc GROUP BY 1),
+        |qual AS (
+        |  SELECT base.doc_id
+        |  FROM base JOIN tt USING (doc_id) JOIN bt USING (doc_id)
+        |  WHERE round(1 - nu * 1.0 / n, 4) <= 0.6
+        |    AND round(mx * 1.0 / tot, 4) <= 0.12
+        |    AND round(bmx * 1.0 / btot, 4) <= 0.06),
+        |wall AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                         for i in range(1, greatest(len(w) - 1, 1))]) AS s
+        |  FROM wall)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        |ovl AS (
+        |  SELECT sh.doc_id, count(*) AS n_sh, count(ev.s) AS n_ov
+        |  FROM sh LEFT JOIN ev ON sh.s = ev.s
+        |  WHERE sh.doc_id % 10 <> 0 GROUP BY 1),
+        |contam AS (
+        |  SELECT doc_id FROM ovl
+        |  WHERE n_ov >= 5 OR n_ov * 10000 // n_sh >= 2000),
+        |clean AS (
+        |  SELECT doc_id FROM qual
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |cleandocs AS (SELECT t.* FROM train t JOIN clean USING (doc_id)),
+        |uniq AS (SELECT min(doc_id) AS doc_id FROM cleandocs GROUP BY text),
+        |f AS (
+        |  SELECT c.doc_id, c.source,
+        |    len(string_split(c.text, ' ')) AS n_tokens,
+        |    list_sum([unicode(c.text[i]) * i
+        |              for i in range(1, length(c.text) + 1)])
+        |      % 1000000007 % 1000000 AS fp
+        |  FROM cleandocs c JOIN uniq USING (doc_id)),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY fp, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM f),
+        |kept AS (SELECT * FROM cum WHERE cum - n_tokens < 2000)
+        |SELECT
+        |  (SELECT count(*) FROM documents) AS n_input,
+        |  (SELECT count(*) FROM train) AS n_train,
+        |  (SELECT count(*) FROM qual) AS n_quality,
+        |  (SELECT count(*) FROM clean) AS n_clean,
+        |  (SELECT count(*) FROM uniq) AS n_unique,
+        |  count(*) AS n_final,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_final,
+        |  CAST(sum(doc_id) AS BIGINT) AS kept_id_checksum
+        |FROM kept""".stripMargin,
 
     "t_budget" ->
       """WITH f AS (

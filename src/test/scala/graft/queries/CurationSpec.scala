@@ -161,6 +161,22 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("t_pipeline census is a monotone funnel consistent with stages") {
+    val r = TextPack.queries("t_pipeline")(spark, dir).first()
+    val (nInput, nTrain, nQuality, nClean, nUnique, nFinal) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    assert(nInput >= nTrain && nTrain >= nQuality && nQuality >= nClean &&
+      nClean >= nUnique && nUnique >= nFinal,
+      s"funnel not monotone: $nInput $nTrain $nQuality $nClean $nUnique $nFinal")
+    assert(nFinal > 0 && r.getLong(6) > 0)
+    // stage 1 must agree with the standalone quality operator's keeps
+    // on the train slice (composition uses the same rule)
+    val keeps = TextPack.queries("t_gopher_repetition")(spark, dir)
+      .filter(col("keep") && col("doc_id") % 10 =!= 0).count()
+    assert(nQuality == keeps)
+  }
+
   test("t_lm_score covers every multi-word doc with a bounded score") {
     val out = TextPack.queries("t_lm_score")(spark, dir).collect()
     val docsWithBigram = Tables(spark, dir, "documents")
