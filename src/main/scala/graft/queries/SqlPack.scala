@@ -172,6 +172,197 @@ object SqlPack extends QueryPack {
       |FROM orders o
       |ORDER BY o_orderkey""".stripMargin
 
+  /** TPC-H Q4 (order priority checking), adapted to the fixture (no
+    * l_commitdate/l_receiptdate — "late" means a line shipped more
+    * than 60 days after the order date). The correlated EXISTS carries
+    * an inequality over an OUTER column; Catalyst decorrelates it into
+    * a left-semi join whose condition is
+    * `l_orderkey = o_orderkey AND l_shipdate > o_orderdate + 60d`, so
+    * the fact table is semi-joined once, never probed per row. */
+  private val q4 =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q6 (forecast revenue change): the pure scan-aggregate.
+    * All three predicates and the two-column projection push into the
+    * parquet scan — the plan is scan -> partial agg -> final agg with
+    * no shuffle wider than one row per partition. */
+  private val q6 =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+      |  AS DECIMAL(18,4)) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q7 (volume shipping): bilateral trade between two nations
+    * by ship year. The nation table joins twice under different roles
+    * (supplier's vs customer's nation) — both broadcast; the only
+    * fact-fact shuffle keys on l_orderkey = o_orderkey. extract(year)
+    * is cast to BIGINT because Spark emits int32 and DuckDB int64. */
+  private val q7 =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(volume) AS DECIMAL(18,4)) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+      |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 (national market share): one nation's share of regional
+    * revenue by order year. Money aggregates stay exact DECIMAL; the
+    * share is a double computed FROM the two exact sums (deterministic
+    * in both engines). Output mixes bigint + double only — never
+    * decimal with temporal (the driver-hash rule). */
+  private val q8 =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+      |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |  / CAST(sum(volume) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q9 (product-type profit), adapted to the fixture (no
+    * partsupp/ps_supplycost — cost is modeled as 10% of retail price
+    * times quantity). Decimal subtraction keeps the per-line amount
+    * exact; the LIKE filter prunes parts before the fact join. */
+  private val q9 =
+    """SELECT nation, o_year, CAST(sum(amount) AS DECIMAL(18,4)) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |      - CAST(p_retailprice * l_quantity * 0.1 AS DECIMAL(18,4)) AS amount
+      |  FROM part JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%gear%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q13 (customer order-count distribution): LEFT join with a
+    * non-key predicate inside the ON clause (kept orders only), then a
+    * two-level aggregation. count(o_orderkey) counts matches, so
+    * customers whose orders are all filtered land in the 0 bucket. */
+  private val q13 =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15 (top supplier): a revenue CTE consumed twice — once as
+    * the join input, once under max(). Ties are all returned (the
+    * spec's semantics), keyed deterministically by s_suppkey. */
+  private val q15 =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS DECIMAL(18,4)) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17 (small-quantity-order revenue): correlated scalar AVG
+    * per part. Catalyst decorrelates to aggregate-then-join on
+    * l_partkey — the per-part average computes once in a hash
+    * aggregate, not per probe row. l_quantity is integer-valued, so
+    * the double average is exact and order-independent. */
+  private val q17 =
+    """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#11' AND p_size < 10
+      |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q19 (discounted revenue), adapted to the fixture (no
+    * shipmode/container — brand x size x quantity bands play the
+    * roles): disjunction of conjunctive bands. Only the brand/size
+    * legs involve part columns, so the join stays a broadcast hash
+    * join with the OR evaluated post-join; the quantity bounds and
+    * the three brands still prune via parquet min/max stats. */
+  private val q19 =
+    """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |  AS DECIMAL(18,4)) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  /** TPC-H Q22 (global sales opportunity), adapted to the fixture
+    * (no phone column — the country code is n_nationkey mod 10; every
+    * customer has orders, so "dormant" means no order since 1999):
+    * wealthy dormant customers per code. The acctbal threshold is an
+    * uncorrelated scalar subquery (computed once, broadcast); the NOT
+    * EXISTS decorrelates to a left-anti join with the date predicate
+    * pushed into the orders scan. Account balances sum as exact
+    * DECIMAL(12,2) — a double sum's value would depend on partial-agg
+    * order. */
+  private val q22 =
+    """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
+      |  FROM customer c
+      |  WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+      |    AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                     WHERE c_acctbal > 0.0)
+      |    AND NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_custkey = c.c_custkey
+      |                      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |) custsale
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
   private def sql(s: SparkSession, dir: String, tables: Seq[String],
                   text: String): DataFrame = {
     tables.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
@@ -195,7 +386,29 @@ object SqlPack extends QueryPack {
     "sql_q12_priority" -> ((s, dir) =>
       sql(s, dir, Seq("orders", "lineitem"), q12)),
     "sql_q14_promo" -> ((s, dir) =>
-      sql(s, dir, Seq("lineitem", "part"), q14))
+      sql(s, dir, Seq("lineitem", "part"), q14)),
+    "sql_q4_late_orders" -> ((s, dir) =>
+      sql(s, dir, Seq("orders", "lineitem"), q4)),
+    "sql_q6_forecast" -> ((s, dir) =>
+      sql(s, dir, Seq("lineitem"), q6)),
+    "sql_q7_volume_shipping" -> ((s, dir) =>
+      sql(s, dir, Seq("supplier", "lineitem", "orders", "customer",
+        "nation"), q7)),
+    "sql_q8_market_share" -> ((s, dir) =>
+      sql(s, dir, Seq("part", "lineitem", "supplier", "orders", "customer",
+        "nation", "region"), q8)),
+    "sql_q9_profit" -> ((s, dir) =>
+      sql(s, dir, Seq("part", "lineitem", "supplier", "orders", "nation"), q9)),
+    "sql_q13_custdist" -> ((s, dir) =>
+      sql(s, dir, Seq("customer", "orders"), q13)),
+    "sql_q15_top_supplier" -> ((s, dir) =>
+      sql(s, dir, Seq("supplier", "lineitem"), q15)),
+    "sql_q17_small_qty" -> ((s, dir) =>
+      sql(s, dir, Seq("lineitem", "part"), q17)),
+    "sql_q19_or_predicates" -> ((s, dir) =>
+      sql(s, dir, Seq("lineitem", "part"), q19)),
+    "sql_q22_dormant" -> ((s, dir) =>
+      sql(s, dir, Seq("customer", "orders"), q22))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -206,6 +419,16 @@ object SqlPack extends QueryPack {
     "sql_scalar_max_qty" -> qScalar,
     "sql_q18_big_volume" -> q18,
     "sql_q12_priority" -> q12,
-    "sql_q14_promo" -> q14
+    "sql_q14_promo" -> q14,
+    "sql_q4_late_orders" -> q4,
+    "sql_q6_forecast" -> q6,
+    "sql_q7_volume_shipping" -> q7,
+    "sql_q8_market_share" -> q8,
+    "sql_q9_profit" -> q9,
+    "sql_q13_custdist" -> q13,
+    "sql_q15_top_supplier" -> q15,
+    "sql_q17_small_qty" -> q17,
+    "sql_q19_or_predicates" -> q19,
+    "sql_q22_dormant" -> q22
   )
 }

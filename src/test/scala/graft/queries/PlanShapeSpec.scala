@@ -112,6 +112,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
   }
 
+  test("sql_q6 pushes all three predicates into the lineitem scan") {
+    val p = plan("sql_q6_forecast")
+    // shipdate range, discount band, quantity bound — all stats-prunable.
+    // Match within the PushedFilters line: the plan string elides long
+    // filter lists with "...", so requiring the closing bracket fails.
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters: ["))
+      .mkString("\n")
+    assert(pushed.contains("l_shipdate"), s"shipdate not pushed:\n$p")
+    assert(pushed.contains("l_quantity"), s"quantity not pushed:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey"),
+      s"scan reads columns the aggregate never uses: $read")
+  }
+
+  test("sql_q4 correlated EXISTS decorrelates to one semi join") {
+    // the per-order subquery must become a left-semi hash join probed
+    // once, not a per-row subquery execution
+    val p = plan("sql_q4_late_orders")
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated:\n$p")
+    assert(!p.contains("Subquery"), s"residual subquery execution:\n$p")
+  }
+
+  test("sql_q22 plans the NOT EXISTS as an anti join with pushed date filter") {
+    val p = plan("sql_q22_dormant")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$p")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters: ["))
+      .mkString("\n")
+    assert(pushed.contains("o_orderdate"),
+      s"date predicate not pushed into the orders scan:\n$p")
+  }
+
+  test("sql_q17 computes the per-part average once, not per probe row") {
+    val p = plan("sql_q17_small_qty")
+    // decorrelated scalar agg = aggregate feeding a join on l_partkey
+    assert(p.contains("HashAggregate") &&
+      (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")),
+      s"correlated AVG not decorrelated to aggregate-then-join:\n$p")
+  }
+
   test("relational queries keep whole-stage codegen in the hot path") {
     // codegen'd operators print as `*(id) Op` in the plan string
     val p = finalPlan(df("q1_agg")).toString
