@@ -518,6 +518,79 @@ object TextPack extends QueryPack {
         .withColumn("p_bp", expr("c12 * 10000 div c1"))
         .select(col("w1"), col("w2"), col("c12"), col("c1"), col("p_bp"))
         .orderBy(desc("c12"), col("w1"), col("w2")).limit(50)
+    }),
+
+    // PII redaction — the scrub stage every training corpus runs
+    // before release: chained regexp_replace for email / phone / IPv4,
+    // plus a per-document redaction count for the audit log. The
+    // corpus fixture carries no PII (word-salad text, digit-free), so
+    // the query plants three deterministic PII tokens per document
+    // (pure functions of doc_id/source, identical in the oracle) and
+    // the oracle then checks the REDACTION logic end-to-end: match
+    // counting and global replacement. The patterns stay inside the
+    // Java-regex/RE2 common subset so both engines compile them
+    // identically. Scale: a narrow per-row projection; regexp_replace
+    // is codegen'd (StringRegexExpression), no shuffle but the final
+    // deterministic ordering.
+    "t_redact" -> ((s, dir) => {
+      val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+\\.[a-z]{2,4}"
+      val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val raw = concat_ws(" ",
+        substring(col("text"), 1, 40), lit("contact"),
+        concat(lit("user"), col("doc_id").cast("string"), lit("@"),
+          col("source"), lit(".com")),
+        lit("tel"),
+        concat(lit("555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0")),
+        lit("ip"),
+        concat(lit("10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), pmod(col("doc_id") * 3, lit(256)).cast("string")),
+        lit("tail"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          (size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))) +
+            size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))) +
+            size(regexp_extract_all(col("raw"), lit(ipRe), lit(0))))
+            .cast("long").as("n_pii"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"),
+            ipRe, "<IP>").as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Intra-document dedup — order-preserving first-occurrence dedup
+    // of a document's units (CCNet/RefinedWeb drop repeated lines; the
+    // fixture's documents are single-line, so words play the unit).
+    // Shape: posexplode -> row_number over (doc_id, unit) keeps the
+    // first occurrence -> reassemble in original order via
+    // array_sort(collect_list(struct(pos, w))). Scale: the window and
+    // the regroup both partition by doc_id, so one shuffle keyed on
+    // (doc_id) handles both; nothing wider than the document itself
+    // moves, and documents stream independently.
+    "t_word_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val words = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val first = words
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"), col("w")).orderBy(col("pos"))))
+        .filter(col("rn") === 1)
+      first.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_after"),
+          expr("array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' ')")
+            .as("dedup_text"))
+        .join(docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_before")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_before"), col("n_after"),
+          col("dedup_text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -838,6 +911,42 @@ object TextPack extends QueryPack {
         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1)
         |SELECT w1, w2, c12, c1, c12 * 10000 // c1 AS p_bp
         |FROM c12 JOIN c1 USING (w1)
-        |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin
+        |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "t_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ', substr(text, 1, 40), 'contact',
+        |      'user' || doc_id || '@' || source || '.com', 'tel',
+        |      '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |        lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0'),
+        |      'ip', '10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256),
+        |      'tail') AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,4}')) +
+        |       len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) +
+        |       len(regexp_extract_all(raw, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+        |    AS BIGINT) AS n_pii,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._-]+@[a-z0-9.-]+\.[a-z]{2,4}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "t_word_dedup" ->
+      """WITH q AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest([{'pos': i, 'w': ws[i]}
+        |                             for i in range(1, len(ws) + 1)]) AS s FROM q),
+        |f AS (SELECT doc_id, s.pos AS pos, s.w AS w,
+        |        row_number() OVER (PARTITION BY doc_id, s.w ORDER BY s.pos) AS rn
+        |      FROM t)
+        |SELECT q.doc_id, CAST(len(q.ws) AS BIGINT) AS n_before,
+        |  CAST(count(*) AS BIGINT) AS n_after,
+        |  string_agg(f.w, ' ' ORDER BY f.pos) AS dedup_text
+        |FROM q JOIN f ON q.doc_id = f.doc_id
+        |WHERE f.rn = 1
+        |GROUP BY q.doc_id, len(q.ws)
+        |ORDER BY q.doc_id""".stripMargin
   )
 }

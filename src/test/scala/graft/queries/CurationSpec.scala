@@ -204,4 +204,37 @@ class CurationSpec extends SparkSpec {
       assert(bp <= 10000)
     }
   }
+
+  test("t_redact scrubs every planted PII token and nothing else") {
+    val out = TextPack.queries("t_redact")(spark, dir).collect()
+    val nDocs = Tables(spark, dir, "documents").count()
+    assert(out.length == nDocs)
+    out.foreach { r =>
+      assert(r.getLong(1) == 3, s"doc ${r.getLong(0)}: expected 3 PII hits")
+      val red = r.getString(2)
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") &&
+        red.contains("<IP>"))
+      // nothing PII-shaped survives redaction
+      assert(!red.contains("@"), s"unredacted email in: $red")
+      assert(!red.exists(_.isDigit), s"unredacted digits in: $red")
+    }
+  }
+
+  test("t_word_dedup keeps first occurrences in original order") {
+    val out = TextPack.queries("t_word_dedup")(spark, dir).collect()
+    val texts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      val (id, nBefore, nAfter, dedup) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val orig = texts(id).split(" ")
+      val expected = orig.distinct // Scala distinct = first-occurrence order
+      assert(nBefore == orig.length)
+      assert(nAfter == expected.length)
+      assert(dedup == expected.mkString(" "),
+        s"doc $id: dedup order diverged from first-occurrence order")
+    }
+  }
 }
