@@ -148,6 +148,29 @@ object AnalyticsPack extends QueryPack {
         .filter(col("freq") * 50 > col("n_total"))
         .select(col("token"), col("freq"), col("n_total"))
         .orderBy(desc("freq"), col("token"))
+    }),
+
+    // PageRank over the customer<->supplier purchase graph (who bought
+    // from whom, symmetrized), 5 rounds of the exact-integer update in
+    // scale/PageRank.scala — supplier ids offset by 1e6 into a shared
+    // node space. Integer micro-rank makes the result bit-identical
+    // across engines (a double formulation differs in the last ulp
+    // with partial-agg order); the DuckDB oracle unrolls the same 5
+    // rounds as CTEs. Top-20 by authority, total-ordered.
+    "g_pagerank" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = pairs
+        .select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
+        .union(pairs.select((col("sp") + 1000000L).as("src"),
+          col("c").as("dst")))
+      graft.scale.PageRank.run(edges, 5)
+        .select(col("node"), col("rank"),
+          (col("node") >= 1000000L).as("is_supplier"))
+        .orderBy(desc("rank"), col("node")).limit(20)
     })
   )
 
@@ -211,6 +234,37 @@ object AnalyticsPack extends QueryPack {
         |tot AS (SELECT count(*) AS n_total FROM tt),
         |c AS (SELECT token, count(*) AS freq FROM tt GROUP BY 1)
         |SELECT token, freq, n_total FROM c, tot
-        |WHERE freq * 50 > n_total ORDER BY freq DESC, token""".stripMargin
+        |WHERE freq * 50 > n_total ORDER BY freq DESC, token""".stripMargin,
+
+    "g_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |ed AS (
+        |  SELECT c AS src, 1000000 + sp AS dst FROM pairs
+        |  UNION
+        |  SELECT 1000000 + sp AS src, c AS dst FROM pairs),
+        |od AS (SELECT src, count(*) AS od FROM ed GROUP BY 1),
+        |e AS (SELECT ed.src, ed.dst, od.od FROM ed JOIN od ON od.src = ed.src),
+        |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS rank
+        |       FROM ed),
+        |r1 AS (
+        |  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
+        |  FROM e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
+        |  FROM e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
+        |  FROM e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+        |r4 AS (
+        |  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
+        |  FROM e JOIN r3 r ON r.node = e.src GROUP BY e.dst),
+        |r5 AS (
+        |  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
+        |  FROM e JOIN r4 r ON r.node = e.src GROUP BY e.dst)
+        |SELECT node, CAST(rank AS BIGINT) AS rank,
+        |  node >= 1000000 AS is_supplier
+        |FROM r5 ORDER BY rank DESC, node LIMIT 20""".stripMargin
   )
 }
