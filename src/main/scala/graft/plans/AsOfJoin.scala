@@ -34,7 +34,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Expression, rightKey: Expression,
                     leftTs: Expression, rightTs: Expression,
-                    forward: Boolean = false)
+                    forward: Boolean = false,
+                    tolerance: Long = Long.MaxValue)
     extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
@@ -47,8 +48,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   * GraftExtensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, fwd) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -56,7 +57,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTs: Expression, rightTs: Expression,
-                        forward: Boolean)
+                        forward: Boolean, tolerance: Long)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -85,6 +86,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
       var cand: InternalRow = null
       var candKey: Long = 0L
+      var candTs: Long = 0L
       lIter.flatMap { l =>
         val lKeyV = lk.eval(l)
         val lTsV = if (lKeyV == null) null else lt.eval(l)
@@ -114,16 +116,23 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 if (forward) rKey < lKey || (rKey == lKey && rTs <= lTs)
                 else rKey < lKey || (rKey == lKey && rTs < lTs)
               if (behind) {
-                if (!forward && rKey == lKey) { cand = rHead.copy(); candKey = rKey }
+                if (!forward && rKey == lKey) {
+                  cand = rHead.copy(); candKey = rKey; candTs = rTs
+                }
                 rHead = if (rIter.hasNext) rIter.next() else null
               } else advancing = false
             }
           }
+          // tolerance is an emission filter only: the candidate stays
+          // the nearest same-key row, it is just not emitted when the
+          // gap exceeds the bound (pandas merge_asof `tolerance`)
           if (forward) {
-            if (rHead != null && AsOf.toLong(rk.eval(rHead)) == lKey)
+            if (rHead != null && AsOf.toLong(rk.eval(rHead)) == lKey &&
+                AsOf.toLong(rt.eval(rHead)) - lTs <= tolerance)
               Some(proj(joiner(l, rHead)))
             else None
-          } else if (cand != null && candKey == lKey)
+          } else if (cand != null && candKey == lKey &&
+              lTs - candTs <= tolerance)
             Some(proj(joiner(l, cand)))
           else None
         }
@@ -169,11 +178,18 @@ object AsOf {
     * self-joins, rename the right side's columns first (distinct
     * attribute ids). Left rows with a null key or timestamp are
     * dropped (DuckDB ASOF semantics); key/ts columns must be
-    * integral/date/timestamp. */
+    * integral/date/timestamp.
+    *
+    * `tolerance` bounds the match gap (pandas merge_asof parity): a
+    * backward match is emitted only when `leftTs - rightTs <=
+    * tolerance`, a forward one when `rightTs - leftTs <= tolerance`
+    * — in the UNDERLYING units of the ts type (micros for timestamps,
+    * days for dates, raw for integrals). Default unbounded. */
   def join(spark: SparkSession, left: DataFrame, right: DataFrame,
            leftKey: Column, rightKey: Column,
            leftTs: Column, rightTs: Column,
-           forward: Boolean = false): DataFrame = {
+           forward: Boolean = false,
+           tolerance: Long = Long.MaxValue): DataFrame = {
     requireLongBacked(leftKey, "left key"); requireLongBacked(rightKey, "right key")
     requireLongBacked(leftTs, "left ts"); requireLongBacked(rightTs, "right ts")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -186,6 +202,6 @@ object AsOf {
         org.apache.spark.sql.graft.DatasetBridge.plan(right),
         ColumnBridge.expression(leftKey), ColumnBridge.expression(rightKey),
         ColumnBridge.expression(leftTs), ColumnBridge.expression(rightTs),
-        forward))
+        forward, tolerance))
   }
 }

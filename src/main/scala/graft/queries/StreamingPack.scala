@@ -43,6 +43,28 @@ object StreamingPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Same operator with a bounded match gap (pandas merge_asof
+    // `tolerance`): the previous event counts only if it happened
+    // within the last 30 minutes — the session-aware variant of
+    // "previous action" (an hours-stale prior is attribution noise).
+    // Tolerance is an O(1) emission filter inside the same one-pass
+    // merge, not a post-join filter over an unbounded join. DuckDB
+    // ASOF has no tolerance, so the oracle is the explicit
+    // join + QUALIFY row_number formulation.
+    "st_asof_tolerance" -> ((s, dir) => {
+      val l = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = Tables.events(s, dir)
+        .select(col("event_id").as("prior_id"), col("user_id").as("r_user"),
+          col("ts").as("r_ts"))
+      graft.plans.AsOf.join(s, l, r,
+        l("user_id"), r("r_user"), l("ts"), r("r_ts"),
+        tolerance = 30L * 60 * 1000000) // 30 min in micros
+        .select(col("event_id"), col("user_id"), col("prior_id"),
+          (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Same custom operator, forward direction: each event joined to
     // the user's NEXT strictly-later event — the "time to next action"
     // shape (churn/latency analyses). Exercises the direction flag of
@@ -220,6 +242,34 @@ object StreamingPack extends QueryPack {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Exponentially-weighted moving average of each user's event
+    // values in time order (alpha = 0.25) — the time-series smoothing
+    // primitive (monitoring baselines, engagement trend scores). A
+    // left fold is inherently sequential, so it runs as a higher-order
+    // aggregate() over the user's time-sorted value array: one
+    // user-keyed shuffle collects (ts, event_id, value) structs,
+    // array_sort orders them (event_id breaks ts ties), and the fold
+    // is a codegen'd expression — no UDF, no per-row state machine.
+    // Per-user history is bounded (a user's event list), the same
+    // bound every sessionization op here already carries. EXACT cross-
+    // engine determinism: alpha = 0.25 and 0.75 are dyadic (exact
+    // doubles), and both engines fold left-to-right over the same
+    // order, so the IEEE op sequence — hence the result bits — is
+    // identical; no rounding needed in the oracle compare.
+    "e_ewma" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          expr("array_sort(collect_list(struct(ts, event_id, value)))")
+            .as("seq"))
+        .select(col("user_id"), col("n"),
+          expr("""aggregate(slice(transform(seq, x -> x.value), 2, size(seq) - 1),
+                |          transform(seq, x -> x.value)[0],
+                |          (acc, x) -> acc * 0.75d + x * 0.25d)""".stripMargin)
+            .as("ewma"))
+        .orderBy(col("user_id"))
+    }),
+
     // Interval-point range join via the binned equi-join rewrite
     // (scale/RangeJoin): every purchase landing inside the 10-minute
     // window after an error. No equi-key exists, so the naive plan is
@@ -282,6 +332,16 @@ object StreamingPack extends QueryPack {
         |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
         |FROM events l ASOF JOIN events r
         |  ON l.user_id = r.user_id AND r.ts < l.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "st_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS prior_id,
+        |  epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id AND r.ts < l.ts
+        |  AND l.ts - r.ts <= INTERVAL 30 MINUTE
+        |QUALIFY row_number()
+        |  OVER (PARTITION BY l.event_id ORDER BY r.ts DESC) = 1
         |ORDER BY l.event_id""".stripMargin,
 
     "st_session_spans" ->
@@ -385,6 +445,12 @@ object StreamingPack extends QueryPack {
         |  count(*) AS n_users
         |FROM f JOIN d USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e_ewma" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |              (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "st_range_join" ->
       """WITH i AS (

@@ -129,4 +129,64 @@ class AsOfJoinSpec extends SparkSpec {
     // latest strictly-earlier right row
     assert(out == Map(1L -> 100L, 2L -> 101L))
   }
+
+  test("tolerance bounds the match gap inclusively, both directions") {
+    import spark.implicits._
+    // integral "timestamps" so tolerance units are raw and exact
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 300L))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((90L, 10L, 95L), (91L, 10L, 170L), (92L, 10L, 330L))
+      .toDF("prior_id", "r_user", "r_ts")
+    def backward(tol: Long) =
+      AsOf.join(spark, l, r, l("user_id"), r("r_user"), l("ts"), r("r_ts"),
+        tolerance = tol)
+        .select(col("event_id"), col("prior_id"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // unbounded: every left row matches its nearest earlier right row
+    assert(backward(Long.MaxValue) == Map(1L -> 90L, 2L -> 91L, 3L -> 92L)
+      .updated(3L, 91L)) // 330 is later than 300; nearest earlier is 170
+    // gap for event 1 is 5, event 2 is 30, event 3 is 130
+    assert(backward(130L) == Map(1L -> 90L, 2L -> 91L, 3L -> 91L))
+    assert(backward(129L) == Map(1L -> 90L, 2L -> 91L)) // inclusive bound
+    assert(backward(5L) == Map(1L -> 90L))
+    assert(backward(4L) == Map.empty[Long, Long])
+
+    def forward(tol: Long) =
+      AsOf.join(spark, l, r, l("user_id"), r("r_user"), l("ts"), r("r_ts"),
+        forward = true, tolerance = tol)
+        .select(col("event_id"), col("prior_id"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // next-after gaps: event 1 -> 170 (70), event 2 -> 330 (130),
+    // event 3 -> 330 (30)
+    assert(forward(Long.MaxValue) == Map(1L -> 91L, 2L -> 92L, 3L -> 92L))
+    assert(forward(70L) == Map(1L -> 91L, 3L -> 92L))
+    assert(forward(29L) == Map.empty[Long, Long])
+  }
+
+  test("tolerance matches the join+window formulation on real events") {
+    val dir = sf("sf0.001")
+    val tolUs = 30L * 60 * 1000000
+    val l = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = Tables.events(spark, dir)
+      .select(col("event_id").as("prior_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+    val viaAsOf = AsOf.join(spark, l, r,
+      l("user_id"), r("r_user"), l("ts"), r("r_ts"), tolerance = tolUs)
+      .select(col("event_id"), col("prior_id"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // reference: unbounded lag-window, then filter the gap
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val viaLag = Tables.events(spark, dir)
+      .select(col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prior_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("gap_us"))
+      .filter(col("prior_id").isNotNull && col("gap_us") <= tolUs)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(viaAsOf.nonEmpty && viaAsOf.size < // the bound must bite
+      AsOf.join(spark, l, r, l("user_id"), r("r_user"), l("ts"), r("r_ts"))
+        .count())
+    assert(viaAsOf == viaLag)
+  }
 }
