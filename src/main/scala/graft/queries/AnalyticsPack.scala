@@ -167,7 +167,7 @@ object AnalyticsPack extends QueryPack {
         .select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
         .union(pairs.select((col("sp") + 1000000L).as("src"),
           col("c").as("dst")))
-      graft.scale.PageRank.run(edges, 5)
+      graft.scale.PageRank.run(edges, 5, assumeDistinct = true)
         .select(col("node"), col("rank"),
           (col("node") >= 1000000L).as("is_supplier"))
         .orderBy(desc("rank"), col("node")).limit(20)
