@@ -150,6 +150,28 @@ object AnalyticsPack extends QueryPack {
         .orderBy(desc("freq"), col("token"))
     }),
 
+    // Equi-DEPTH histogram (ntile) — the complement of a6's
+    // equi-width binning: deciles of the price distribution, each
+    // bucket carrying its population and value span. ntile needs a
+    // total order, so the tiebreak on o_orderkey makes bucket
+    // assignment deterministic in both engines. The global sort is
+    // the honest cost of exact equi-depth; the 100 TB path is
+    // approx_percentile cut points (mergeable sketch) + a broadcast
+    // bucketizer join, with this exact twin pinning the target.
+    "g_histogram_eqdepth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables(s, dir, "orders")
+        .select(col("o_totalprice").as("v"), col("o_orderkey"))
+        .withColumn("bucket", // cast: Spark ntile is int32, DuckDB's int64
+          ntile(10).over(Window.orderBy(col("v"), col("o_orderkey")))
+            .cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("v")), 2).as("lo"),
+          round(max(col("v")), 2).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // PageRank over the customer<->supplier purchase graph (who bought
     // from whom, symmetrized), 5 rounds of the exact-integer update in
     // scale/PageRank.scala — supplier ids offset by 1e6 into a shared
@@ -235,6 +257,15 @@ object AnalyticsPack extends QueryPack {
         |c AS (SELECT token, count(*) AS freq FROM tt GROUP BY 1)
         |SELECT token, freq, n_total FROM c, tot
         |WHERE freq * 50 > n_total ORDER BY freq DESC, token""".stripMargin,
+
+    "g_histogram_eqdepth" ->
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        |FROM (
+        |  SELECT o_totalprice AS v,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "g_pagerank" ->
       """WITH pairs AS (

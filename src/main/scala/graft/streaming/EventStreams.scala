@@ -127,6 +127,41 @@ object EventStreams {
       }
   }
 
+  case class ValueEvent(user_id: Long, ts: java.sql.Timestamp,
+                        event_id: Long, value: Double)
+  case class UserEwma(user_id: Long, n: Long, ewma: Double)
+
+  /** Streaming twin of the batch `e_ewma` query: a per-user
+    * exponentially-weighted moving average (alpha = 0.25) carried
+    * across micro-batches as (count, ewma) keyed state — the classic
+    * "incrementalize a sequential fold" stateful op. Within a batch a
+    * key's rows fold in (ts, event_id) order; across batches the state
+    * resumes the fold, so as long as batch boundaries respect event
+    * order per key (in-order sources, or an upstream sorter), the
+    * result is BIT-IDENTICAL to the batch fold — alpha is dyadic and
+    * the IEEE op sequence is the same. StreamingSpec asserts exact
+    * equality against the batch twin across a two-batch split. State
+    * is O(#users) x 16 bytes, the same bound as runningUserCounts. */
+  def runningUserEwma(spark: SparkSession,
+                      stream: DataFrame): Dataset[UserEwma] = {
+    import spark.implicits._
+    stream.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[ValueEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[ValueEvent],
+         state: GroupState[(Long, Double)]) =>
+          val evs = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          var (n, acc) = state.getOption.getOrElse((0L, 0.0))
+          evs.foreach { e =>
+            acc = if (n == 0L) e.value else acc * 0.75 + e.value * 0.25
+            n += 1
+          }
+          state.update((n, acc))
+          UserEwma(uid, n, acc)
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   /** Not private: the state Encoder's generated code must see the
     * accessors (a private case class fails janino compilation). */

@@ -50,6 +50,41 @@ class StreamingSpec extends SparkSpec {
     assert(last == Map(1L -> 3L, 2L -> 1L), s"state did not accumulate: $last")
   }
 
+  test("mapGroupsWithState EWMA across batches == batch fold, bit-exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // two users, values chosen so the fold is numerically non-trivial;
+    // the batch boundary splits each user's series mid-stream
+    val b1 = Seq((1L, ts(1), 10L, 3.7), (1L, ts(2), 11L, 9.1),
+      (2L, ts(1), 12L, 0.3))
+    val b2 = Seq((1L, ts(3), 13L, 5.55), (2L, ts(4), 14L, 7.77),
+      (2L, ts(5), 15L, 2.2))
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val stream = input.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = EventStreams.runningUserEwma(spark, stream)
+      .writeStream.format("memory").queryName("user_ewma")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("user_ewma")
+      .groupBy("user_id").agg(max(struct(col("n"), col("ewma"))).as("s"))
+      .select(col("user_id"), col("s.n"), col("s.ewma"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // reference: the sequential fold over the full series
+    val ref = (b1 ++ b2).groupBy(_._1).map { case (uid, evs) =>
+      val vs = evs.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      uid -> ((vs.size.toLong,
+        vs.tail.foldLeft(vs.head)((acc, x) => acc * 0.75 + x * 0.25)))
+    }
+    assert(streamed == ref, s"stream fold diverged: $streamed vs $ref")
+  }
+
   test("stream-stream join pairs same-user events within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
