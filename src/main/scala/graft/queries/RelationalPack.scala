@@ -355,6 +355,27 @@ object RelationalPack extends QueryPack {
       c.except(o).orderBy(col("c_custkey"))
     }),
 
+    // Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep
+    // per-value multiplicities (u2/u3 are the DISTINCT forms). The
+    // multiplicity arithmetic — max(m−n, 0) and min(m, n) copies —
+    // plans as one count-aggregate per side + a generate, never a
+    // row-by-row anti/semi probe.
+    "u5_except_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      c.exceptAll(sup)
+        .groupBy(col("k")).agg(count(lit(1)).as("n")) // stable census
+        .orderBy(col("k"))
+    }),
+
+    "u6_intersect_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      c.intersectAll(sup)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
     // Schema-evolution union: unionByName(allowMissingColumns) aligns
     // by NAME and nulls the absent columns — the append shape when a
     // newer ingest adds fields (positional union U1 would silently
@@ -841,6 +862,20 @@ object RelationalPack extends QueryPack {
         |  SELECT o_custkey AS c_custkey FROM orders
         |  WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "u5_except_all" ->
+      """SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey AS k FROM supplier)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "u6_intersect_all" ->
+      """SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey AS k FROM supplier)
+        |GROUP BY k ORDER BY k""".stripMargin,
 
     "f_try_cast" ->
       """SELECT o_orderkey,

@@ -363,6 +363,19 @@ object SqlPack extends QueryPack {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
 
+  /** Correlated LATERAL subquery with LIMIT — top-2 suppliers per
+    * nation as a join operand, the SQL spelling of the per-group
+    * top-k pattern (w1/w6 are the DataFrame spellings). Catalyst
+    * plans the correlated limit as a per-key window under the hood —
+    * no per-outer-row re-execution. */
+  private val qLateral =
+    """SELECT n_name, s_name, s_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT s_name, s_acctbal FROM supplier
+      |  WHERE s_nationkey = n_nationkey
+      |  ORDER BY s_acctbal DESC, s_name LIMIT 2) top2
+      |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin
+
   private def sql(s: SparkSession, dir: String, tables: Seq[String],
                   text: String): DataFrame = {
     tables.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
@@ -408,7 +421,9 @@ object SqlPack extends QueryPack {
     "sql_q19_or_predicates" -> ((s, dir) =>
       sql(s, dir, Seq("lineitem", "part"), q19)),
     "sql_q22_dormant" -> ((s, dir) =>
-      sql(s, dir, Seq("customer", "orders"), q22))
+      sql(s, dir, Seq("customer", "orders"), q22)),
+    "sql_lateral_topk" -> ((s, dir) =>
+      sql(s, dir, Seq("nation", "supplier"), qLateral))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -429,6 +444,7 @@ object SqlPack extends QueryPack {
     "sql_q15_top_supplier" -> q15,
     "sql_q17_small_qty" -> q17,
     "sql_q19_or_predicates" -> q19,
-    "sql_q22_dormant" -> q22
+    "sql_q22_dormant" -> q22,
+    "sql_lateral_topk" -> qLateral
   )
 }

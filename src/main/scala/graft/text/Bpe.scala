@@ -102,4 +102,15 @@ object Bpe {
   def vocab(syms: DataFrame): DataFrame =
     syms.select(col("freq"), explode(col("s")).as("sym"))
       .groupBy(col("sym")).agg(sum(col("freq")).as("freq"))
+
+  /** ENCODE (the inference side): tokenize a (word, freq) table with a
+    * learned merge sequence by replaying the merges in training order.
+    * The merge list is fixed, so this is NOT iterative — it compiles
+    * into one chained codegen'd fold pipeline, a single narrow pass
+    * per word (how a 100 TB corpus gets subword-tokenized with the
+    * tiny trained merge table shipped in the plan as literals). */
+  def encode(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(seed(words)) { (df, m) =>
+      df.withColumn("s", applyMerge(col("s"), m))
+    }
 }

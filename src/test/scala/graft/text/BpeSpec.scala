@@ -80,6 +80,26 @@ class BpeSpec extends SparkSpec {
     syms.unpersist()
   }
 
+  test("encode replays training: encoding the corpus == trained table") {
+    import spark.implicits._
+    val words = Tables(spark, sf("sf0.001"), "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val (merges, trained) = Bpe.train(words, 5)
+    val encoded = Bpe.encode(words, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val ref = trained
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(encoded == ref,
+      "replaying the merge list diverged from the training end state")
+    // unseen word: encodes with the same merges, never throws
+    val novel = Bpe.encode(Seq(("tablescan", 1L)).toDF("word", "freq"), merges)
+      .select(col("s")).collect()(0).getSeq[String](0)
+    assert(novel.mkString == "tablescan", "encode must preserve content")
+    trained.unpersist()
+  }
+
   test("greedy left-to-right application is non-overlapping") {
     import spark.implicits._
     // 'aaaa' under merge (a,a): [aa, aa] — never the overlapping
