@@ -174,8 +174,9 @@ object AnalyticsPack extends QueryPack {
 
     // PageRank over the customer<->supplier purchase graph (who bought
     // from whom, symmetrized), 5 rounds of the exact-integer update in
-    // scale/PageRank.scala — supplier ids offset by 1e6 into a shared
-    // node space. Integer micro-rank makes the result bit-identical
+    // scale/PageRank.scala — parity-encoded shared node space
+    // (customer c -> 2c, supplier s -> 2s+1, collision-free at any
+    // SF). Integer micro-rank makes the result bit-identical
     // across engines (a double formulation differs in the last ulp
     // with partial-agg order); the DuckDB oracle unrolls the same 5
     // rounds as CTEs. Top-20 by authority, total-ordered.
@@ -185,13 +186,17 @@ object AnalyticsPack extends QueryPack {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
+      // parity encoding for the shared node space: customer c -> 2c,
+      // supplier s -> 2s+1 — collision-free at EVERY scale factor
+      // (a fixed offset collides once custkeys outgrow it)
+      val cNode = col("c") * 2L
+      val sNode = col("sp") * 2L + 1L
       val edges = pairs
-        .select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
-        .union(pairs.select((col("sp") + 1000000L).as("src"),
-          col("c").as("dst")))
+        .select(cNode.as("src"), sNode.as("dst"))
+        .union(pairs.select(sNode.as("src"), cNode.as("dst")))
       graft.scale.PageRank.run(edges, 5, assumeDistinct = true)
         .select(col("node"), col("rank"),
-          (col("node") >= 1000000L).as("is_supplier"))
+          (col("node") % 2 === 1).as("is_supplier"))
         .orderBy(desc("rank"), col("node")).limit(20)
     })
   )
@@ -272,9 +277,9 @@ object AnalyticsPack extends QueryPack {
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |ed AS (
-        |  SELECT c AS src, 1000000 + sp AS dst FROM pairs
+        |  SELECT c * 2 AS src, sp * 2 + 1 AS dst FROM pairs
         |  UNION
-        |  SELECT 1000000 + sp AS src, c AS dst FROM pairs),
+        |  SELECT sp * 2 + 1 AS src, c * 2 AS dst FROM pairs),
         |od AS (SELECT src, count(*) AS od FROM ed GROUP BY 1),
         |e AS (SELECT ed.src, ed.dst, od.od FROM ed JOIN od ON od.src = ed.src),
         |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS rank
@@ -295,7 +300,7 @@ object AnalyticsPack extends QueryPack {
         |  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
         |  FROM e JOIN r4 r ON r.node = e.src GROUP BY e.dst)
         |SELECT node, CAST(rank AS BIGINT) AS rank,
-        |  node >= 1000000 AS is_supplier
+        |  node % 2 = 1 AS is_supplier
         |FROM r5 ORDER BY rank DESC, node LIMIT 20""".stripMargin
   )
 }

@@ -341,12 +341,15 @@ object SqlPack extends QueryPack {
   /** TPC-H Q22 (global sales opportunity), adapted to the fixture
     * (no phone column — the country code is n_nationkey mod 10; every
     * customer has orders, so "dormant" means no order since 1999):
-    * wealthy dormant customers per code. The acctbal threshold is an
-    * uncorrelated scalar subquery (computed once, broadcast); the NOT
-    * EXISTS decorrelates to a left-anti join with the date predicate
-    * pushed into the orders scan. Account balances sum as exact
-    * DECIMAL(12,2) — a double sum's value would depend on partial-agg
-    * order. */
+    * wealthy dormant customers per code. The above-average test is
+    * multiplied through — `bal * n > sum` instead of `bal > sum/n` —
+    * so every operand stays EXACT decimal/bigint (a double `avg`
+    * threshold depends on partial-aggregation order and can flip
+    * boundary membership across engines or partitionings; the output
+    * sum avoids doubles for the same reason). The two scalar
+    * subqueries compute once and broadcast; the NOT EXISTS
+    * decorrelates to a left-anti join with the date predicate pushed
+    * into the orders scan. */
   private val q22 =
     """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS totacctbal
@@ -354,8 +357,11 @@ object SqlPack extends QueryPack {
       |  SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
       |  FROM customer c
       |  WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
-      |    AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
-      |                     WHERE c_acctbal > 0.0)
+      |    AND CAST(c_acctbal AS DECIMAL(12,2)) *
+      |        (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      |      > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)))
+      |           AS DECIMAL(18,2))
+      |         FROM customer WHERE c_acctbal > 0.0)
       |    AND NOT EXISTS (SELECT 1 FROM orders o
       |                    WHERE o.o_custkey = c.c_custkey
       |                      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')

@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryPack
 import graft.io.Tables
 import graft.text.TextFeatures._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -23,6 +23,65 @@ object TextPack extends QueryPack {
   private val stopwords = Seq("the", "a")
   private val techWords = Seq("data", "table", "row", "column", "key", "value")
   private val opsWords  = Seq("join", "merge", "sort", "filter", "scan", "agg")
+
+  /** Per-document Gopher repetition stats over a (doc_id, text) slice —
+    * the SINGLE definition backing both the standalone
+    * t_gopher_repetition operator and t_pipeline's stage 1 (shared by
+    * construction so a threshold tweak cannot desynchronize them).
+    * Output: (doc_id, n, dup_token_frac, top_token_frac,
+    * top_bigram_frac, keep). */
+  private def gopherStats(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val base = w.select(col("doc_id"), size(col("w")).as("n"),
+      size(array_distinct(col("w"))).as("nu"))
+    val tok = w.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+    val bg = w.select(col("doc_id"), explode(expr(
+        """transform(slice(w, 1, size(w) - 1),
+          |  (x, i) -> concat(x, ' ', element_at(w, i + 2)))""".stripMargin))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("bmx"), sum(col("c")).as("btot"))
+    val dupF = round(lit(1.0) - col("nu") / col("n"), 4)
+    val topT = round(col("mx") / col("tot"), 4)
+    val topB = round(col("bmx") / col("btot"), 4)
+    base.join(tok, "doc_id").join(bg, "doc_id")
+      .select(col("doc_id"), col("n"),
+        dupF.as("dup_token_frac"),
+        topT.as("top_token_frac"),
+        topB.as("top_bigram_frac"),
+        (dupF <= 0.6 && topT <= 0.12 && topB <= 0.06).as("keep"))
+  }
+
+  /** Per-document eval-set contamination stats — the single definition
+    * behind t_decontam and t_pipeline's stage 2. Documents with no
+    * shingles (under 3 words) are excluded up front: they cannot be
+    * contaminated, and the guard keeps the basis-point division away
+    * from ANSI DIVIDE_BY_ZERO. Output: (doc_id, n_shingles, n_overlap,
+    * overlap_bp, contaminated) for non-eval documents. */
+  private def decontamStats(docs: DataFrame, isEval: Column): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(graft.expr.ShingleHashes(col("text"), 3)).as("h"))
+    val evalH = sh.filter(isEval).select(col("h")).distinct()
+    val overlap = sh.filter(!isEval)
+      .join(broadcast(evalH), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    docs.filter(!isEval)
+      .select(col("doc_id"),
+        size(graft.expr.ShingleHashes(col("text"), 3)).cast("long")
+          .as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("overlap_bp", expr("n_overlap * 10000 div n_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("overlap_bp"),
+        (col("n_overlap") >= 5 || col("overlap_bp") >= 2000)
+          .as("contaminated"))
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + distinct tokens + a BPE-ish
@@ -126,30 +185,10 @@ object TextPack extends QueryPack {
     // two hash aggs keyed by (doc, gram) — the tf-idf shuffle shape;
     // per-doc joins are co-partitioned on doc_id at 100 TB.
     "t_gopher_repetition" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val base = docs.select(col("doc_id"), size(col("w")).as("n"),
-        size(array_distinct(col("w"))).as("nu"))
-      val tok = docs.select(col("doc_id"), explode(col("w")).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
-      val bg = docs.select(col("doc_id"), explode(expr(
-          """transform(slice(w, 1, size(w) - 1),
-            |  (x, i) -> concat(x, ' ', element_at(w, i + 2)))""".stripMargin))
-          .as("b"))
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("bmx"), sum(col("c")).as("btot"))
-      val dupF = round(lit(1.0) - col("nu") / col("n"), 4)
-      val topT = round(col("mx") / col("tot"), 4)
-      val topB = round(col("bmx") / col("btot"), 4)
-      base.join(tok, "doc_id").join(bg, "doc_id")
+      gopherStats(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("n").as("n_tokens"),
-          dupF.as("dup_token_frac"),
-          topT.as("top_token_frac"),
-          topB.as("top_bigram_frac"),
-          (dupF <= 0.6 && topT <= 0.12 && topB <= 0.06).as("keep"))
+          col("dup_token_frac"), col("top_token_frac"),
+          col("top_bigram_frac"), col("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -274,40 +313,13 @@ object TextPack extends QueryPack {
       val docsRaw = Tables(s, dir, "documents")
       val isEval = col("doc_id") % 10 === 0
       val train = docsRaw.filter(!isEval)
-      // stage 1: Gopher repetition quality gate (t_gopher_repetition)
-      val w = train.select(col("doc_id"), split(col("text"), " ").as("w"))
-      val base = w.select(col("doc_id"), size(col("w")).as("n"),
-        size(array_distinct(col("w"))).as("nu"))
-      val tok = w.select(col("doc_id"), explode(col("w")).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
-      val bg = w.select(col("doc_id"), explode(expr(
-          """transform(slice(w, 1, size(w) - 1),
-            |  (x, i) -> concat(x, ' ', element_at(w, i + 2)))""".stripMargin))
-          .as("b"))
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("bmx"), sum(col("c")).as("btot"))
-      val qual = base.join(tok, "doc_id").join(bg, "doc_id")
-        .filter(round(lit(1.0) - col("nu") / col("n"), 4) <= 0.6 &&
-          round(col("mx") / col("tot"), 4) <= 0.12 &&
-          round(col("bmx") / col("btot"), 4) <= 0.06)
-        .select(col("doc_id"))
-      // stage 2: eval-set trigram decontamination (t_decontam)
-      val sh = docsRaw.select(col("doc_id"),
-        explode(graft.expr.ShingleHashes(col("text"), 3)).as("h"))
-      val evalH = sh.filter(isEval).select(col("h")).distinct()
-      val overlap = sh.filter(!isEval)
-        .join(broadcast(evalH), Seq("h"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-      val contaminated = train
-        .select(col("doc_id"),
-          size(graft.expr.ShingleHashes(col("text"), 3)).cast("long")
-            .as("n_shingles"))
-        .join(overlap, Seq("doc_id"), "left")
-        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
-        .filter(col("n_overlap") >= 5 ||
-          expr("n_overlap * 10000 div n_shingles") >= 2000)
-        .select(col("doc_id"))
+      // stage 1: Gopher repetition quality gate — SAME definition as
+      // the standalone operator (shared gopherStats builder)
+      val qual = gopherStats(train).filter(col("keep")).select(col("doc_id"))
+      // stage 2: eval-set trigram decontamination — shared
+      // decontamStats builder (shingle-free docs can't be contaminated)
+      val contaminated = decontamStats(docsRaw, isEval)
+        .filter(col("contaminated")).select(col("doc_id"))
       val clean = qual.join(contaminated, Seq("doc_id"), "left_anti")
       // stage 3: exact dedup among survivors (keep min doc_id)
       val cleanDocs = train.join(clean, "doc_id")
@@ -415,26 +427,7 @@ object TextPack extends QueryPack {
     // emitted in integer basis points (`div` — exact in both engines,
     // no float rounding at the contamination threshold).
     "t_decontam" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val isEval = col("doc_id") % 10 === 0
-      val sh = docs.select(col("doc_id"),
-        explode(graft.expr.ShingleHashes(col("text"), 3)).as("h"))
-      val evalH = sh.filter(isEval).select(col("h")).distinct()
-      val overlap = sh.filter(!isEval)
-        .join(broadcast(evalH), Seq("h"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-      docs.filter(!isEval)
-        .select(col("doc_id"),
-          size(graft.expr.ShingleHashes(col("text"), 3)).cast("long")
-            .as("n_shingles"))
-        .filter(col("n_shingles") > 0)
-        .join(overlap, Seq("doc_id"), "left")
-        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
-        .withColumn("overlap_bp", expr("n_overlap * 10000 div n_shingles"))
-        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
-          col("overlap_bp"),
-          (col("n_overlap") >= 5 || col("overlap_bp") >= 2000)
-            .as("contaminated"))
+      decontamStats(Tables(s, dir, "documents"), col("doc_id") % 10 === 0)
         .orderBy(col("doc_id"))
     }),
 

@@ -82,10 +82,19 @@ object PageRank {
     val nodes = outdeg.select(col("src").as("node"))
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (i <- 1 to iters) {
-      ranks = eo.join(ranks.withColumnRenamed("node", "src"), "src")
+      val contribs = eo.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div od").as("c"))
         .groupBy(col("node"))
-        .agg((lit(150000L) + expr("(850 * sum(c)) div 1000")).as("rank"))
+        .agg(sum(col("c")).as("sc"))
+      // LEFT join back onto the node set: a node with out-edges but no
+      // in-edges receives nothing this round, but must keep its
+      // teleport-floor rank and keep contributing next round — an
+      // inner join here silently drops it (and, transitively,
+      // mis-ranks its neighbors) on directed graphs
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(850 * coalesce(sc, 0L)) div 1000"))
+            .as("rank"))
       if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iters)
         ranks = ranks.localCheckpoint() // eager: materializes + truncates
     }

@@ -151,7 +151,13 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[ValueEvent],
          state: GroupState[(Long, Double)]) =>
-          val evs = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          // full-precision ordering: Timestamp.getTime truncates to
+          // milliseconds, which would fold sub-millisecond events in
+          // the wrong order vs the batch twin's microsecond array_sort
+          val evs = batch.toArray.sortBy { e =>
+            val i = e.ts.toInstant
+            (i.getEpochSecond, i.getNano, e.event_id)
+          }
           var (n, acc) = state.getOption.getOrElse((0L, 0.0))
           evs.foreach { e =>
             acc = if (n == 0L) e.value else acc * 0.75 + e.value * 0.25

@@ -12,18 +12,24 @@ class PageRankSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  /** In-memory reference of the exact integer recurrence. */
-  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
-    val sym = (edges ++ edges.map(_.swap)).distinct
-    val od = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+  /** In-memory reference of the exact integer recurrence (directed
+    * edge list; node set = sources, matching the operator contract). */
+  private def referenceDirected(edges: Seq[(Long, Long)],
+                                iters: Int): Map[Long, Long] = {
+    val es = edges.distinct
+    val od = es.groupBy(_._1).map { case (n, e) => n -> e.size.toLong }
     var rank = od.keys.map(_ -> 1000000L).toMap
     (1 to iters).foreach { _ =>
       val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
-      sym.foreach { case (s, d) => acc(d) += rank(s) / od(s) }
-      rank = acc.map { case (n, a) => n -> (150000L + (850L * a) / 1000L) }.toMap
+      es.foreach { case (s, d) => acc(d) += rank(s) / od(s) }
+      // every SOURCE node keeps a rank — zero in-flow = teleport floor
+      rank = od.keys.map(n => n -> (150000L + (850L * acc(n)) / 1000L)).toMap
     }
     rank
   }
+
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    referenceDirected(edges ++ edges.map(_.swap), iters)
 
   test("matches the in-memory integer recurrence on a random graph") {
     val rnd = new scala.util.Random(7)
@@ -57,5 +63,20 @@ class PageRankSpec extends SparkSpec {
     val once = pr(Seq((1L, 2L), (2L, 3L)), 3)
     val dup = pr(Seq((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L)), 3)
     assert(once == dup)
+  }
+
+  test("directed graph: a source with no in-edges keeps the teleport floor") {
+    import spark.implicits._
+    // 0 -> 1, 1 -> 2, 2 -> 1: node 0 never receives, but must stay in
+    // the output at floor rank and keep feeding node 1 every round
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 1L))
+    val got = PageRank.run(edges.toDF("src", "dst"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = referenceDirected(edges, 5)
+    assert(got == ref, s"directed ranks diverged: $got vs $ref")
+    assert(got(0L) == 150000L, "in-degree-0 source must sit at the floor")
+    assert(got.keySet == Set(0L, 1L, 2L))
+    // node 1 outranks node 2: it receives from both 0 and 2
+    assert(got(1L) > got(2L))
   }
 }

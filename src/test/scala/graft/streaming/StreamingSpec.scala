@@ -85,6 +85,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == ref, s"stream fold diverged: $streamed vs $ref")
   }
 
+  test("EWMA orders sub-millisecond events correctly within a batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same millisecond, different microseconds, event ids REVERSED
+    // relative to time order: a getTime-based sort would fold these
+    // backwards (the ts tiebreak must be full precision)
+    def tsNanos(nanos: Int) = {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")
+      t.setNanos(nanos)
+      t
+    }
+    val early = tsNanos(200000) // .0002s, event_id 9
+    val late = tsNanos(700000)  // .0007s, event_id 5
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val stream = input.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = EventStreams.runningUserEwma(spark, stream)
+      .writeStream.format("memory").queryName("user_ewma_us")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, late, 5L, 100.0), (1L, early, 9L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("user_ewma_us")
+      .select(col("ewma")).collect()(0).getDouble(0)
+    // time order folds value 0.0 first, then 100.0: 0*0.75 + 100*0.25
+    assert(got == 25.0,
+      s"fold ran in event_id order, not time order: got $got (want 25.0)")
+  }
+
   test("stream-stream join pairs same-user events within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
