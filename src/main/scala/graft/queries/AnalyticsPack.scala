@@ -150,6 +150,40 @@ object AnalyticsPack extends QueryPack {
         .orderBy(desc("freq"), col("token"))
     }),
 
+    // Table profiling — the ANALYZE-TABLE shape every warehouse runs
+    // before planning: per-column null count, exact distinct count,
+    // and min/max, in ONE aggregation pass over the table (the
+    // multi-countDistinct compiles to a single Expand-based
+    // aggregate, not one job per column) followed by a stack() to
+    // rows. min/max are emitted only for types whose string form is
+    // engine-identical (strings, integers); double/timestamp
+    // formatting differs across engines and is profiled by
+    // a5_summary_stats with rounding instead.
+    "a7_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+      val df = Tables(s, dir, "orders")
+      val fields = df.schema.fields
+      val aggs = fields.flatMap { f =>
+        val c = col(f.name)
+        val (minS, maxS) = f.dataType match {
+          case StringType => (min(c), max(c))
+          case LongType | IntegerType =>
+            (min(c).cast("string"), max(c).cast("string"))
+          case _ => (lit(null).cast("string"), lit(null).cast("string"))
+        }
+        Seq(count(c).as(s"cnt_${f.name}"),
+          countDistinct(c).as(s"nd_${f.name}"),
+          minS.as(s"min_${f.name}"), maxS.as(s"max_${f.name}"))
+      }
+      val one = df.agg(count(lit(1)).as("n_rows"), aggs.toSeq: _*)
+      val stackArgs = fields.map(f =>
+        s"'${f.name}', n_rows - cnt_${f.name}, nd_${f.name}, " +
+          s"min_${f.name}, max_${f.name}").mkString(", ")
+      one.selectExpr(s"stack(${fields.length}, $stackArgs) AS " +
+          "(col, n_null, n_distinct, min_s, max_s)")
+        .orderBy(col("col"))
+    }),
+
     // Equi-DEPTH histogram (ntile) — the complement of a6's
     // equi-width binning: deciles of the price distribution, each
     // bucket carrying its population and value span. ntile needs a
@@ -262,6 +296,35 @@ object AnalyticsPack extends QueryPack {
         |c AS (SELECT token, count(*) AS freq FROM tt GROUP BY 1)
         |SELECT token, freq, n_total FROM c, tot
         |WHERE freq * 50 > n_total ORDER BY freq DESC, token""".stripMargin,
+
+    "a7_profile" ->
+      """SELECT col, CAST(n_null AS BIGINT) AS n_null,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s FROM (
+        |  SELECT 'o_orderkey' AS col,
+        |    count(*) - count(o_orderkey) AS n_null,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    min(o_orderstatus), max(o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*) - count(o_totalprice),
+        |    count(DISTINCT o_totalprice), NULL, NULL FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*) - count(o_orderdate),
+        |    count(DISTINCT o_orderdate), NULL, NULL FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority),
+        |    min(o_orderpriority), max(o_orderpriority) FROM orders
+        |) ORDER BY col""".stripMargin,
 
     "g_histogram_eqdepth" ->
       """SELECT bucket, CAST(count(*) AS BIGINT) AS n,

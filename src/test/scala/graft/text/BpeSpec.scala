@@ -100,6 +100,28 @@ class BpeSpec extends SparkSpec {
     trained.unpersist()
   }
 
+  test("randomized tiny-alphabet corpora: distributed == reference") {
+    import spark.implicits._
+    // a 4-letter alphabet forces heavy pair-count ties, exercising the
+    // (cnt desc, a, b) tie-break across engines and repeated merges of
+    // already-merged symbols
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(30)(
+          (1 to (2 + rnd.nextInt(5))).map(_ => "abcd"(rnd.nextInt(4))).mkString)
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val df = words.toSeq.toDF("word", "freq")
+      val (merges, syms) = Bpe.train(df, 5)
+      val (refMerges, refVocab) = referenceTrain(words, 5)
+      assert(merges.map(m => (m.a, m.b, m.freq)) == refMerges,
+        s"seed $seed: merge sequence diverged")
+      val vocab = Bpe.vocab(syms).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(vocab == refVocab, s"seed $seed: vocabulary diverged")
+      syms.unpersist()
+    }
+  }
+
   test("greedy left-to-right application is non-overlapping") {
     import spark.implicits._
     // 'aaaa' under merge (a,a): [aa, aa] — never the overlapping
