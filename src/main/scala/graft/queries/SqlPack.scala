@@ -369,6 +369,103 @@ object SqlPack extends QueryPack {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
 
+  /** TPC-H Q2 (minimum-cost supplier), adapted (no partsupp — a
+    * supplier "supplies" a part if lineitem records a shipment, and
+    * s_acctbal plays supply cost): for each qualifying part, the
+    * EU supplier with the minimum balance. The correlated MIN
+    * decorrelates to an aggregate joined back on p_partkey; DISTINCT
+    * collapses the lineitem multiplicity. */
+  private val q2 =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_size = 15 AND p_type = 'STANDARD'
+      |  AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND s_acctbal = (
+      |    SELECT min(s2.s_acctbal)
+      |    FROM supplier s2, lineitem l2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND l2.l_suppkey = s2.s_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
+
+  /** TPC-H Q11 (important stock), adapted (supply value = lineitem
+    * extended price through one nation's suppliers). The
+    * above-3x-average test is multiplied through — `value * n_parts >
+    * 3 * total` — so every operand stays exact decimal/bigint (same
+    * discipline as q22). */
+  private val q11 =
+    """SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS value
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |GROUP BY l_partkey
+      |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,4))) *
+      |  (SELECT count(DISTINCT l_partkey)
+      |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |   JOIN nation ON s_nationkey = n_nationkey
+      |   WHERE n_name = 'NATION_3') >
+      |  (SELECT 3 * sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |   JOIN nation ON s_nationkey = n_nationkey
+      |   WHERE n_name = 'NATION_3')
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q16 (parts/supplier relationship), adapted: distinct
+    * supplier counts per (brand, type, size) bucket, excluding one
+    * brand, one type, and negative-balance suppliers. The NOT IN
+    * plans as a null-aware anti join (keys are non-null here, so it
+    * degenerates to a plain broadcast anti). */
+  private val q16 =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 (potential part promotion), adapted: suppliers who
+    * moved more than 400 units of 'gear' parts in 1996 — an IN over a
+    * grouped HAVING subquery, planned as a left-semi join against the
+    * aggregated fact slice. */
+  private val q20 =
+    """SELECT s_name, s_suppkey FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE '%gear%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY l_suppkey HAVING sum(l_quantity) > 400)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21 (suppliers who kept orders waiting), adapted ("late" =
+    * shipped 60+ days after the order date): the sole late supplier
+    * on multi-supplier finished orders. EXISTS + NOT EXISTS both
+    * correlate to the same order; Catalyst plans them as one
+    * left-semi and one left-anti join against the lineitem slice —
+    * the NOT EXISTS additionally correlates on the OUTER order date
+    * inside its inequality. */
+  private val q21 =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
   /** Correlated LATERAL subquery with LIMIT — top-2 suppliers per
     * nation as a join operand, the SQL spelling of the per-group
     * top-k pattern (w1/w6 are the DataFrame spellings). Catalyst
@@ -429,7 +526,17 @@ object SqlPack extends QueryPack {
     "sql_q22_dormant" -> ((s, dir) =>
       sql(s, dir, Seq("customer", "orders"), q22)),
     "sql_lateral_topk" -> ((s, dir) =>
-      sql(s, dir, Seq("nation", "supplier"), qLateral))
+      sql(s, dir, Seq("nation", "supplier"), qLateral)),
+    "sql_q2_min_cost" -> ((s, dir) =>
+      sql(s, dir, Seq("part", "supplier", "lineitem", "nation", "region"), q2)),
+    "sql_q11_important" -> ((s, dir) =>
+      sql(s, dir, Seq("lineitem", "supplier", "nation"), q11)),
+    "sql_q16_supplier_cnt" -> ((s, dir) =>
+      sql(s, dir, Seq("lineitem", "part", "supplier"), q16)),
+    "sql_q20_promotion" -> ((s, dir) =>
+      sql(s, dir, Seq("supplier", "lineitem", "part"), q20)),
+    "sql_q21_waiting" -> ((s, dir) =>
+      sql(s, dir, Seq("supplier", "lineitem", "orders"), q21))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -451,6 +558,11 @@ object SqlPack extends QueryPack {
     "sql_q17_small_qty" -> q17,
     "sql_q19_or_predicates" -> q19,
     "sql_q22_dormant" -> q22,
-    "sql_lateral_topk" -> qLateral
+    "sql_lateral_topk" -> qLateral,
+    "sql_q2_min_cost" -> q2,
+    "sql_q11_important" -> q11,
+    "sql_q16_supplier_cnt" -> q16,
+    "sql_q20_promotion" -> q20,
+    "sql_q21_waiting" -> q21
   )
 }
