@@ -394,23 +394,24 @@ object SqlPack extends QueryPack {
     * extended price through one nation's suppliers). The
     * above-3x-average test is multiplied through — `value * n_parts >
     * 3 * total` — so every operand stays exact decimal/bigint (same
-    * discipline as q22). */
+    * discipline as q22), and the part count + grand total derive FROM
+    * the grouped result (one tiny re-aggregation) instead of
+    * re-scanning the fact slice per scalar subquery. */
   private val q11 =
-    """SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
-      |    AS DECIMAL(18,4)) AS value
-      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      |JOIN nation ON s_nationkey = n_nationkey
-      |WHERE n_name = 'NATION_3'
-      |GROUP BY l_partkey
-      |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,4))) *
-      |  (SELECT count(DISTINCT l_partkey)
-      |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      |   JOIN nation ON s_nationkey = n_nationkey
-      |   WHERE n_name = 'NATION_3') >
-      |  (SELECT 3 * sum(CAST(l_extendedprice AS DECIMAL(18,4)))
-      |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      |   JOIN nation ON s_nationkey = n_nationkey
-      |   WHERE n_name = 'NATION_3')
+    """WITH g AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+      |      AS DECIMAL(18,4)) AS value
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_3'
+      |  GROUP BY l_partkey),
+      |t AS (
+      |  SELECT count(*) AS np,
+      |    CAST(sum(value) AS DECIMAL(28,4)) AS total FROM g)
+      |SELECT l_partkey, value
+      |FROM g, t
+      |WHERE value * np > 3 * total
       |ORDER BY value DESC, l_partkey""".stripMargin
 
   /** TPC-H Q16 (parts/supplier relationship), adapted: distinct
@@ -440,7 +441,8 @@ object SqlPack extends QueryPack {
       |  WHERE p_name LIKE '%gear%'
       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-      |  GROUP BY l_suppkey HAVING sum(l_quantity) > 400)
+      |  GROUP BY l_suppkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 400)
       |ORDER BY s_suppkey""".stripMargin
 
   /** TPC-H Q21 (suppliers who kept orders waiting), adapted ("late" =

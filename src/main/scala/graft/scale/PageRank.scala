@@ -78,23 +78,37 @@ object PageRank {
       .select(col("src"), col("dst"), col("od"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // outdeg already holds each src exactly once — the node set is a
-    // free projection of it, not another full-edge-list distinct
+    // free projection of it, not another full-edge-list distinct.
+    // PERSISTED: it re-joins every round (the teleport-floor left
+    // join below), and outdeg sits UPSTREAM of the persisted edge
+    // list — unpersisted, each round would re-derive the node set
+    // from the raw input (full scans), not from cache
     val nodes = outdeg.select(col("src").as("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Nodes with out-edges but NO in-edges never receive contributions:
+    // dropping them (what a bare inner join + groupBy does) silently
+    // removes them from the output AND loses their outgoing flow from
+    // round 2 on — wrong ranks on directed graphs. The set is STATIC,
+    // so it is computed once; from round 1 onward each such node sits
+    // at the teleport floor, so a constant-rank union restores it each
+    // round at node-set (not edge-set) cost. Symmetric/undirected
+    // graphs have an empty set and skip the union entirely. (Under the
+    // documented contract dst ⊆ src, so the received-keys set is
+    // always a subset of `nodes` and the union is exactly the
+    // left-join-with-floor formulation.)
+    val noInflow = nodes
+      .join(eo.select(col("dst").as("node")).distinct(), Seq("node"),
+        "left_anti")
+      .withColumn("rank", lit(150000L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasNoInflow = noInflow.limit(1).count() > 0
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (i <- 1 to iters) {
-      val contribs = eo.join(ranks.withColumnRenamed("node", "src"), "src")
+      val received = eo.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div od").as("c"))
         .groupBy(col("node"))
-        .agg(sum(col("c")).as("sc"))
-      // LEFT join back onto the node set: a node with out-edges but no
-      // in-edges receives nothing this round, but must keep its
-      // teleport-floor rank and keep contributing next round — an
-      // inner join here silently drops it (and, transitively,
-      // mis-ranks its neighbors) on directed graphs
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) + expr("(850 * coalesce(sc, 0L)) div 1000"))
-            .as("rank"))
+        .agg((lit(150000L) + expr("(850 * sum(c)) div 1000")).as("rank"))
+      ranks = if (hasNoInflow) received.unionByName(noInflow) else received
       if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iters)
         ranks = ranks.localCheckpoint() // eager: materializes + truncates
     }
