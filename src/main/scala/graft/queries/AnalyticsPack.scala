@@ -152,10 +152,14 @@ object AnalyticsPack extends QueryPack {
 
     // Table profiling — the ANALYZE-TABLE shape every warehouse runs
     // before planning: per-column null count, exact distinct count,
-    // and min/max, in ONE aggregation pass over the table (the
-    // multi-countDistinct compiles to a single Expand-based
-    // aggregate, not one job per column) followed by a stack() to
-    // rows. min/max are emitted only for types whose string form is
+    // and min/max, followed by a stack() to rows. TWO aggregation
+    // passes by design: the multi-countDistinct compiles to one
+    // Expand-based aggregate whose buffer is all-bigint (stays in
+    // HashAggregate), while min/max-over-strings carries var-length
+    // buffers that force SortAggregate — fused into one pass they
+    // drag the 7x-expanded stream through the sort path (measured
+    // ~2x slower). The two 1-row results cross-join for free. min/max
+    // are emitted only for types whose string form is
     // engine-identical (strings, integers); double/timestamp
     // formatting differs across engines and is profiled by
     // a5_summary_stats with rounding instead.
@@ -163,7 +167,9 @@ object AnalyticsPack extends QueryPack {
       import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
       val df = Tables(s, dir, "orders")
       val fields = df.schema.fields
-      val aggs = fields.flatMap { f =>
+      val distinctAggs = fields.map(f =>
+        countDistinct(col(f.name)).as(s"nd_${f.name}"))
+      val statAggs = fields.flatMap { f =>
         val c = col(f.name)
         val (minS, maxS) = f.dataType match {
           case StringType => (min(c), max(c))
@@ -172,10 +178,10 @@ object AnalyticsPack extends QueryPack {
           case _ => (lit(null).cast("string"), lit(null).cast("string"))
         }
         Seq(count(c).as(s"cnt_${f.name}"),
-          countDistinct(c).as(s"nd_${f.name}"),
           minS.as(s"min_${f.name}"), maxS.as(s"max_${f.name}"))
       }
-      val one = df.agg(count(lit(1)).as("n_rows"), aggs.toSeq: _*)
+      val one = df.agg(distinctAggs.head, distinctAggs.tail.toSeq: _*)
+        .crossJoin(df.agg(count(lit(1)).as("n_rows"), statAggs.toSeq: _*))
       val stackArgs = fields.map(f =>
         s"'${f.name}', n_rows - cnt_${f.name}, nd_${f.name}, " +
           s"min_${f.name}, max_${f.name}").mkString(", ")
