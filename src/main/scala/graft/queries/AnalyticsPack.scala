@@ -231,10 +231,17 @@ object AnalyticsPack extends QueryPack {
       // (a fixed offset collides once custkeys outgrow it)
       val cNode = col("c") * 2L
       val sNode = col("sp") * 2L + 1L
-      val edges = pairs
-        .select(cNode.as("src"), sNode.as("dst"))
-        .union(pairs.select(sNode.as("src"), cNode.as("dst")))
-      graft.scale.PageRank.run(edges, 5, assumeDistinct = true)
+      // both directions in ONE pass over the distinct pairs: the
+      // union-of-two-projections form does not canonicalize to a
+      // reused exchange, so the scan+join+distinct pipeline ran twice
+      val edges = pairs.select(explode(array(
+          struct(cNode.as("src"), sNode.as("dst")),
+          struct(sNode.as("src"), cNode.as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // the bidirectional union makes every src also a dst, so the
+      // no-inflow probe job is provably empty — assert it away
+      graft.scale.PageRank.run(edges, 5, assumeDistinct = true,
+        symmetric = true)
         .select(col("node"), col("rank"),
           (col("node") % 2 === 1).as("is_supplier"))
         .orderBy(desc("rank"), col("node")).limit(20)

@@ -1,6 +1,7 @@
 package graft.scale
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -63,27 +64,37 @@ object PageRank {
     *                       caller's construction already guarantees
     *                       distinct (src, dst) pairs — saves one full
     *                       shuffle of the edge list
+    * @param symmetric caller asserts every source also appears as a
+    *                  destination (true for any symmetrized/undirected
+    *                  graph) — skips the eager no-inflow probe, which
+    *                  is otherwise a full dst-distinct + anti-join job
+    *                  run before the rank rounds even start
     * @return (node, rank) — rank in micro-units; initial rank 1e6
     */
   def run(edges: DataFrame, iters: Int,
           src: String = "src", dst: String = "dst",
           checkpointInterval: Int = 0,
-          assumeDistinct: Boolean = false): DataFrame = {
+          assumeDistinct: Boolean = false,
+          symmetric: Boolean = false): DataFrame = {
     val e0 = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
     val e = if (assumeDistinct) e0 else e0.distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    // carry outdeg on the edge so the per-round join is single
-    val eo = e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("od"))
+    // Carry outdeg on the edge via a window count over src: ONE exchange
+    // of the edge list (which also becomes the cache's partitioning, so
+    // no per-round re-shuffle of eo), where the groupBy+self-join
+    // formulation shuffled the edge list twice and left the derivation
+    // subtree duplicated across the join's sides. The window's
+    // all-rows-of-a-src-in-one-task placement adds no skew hazard the
+    // per-round join didn't already have — the rank join shuffles by
+    // src identically.
+    val eo = e
+      .withColumn("od",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // outdeg already holds each src exactly once — the node set is a
-    // free projection of it, not another full-edge-list distinct.
-    // PERSISTED: it re-joins every round (the teleport-floor left
-    // join below), and outdeg sits UPSTREAM of the persisted edge
-    // list — unpersisted, each round would re-derive the node set
-    // from the raw input (full scans), not from cache
-    val nodes = outdeg.select(col("src").as("node"))
+    // Node set read FROM the edge cache (partitioned by src, so the
+    // distinct is exchange-free) — deriving it from the raw input
+    // upstream of the cache re-ran the full scans once per action.
+    val nodes = eo.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Nodes with out-edges but NO in-edges never receive contributions:
     // dropping them (what a bare inner join + groupBy does) silently
@@ -96,12 +107,14 @@ object PageRank {
     // documented contract dst ⊆ src, so the received-keys set is
     // always a subset of `nodes` and the union is exactly the
     // left-join-with-floor formulation.)
-    val noInflow = nodes
-      .join(eo.select(col("dst").as("node")).distinct(), Seq("node"),
-        "left_anti")
-      .withColumn("rank", lit(150000L))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val hasNoInflow = noInflow.limit(1).count() > 0
+    val noInflow =
+      if (symmetric) nodes.limit(0).withColumn("rank", lit(150000L))
+      else nodes
+        .join(eo.select(col("dst").as("node")).distinct(), Seq("node"),
+          "left_anti")
+        .withColumn("rank", lit(150000L))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasNoInflow = !symmetric && noInflow.limit(1).count() > 0
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (i <- 1 to iters) {
       val received = eo.join(ranks.withColumnRenamed("node", "src"), "src")

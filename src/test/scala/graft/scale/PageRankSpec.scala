@@ -65,6 +65,19 @@ class PageRankSpec extends SparkSpec {
     assert(once == dup)
   }
 
+  test("symmetric=true is a pure fast path on symmetrized graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = Seq.fill(40)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(e => e._1 != e._2)
+    val sym = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val slow = PageRank.run(sym, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = PageRank.run(sym, 4, symmetric = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+  }
+
   test("directed graph: a source with no in-edges keeps the teleport floor") {
     import spark.implicits._
     // 0 -> 1, 1 -> 2, 2 -> 1: node 0 never receives, but must stay in
