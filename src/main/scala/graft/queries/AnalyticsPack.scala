@@ -245,6 +245,61 @@ object AnalyticsPack extends QueryPack {
         .select(col("node"), col("rank"),
           (col("node") % 2 === 1).as("is_supplier"))
         .orderBy(desc("rank"), col("node")).limit(20)
+    }),
+
+    // Data-quality audit — the Deequ-style constraint suite every
+    // ingest gate runs: key uniqueness, completeness, value-range and
+    // domain checks, and cross-table referential integrity, reported
+    // long-format as (check_name, violations, total, pass). The scale
+    // property: ALL single-table checks on a table fuse into ONE
+    // aggregation pass (adding a constraint adds an aggregate
+    // expression, not a scan), and the only cross-table check is one
+    // anti join on the key — #passes stays O(#tables), never
+    // O(#constraints).
+    "dq_audit" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+      val n = count(lit(1))
+      val custAgg = cust.agg(
+        n.as("n"),
+        (n - countDistinct(col("c_custkey"))).as("dup_key"),
+        (n - count(col("c_name"))).as("null_name"),
+        count(when(col("c_acctbal") < 0, 1)).as("neg_bal"),
+        count(when(!col("c_mktsegment").isin("AUTOMOBILE", "BUILDING",
+          "FURNITURE", "MACHINERY", "HOUSEHOLD"), 1)).as("bad_seg"))
+      val custRows = custAgg.selectExpr(
+        """stack(4,
+          |  'customer.c_custkey unique',        dup_key,   n,
+          |  'customer.c_name complete',         null_name, n,
+          |  'customer.c_acctbal non_negative',  neg_bal,   n,
+          |  'customer.c_mktsegment in_domain',  bad_seg,   n)
+          |AS (check_name, violations, total)""".stripMargin)
+      val orphans = orders.select(col("o_custkey"))
+        .join(cust.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      val ordAgg = orders.agg(
+        n.as("n"),
+        (n - countDistinct(col("o_orderkey"))).as("dup_key"),
+        count(when(col("o_totalprice") <= 0, 1)).as("bad_price"),
+        count(when(!col("o_orderstatus").isin("O", "F", "P"), 1))
+          .as("bad_status"),
+        count(when(
+          col("o_orderdate") < lit("1992-01-01").cast("timestamp_ntz") ||
+          col("o_orderdate") >= lit("1999-01-01").cast("timestamp_ntz"), 1))
+          .as("bad_date"))
+        .crossJoin(orphans)
+      val ordRows = ordAgg.selectExpr(
+        """stack(5,
+          |  'orders.o_custkey references customer', orphans,    n,
+          |  'orders.o_orderdate in_range',          bad_date,   n,
+          |  'orders.o_orderkey unique',             dup_key,    n,
+          |  'orders.o_orderstatus in_domain',       bad_status, n,
+          |  'orders.o_totalprice positive',         bad_price,  n)
+          |AS (check_name, violations, total)""".stripMargin)
+      custRows.unionByName(ordRows)
+        .withColumn("pass", col("violations") === 0)
+        .orderBy(col("check_name"))
     })
   )
 
@@ -377,6 +432,43 @@ object AnalyticsPack extends QueryPack {
         |  FROM e JOIN r4 r ON r.node = e.src GROUP BY e.dst)
         |SELECT node, CAST(rank AS BIGINT) AS rank,
         |  node % 2 = 1 AS is_supplier
-        |FROM r5 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+        |FROM r5 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    "dq_audit" ->
+      """WITH c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS dup_key,
+        |    CAST(count(*) - count(c_name) AS BIGINT) AS null_name,
+        |    CAST(count(*) FILTER (c_acctbal < 0) AS BIGINT) AS neg_bal,
+        |    CAST(count(*) FILTER (c_mktsegment NOT IN ('AUTOMOBILE',
+        |      'BUILDING', 'FURNITURE', 'MACHINERY', 'HOUSEHOLD'))
+        |      AS BIGINT) AS bad_seg
+        |  FROM customer),
+        |o AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_key,
+        |    CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) AS bad_price,
+        |    CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+        |      AS BIGINT) AS bad_status,
+        |    CAST(count(*) FILTER (o_orderdate < TIMESTAMP '1992-01-01'
+        |      OR o_orderdate >= TIMESTAMP '1999-01-01') AS BIGINT) AS bad_date
+        |  FROM orders),
+        |ri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS orphans FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |rows_out AS (
+        |  SELECT 'customer.c_custkey unique' AS check_name,
+        |    dup_key AS violations, n AS total FROM c
+        |  UNION ALL SELECT 'customer.c_name complete', null_name, n FROM c
+        |  UNION ALL SELECT 'customer.c_acctbal non_negative', neg_bal, n FROM c
+        |  UNION ALL SELECT 'customer.c_mktsegment in_domain', bad_seg, n FROM c
+        |  UNION ALL SELECT 'orders.o_custkey references customer',
+        |    ri.orphans, o.n FROM o, ri
+        |  UNION ALL SELECT 'orders.o_orderdate in_range', bad_date, n FROM o
+        |  UNION ALL SELECT 'orders.o_orderkey unique', dup_key, n FROM o
+        |  UNION ALL SELECT 'orders.o_orderstatus in_domain', bad_status, n FROM o
+        |  UNION ALL SELECT 'orders.o_totalprice positive', bad_price, n FROM o)
+        |SELECT check_name, violations, total, violations = 0 AS pass
+        |FROM rows_out ORDER BY check_name""".stripMargin
   )
 }

@@ -494,6 +494,31 @@ object DedupPack extends QueryPack {
         .filter(col("cos") >= 0.45)
         .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos"))
         .orderBy(col("ia"), col("ib"))
+    }),
+
+    // Entity resolution on a low-cardinality attribute: fuzzy-match
+    // part NAMES (typo-distance <= 2) on the distinct-value VOCABULARY,
+    // not the row stream — the resolve-then-map-back shape of schema
+    // matching and catalog reconciliation. The vocabulary is bounded by
+    // the attribute's domain (grows ~log with corpus), so the pairwise
+    // stage is corpus-size-independent; the only corpus-sized work is
+    // the grouped count feeding it. The length-band prefilter is
+    // LOSSLESS for edit distance (|len(a)-len(b)| <= dist always), so
+    // the blocked result equals the unblocked one — which is what the
+    // oracle computes.
+    "d_fuzzy_names" -> ((s, dir) => {
+      val vocab = Tables(s, dir, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+      val a = vocab.select(col("p_name").as("name_a"), col("n").as("n_a"))
+      val b = vocab.select(col("p_name").as("name_b"), col("n").as("n_b"))
+      a.join(broadcast(b), col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 2)
+        .select(col("name_a"), col("name_b"), col("dist"),
+          col("n_a"), col("n_b"))
+        .orderBy(col("name_a"), col("name_b"))
     })
   )
 
@@ -686,6 +711,18 @@ object DedupPack extends QueryPack {
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
-        |ORDER BY ia, ib""".stripMargin
+        |ORDER BY ia, ib""".stripMargin,
+
+    "d_fuzzy_names" ->
+      """WITH v AS (
+        |  SELECT p_name, CAST(count(*) AS BIGINT) AS n
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM v a JOIN v b ON a.p_name < b.p_name
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin
   )
 }

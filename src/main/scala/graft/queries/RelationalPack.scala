@@ -549,6 +549,54 @@ object RelationalPack extends QueryPack {
         .orderBy(col("key"))
     }),
 
+    // SCD-2 history build from a change stream — the other half of the
+    // MERGE story (j10 applies a batch; this reconstructs the
+    // slowly-changing-dimension validity intervals). Island
+    // compression first: consecutive same-value events collapse via a
+    // lag() change test, THEN lead() closes each version's interval
+    // (null valid_to = current row). One shuffle on user_id; both
+    // windows share its partitioning+ordering, so Spark plans a single
+    // exchange+sort. The (ts, event_id) tiebreak makes version
+    // numbering deterministic in both engines.
+    "j11_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("version_no", row_number().over(w).cast("long"))
+        .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"),
+          col("version_no"), col("valid_to_us").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version_no"))
+    }),
+
+    // Bloom-pruned selective join (scale/BloomJoin): the build side is
+    // a filtered slice of orders; its key bitset (built distributively,
+    // broadcast as ONE row) filters lineitem BEFORE the join's
+    // exchange, so only possibly-matching fact rows shuffle. No false
+    // negatives => identical output to the plain join, which is the
+    // oracle. Payoff case at scale: the build side is too wide/large to
+    // broadcast as a hash relation, but its KEY bloom is 128 KiB.
+    "j12_bloom_join" -> ((s, dir) => {
+      val sel = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      graft.scale.BloomJoin.prune(li, col("l_orderkey"),
+          sel, col("o_orderkey"))
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("rev"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Top-K-per-group via the typed bounded-buffer Aggregator
     // (scale/TopKAggregator) instead of a window: the shuffle carries
     // at most k rows per group per partition — the generalization of
@@ -824,6 +872,32 @@ object RelationalPack extends QueryPack {
         |  round(coalesce(c_acctbal, 0.0), 2) AS acctbal
         |FROM tgt FULL OUTER JOIN src ON tkey = skey
         |ORDER BY key""".stripMargin,
+
+    "j11_scd2" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS version_no,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to_us
+        |  FROM seq
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+        |  valid_to_us, version_no, valid_to_us IS NULL AS is_current
+        |FROM ch ORDER BY user_id, version_no""".stripMargin,
+
+    "j12_bloom_join" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "w6_topk_aggregator" ->
       """WITH r AS (
