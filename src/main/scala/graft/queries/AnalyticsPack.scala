@@ -247,6 +247,49 @@ object AnalyticsPack extends QueryPack {
         .orderBy(desc("rank"), col("node")).limit(20)
     }),
 
+    // Winsorization — the outlier-clipping featurization step: exact
+    // p01/p99 cut points (one sort-based aggregate), broadcast back as
+    // a 1-row frame, clip in a codegen'd projection, re-profile in one
+    // pass. At 100 TB the exact percentile swaps for approx_percentile
+    // (mergeable t-digest) with identical plumbing; the exact twin
+    // pins the target here.
+    "a8_winsorize" -> ((s, dir) => {
+      val df = Tables(s, dir, "orders").select(col("o_totalprice").as("x"))
+      val cuts = df.agg(
+        expr("percentile(x, 0.01)").as("p01"),
+        expr("percentile(x, 0.99)").as("p99"))
+      df.crossJoin(broadcast(cuts))
+        .select(col("x"), col("p01"), col("p99"),
+          greatest(least(col("x"), col("p99")), col("p01")).as("w"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("x") > col("p99"), 1)).as("n_clip_hi"),
+          count(when(col("x") < col("p01"), 1)).as("n_clip_lo"),
+          round(avg(col("x")), 2).as("mean_raw"),
+          round(avg(col("w")), 2).as("mean_wins"),
+          round(max(col("w")), 2).as("max_wins"),
+          round(min(col("w")), 2).as("min_wins"))
+    }),
+
+    // Per-group z-score standardization — the scale-then-normalize
+    // featurization pass: group stats in one hash agg, broadcast back,
+    // normalize in-projection, audit tails per group. Two passes total
+    // regardless of group count; no window (a window would sort each
+    // group for stats a hash agg computes without ordering).
+    "a9_zscore" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
+      val stats = li.groupBy(col("rf"))
+        .agg(avg(col("x")).as("mu"), stddev_samp(col("x")).as("sigma"))
+      li.join(broadcast(stats), "rf")
+        .select(col("rf"), ((col("x") - col("mu")) / col("sigma")).as("z"))
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).as("n"),
+          count(when(abs(col("z")) > 3, 1)).as("n_outliers"),
+          round(max(col("z")), 3).as("max_z"),
+          round(min(col("z")), 3).as("min_z"))
+        .orderBy(col("rf"))
+    }),
+
     // Data-quality audit — the Deequ-style constraint suite every
     // ingest gate runs: key uniqueness, completeness, value-range and
     // domain checks, and cross-table referential integrity, reported
@@ -433,6 +476,33 @@ object AnalyticsPack extends QueryPack {
         |SELECT node, CAST(rank AS BIGINT) AS rank,
         |  node % 2 = 1 AS is_supplier
         |FROM r5 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    "a8_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+        |    quantile_cont(o_totalprice, 0.99) AS p99
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (o_totalprice > p99) AS BIGINT) AS n_clip_hi,
+        |  CAST(count(*) FILTER (o_totalprice < p01) AS BIGINT) AS n_clip_lo,
+        |  round(avg(o_totalprice), 2) AS mean_raw,
+        |  round(avg(greatest(least(o_totalprice, p99), p01)), 2) AS mean_wins,
+        |  round(max(greatest(least(o_totalprice, p99), p01)), 2) AS max_wins,
+        |  round(min(greatest(least(o_totalprice, p99), p01)), 2) AS min_wins
+        |FROM orders, cuts""".stripMargin,
+
+    "a9_zscore" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS rf, avg(l_extendedprice) AS mu,
+        |    stddev_samp(l_extendedprice) AS sigma
+        |  FROM lineitem GROUP BY 1)
+        |SELECT rf, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (abs((l_extendedprice - mu) / sigma) > 3)
+        |    AS BIGINT) AS n_outliers,
+        |  round(max((l_extendedprice - mu) / sigma), 3) AS max_z,
+        |  round(min((l_extendedprice - mu) / sigma), 3) AS min_z
+        |FROM lineitem JOIN s ON l_returnflag = s.rf
+        |GROUP BY rf ORDER BY rf""".stripMargin,
 
     "dq_audit" ->
       """WITH c AS (
