@@ -300,49 +300,30 @@ object AnalyticsPack extends QueryPack {
     // anti join on the key — #passes stays O(#tables), never
     // O(#constraints).
     "dq_audit" -> ((s, dir) => {
+      import graft.quality.Audit
+      import graft.quality.Audit.{Complete, Satisfies, Unique}
       val cust = Tables(s, dir, "customer")
       val orders = Tables(s, dir, "orders")
-      val n = count(lit(1))
-      val custAgg = cust.agg(
-        n.as("n"),
-        (n - countDistinct(col("c_custkey"))).as("dup_key"),
-        (n - count(col("c_name"))).as("null_name"),
-        count(when(col("c_acctbal") < 0, 1)).as("neg_bal"),
-        count(when(!col("c_mktsegment").isin("AUTOMOBILE", "BUILDING",
-          "FURNITURE", "MACHINERY", "HOUSEHOLD"), 1)).as("bad_seg"))
-      val custRows = custAgg.selectExpr(
-        """stack(4,
-          |  'customer.c_custkey unique',        dup_key,   n,
-          |  'customer.c_name complete',         null_name, n,
-          |  'customer.c_acctbal non_negative',  neg_bal,   n,
-          |  'customer.c_mktsegment in_domain',  bad_seg,   n)
-          |AS (check_name, violations, total)""".stripMargin)
-      val orphans = orders.select(col("o_custkey"))
-        .join(cust.select(col("c_custkey")),
-          col("o_custkey") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("orphans"))
-      val ordAgg = orders.agg(
-        n.as("n"),
-        (n - countDistinct(col("o_orderkey"))).as("dup_key"),
-        count(when(col("o_totalprice") <= 0, 1)).as("bad_price"),
-        count(when(!col("o_orderstatus").isin("O", "F", "P"), 1))
-          .as("bad_status"),
-        count(when(
-          col("o_orderdate") < lit("1992-01-01").cast("timestamp_ntz") ||
-          col("o_orderdate") >= lit("1999-01-01").cast("timestamp_ntz"), 1))
-          .as("bad_date"))
-        .crossJoin(orphans)
-      val ordRows = ordAgg.selectExpr(
-        """stack(5,
-          |  'orders.o_custkey references customer', orphans,    n,
-          |  'orders.o_orderdate in_range',          bad_date,   n,
-          |  'orders.o_orderkey unique',             dup_key,    n,
-          |  'orders.o_orderstatus in_domain',       bad_status, n,
-          |  'orders.o_totalprice positive',         bad_price,  n)
-          |AS (check_name, violations, total)""".stripMargin)
-      custRows.unionByName(ordRows)
-        .withColumn("pass", col("violations") === 0)
-        .orderBy(col("check_name"))
+      Audit.report(Seq(
+        Audit.tableChecks(cust, Seq(
+          Unique("customer.c_custkey unique", col("c_custkey")),
+          Complete("customer.c_name complete", col("c_name")),
+          Satisfies("customer.c_acctbal non_negative",
+            col("c_acctbal") < 0),
+          Satisfies("customer.c_mktsegment in_domain",
+            !col("c_mktsegment").isin("AUTOMOBILE", "BUILDING",
+              "FURNITURE", "MACHINERY", "HOUSEHOLD")))),
+        Audit.tableChecks(orders, Seq(
+          Unique("orders.o_orderkey unique", col("o_orderkey")),
+          Satisfies("orders.o_totalprice positive",
+            col("o_totalprice") <= 0),
+          Satisfies("orders.o_orderstatus in_domain",
+            !col("o_orderstatus").isin("O", "F", "P")),
+          Satisfies("orders.o_orderdate in_range",
+            col("o_orderdate") < lit("1992-01-01").cast("timestamp_ntz") ||
+            col("o_orderdate") >= lit("1999-01-01").cast("timestamp_ntz")))),
+        Audit.referentialIntegrity("orders.o_custkey references customer",
+          orders, col("o_custkey"), cust, col("c_custkey"))))
     })
   )
 
