@@ -83,12 +83,11 @@ object BloomJoin {
   def prune(probe: DataFrame, probeKey: Column,
             build: DataFrame, buildKey: Column,
             numBits: Int = 1 << 20, k: Int = 3): DataFrame = {
-    val spark = probe.sparkSession
     val (bh1, bh2) = hashes(buildKey)
     val tupleEnc: Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     val bits = build.select(bh1.as("h1"), bh2.as("h2")).as(tupleEnc)
-      .select(new BloomAgg(numBits, k).toColumn.name("bloom_bits"))
+      .select(new BloomAgg(numBits, k).toColumn.name("__graft_bloom_bits"))
     val (ph1, ph2) = hashes(probeKey)
     // k membership probes, AND-folded: all-builtin => codegen'd.
     // call_function: the SQL shift functions take column shift
@@ -100,8 +99,8 @@ object BloomJoin {
       val word = call_function("shiftright", pos, lit(6)).cast("int") + 1
       val bit = (pos % 64).cast("int")
       (call_function("shiftrightunsigned",
-        element_at(col("bloom_bits"), word), bit) bitwiseAND 1L) === 1L
+        element_at(col("__graft_bloom_bits"), word), bit) bitwiseAND 1L) === 1L
     }.reduce(_ && _)
-    probe.crossJoin(broadcast(bits)).filter(pass).drop("bloom_bits")
+    probe.crossJoin(broadcast(bits)).filter(pass).drop("__graft_bloom_bits")
   }
 }
