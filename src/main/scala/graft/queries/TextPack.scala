@@ -278,6 +278,30 @@ object TextPack extends QueryPack {
         .orderBy(col("source"), col("chunk_id"))
     }),
 
+    // Overlapping sliding-window chunking — the RAG/long-context
+    // complement of t_pack's disjoint packing: stride-48 windows of 64
+    // tokens, so consecutive chunks share a 16-token overlap and no
+    // boundary sentence is ever split away from both neighbors. Pure
+    // generator shape: a sequence() explode per doc — no shuffle at
+    // all until the presentation sort; chunk counts scale with token
+    // count / stride, embarrassingly parallel at any corpus size.
+    "t_chunk" -> ((s, dir) => {
+      val win = 64; val stride = 48
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_toks"))
+        .select(col("doc_id"), col("n_toks"),
+          explode(sequence(lit(0), greatest(col("n_toks") - 1, lit(0)),
+            lit(stride))).as("start_tok"))
+        .withColumn("chunk_len",
+          least(lit(win), col("n_toks") - col("start_tok")).cast("long"))
+        .filter(col("chunk_len") > 0)
+        .select(col("doc_id"),
+          expr(s"start_tok div $stride").cast("long").as("chunk_id"),
+          col("start_tok").cast("long").as("start_tok"), col("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Stratified (quota) sampling — language rebalancing by
     // content-hash: downsample the head language to 20%, keep the tail
     // at 80%. Assignment reuses t_split's position-weighted fingerprint
@@ -722,6 +746,16 @@ object TextPack extends QueryPack {
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
+        |SELECT doc_id, CAST(s.i // 48 AS BIGINT) AS chunk_id,
+        |  CAST(s.i AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - s.i) AS BIGINT) AS chunk_len
+        |FROM d, LATERAL unnest(range(0, greatest(n, 1), 48)) AS s(i)
+        |WHERE n - s.i > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "t_sample" ->
       """WITH f AS (
