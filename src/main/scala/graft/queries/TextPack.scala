@@ -278,6 +278,55 @@ object TextPack extends QueryPack {
         .orderBy(col("source"), col("chunk_id"))
     }),
 
+    // Cross-document SEGMENT dedup with reassembly — the Dolma-style
+    // line-level pass between t_word_dedup (intra-doc) and d_exact
+    // (whole-doc): fixed 8-token segments dedup GLOBALLY (first
+    // occurrence by (doc_id, start) wins), then each document
+    // reassembles from its surviving segments in order. Planted
+    // whole-doc dups therefore lose all their segments; partial
+    // overlaps lose only the shared spans. Plan: one generator
+    // explode, ONE (segment-text) shuffle for the first-occurrence
+    // window, one doc-keyed reassembly agg — the segment text rides
+    // the first shuffle only (at 100 TB: swap the sort key to a
+    // 64-bit segment hash and verify within groups, the d_exact
+    // trick). Output is audit-sized: per-doc survivor counts + the
+    // reassembled text's position-weighted fingerprint (engine-
+    // portable via CharFingerprint / the t_split oracle formula).
+    "t_para_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seg = 8
+      val toks = split(col("text"), " ")
+      val segs = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+            lit(seg))).as("start"),
+          col("w"))
+        .select(col("doc_id"), col("start"),
+          array_join(slice(col("w"), col("start") + 1, lit(seg)), " ")
+            .as("seg_text"))
+      val w = Window.partitionBy(col("seg_text"))
+        .orderBy(col("doc_id"), col("start"))
+      val kept = segs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val perDoc = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          graft.expr.CharFingerprint(
+            array_join(transform(array_sort(collect_list(
+              struct(col("start"), col("seg_text")))), p => p("seg_text")),
+              " ")).as("kept_fp"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(seg)))
+            .cast("long").as("n_segs"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_fp"), lit(0L)).as("kept_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Overlapping sliding-window chunking — the RAG/long-context
     // complement of t_pack's disjoint packing: stride-48 windows of 64
     // tokens, so consecutive chunks share a 16-token overlap and no
@@ -746,6 +795,35 @@ object TextPack extends QueryPack {
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t_para_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |seg AS (
+        |  SELECT doc_id, s.i AS start,
+        |    array_to_string(w[s.i + 1 : s.i + 8], ' ') AS seg_text
+        |  FROM d, LATERAL unnest(range(0, greatest(len(w), 1), 8)) AS s(i)),
+        |fo AS (
+        |  SELECT doc_id, start, seg_text,
+        |    row_number() OVER (PARTITION BY seg_text
+        |      ORDER BY doc_id, start) AS rn
+        |  FROM seg),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(seg_text, ' ' ORDER BY start) AS txt
+        |  FROM fo WHERE rn = 1 GROUP BY doc_id),
+        |fp AS (
+        |  SELECT doc_id, n_kept,
+        |    list_sum([unicode(txt[i]) * i
+        |              for i in range(1, length(txt) + 1)])
+        |      % 1000000007 AS kept_fp
+        |  FROM pd),
+        |ns AS (
+        |  SELECT doc_id,
+        |    CAST(len(range(0, greatest(len(w), 1), 8)) AS BIGINT) AS n_segs
+        |  FROM d)
+        |SELECT ns.doc_id, n_segs, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(kept_fp, 0) AS BIGINT) AS kept_fp
+        |FROM ns LEFT JOIN fp USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "t_chunk" ->
       """WITH d AS (
