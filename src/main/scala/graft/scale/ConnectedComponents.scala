@@ -53,23 +53,26 @@ object ConnectedComponents {
 
     // seed with min(node, min neighbor) — same one-shuffle cost as a
     // plain distinct-node init, but already one propagation step ahead
-    // (saves a full join+agg round on shallow dup-cluster graphs)
-    var labels = sym.groupBy(col("src"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("src").as("node"),
-        least(col("src"), col("mn")).as("component"))
-      .localCheckpoint()
-    var prevSum = checksum(labels)
+    // (saves a full join+agg round on shallow dup-cluster graphs).
+    // The convergence checksum rides each round's ONE action as an
+    // observe() metric — the eager localCheckpoint fires the
+    // observation listener, so no separate per-round checksum job.
+    val (labels0, sum0) = checkpointWithSum(
+      sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"),
+          least(col("src"), col("mn")).as("component")))
+    var labels = labels0
+    var prevSum = sum0
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("node"))
         .select(sym("dst").as("node"), col("component"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("node"))
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint() // eager: materializes + truncates lineage
-      val s = checksum(next)
+      val (next, s) = checkpointWithSum(
+        labels.unionByName(prop)
+          .groupBy(col("node"))
+          .agg(min(col("component")).as("component")))
       converged = s == prevSum
       prevSum = s
       labels = next
@@ -79,6 +82,15 @@ object ConnectedComponents {
     labels
   }
 
-  private def checksum(labels: DataFrame): Long =
-    labels.agg(sum(col("component"))).first().getLong(0)
+  // Monotone-label checksum, collected DURING the checkpoint
+  // materialization (labels only decrease, so the sum is strictly
+  // monotone until fixpoint — one scalar, no set compare, no extra job)
+  private var obsId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+    val obs = new org.apache.spark.sql.Observation(
+      s"cc_round_${obsId.incrementAndGet()}")
+    val out = df.observe(obs, sum(col("component")).as("cs"))
+      .localCheckpoint() // eager: materializes + truncates lineage
+    (out, obs.get("cs").asInstanceOf[Long])
+  }
 }
