@@ -83,6 +83,37 @@ object StreamingPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // pandas merge_asof direction='nearest' parity — composed from the
+    // custom operator's two directions (each a one-pass sort-merge)
+    // full-outer-merged on the event key: backward candidate wins ties,
+    // matching pandas. A user's first event has only a forward match,
+    // the last only a backward one — hence the full outer, not inner.
+    "st_asof_nearest" -> ((s, dir) => {
+      val l = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      def side(fwd: Boolean, idName: String, gapName: String) = {
+        val r = Tables.events(s, dir)
+          .select(col("event_id").as(idName),
+            col("user_id").as("r_user"), col("ts").as("r_ts"))
+        graft.plans.AsOf.join(s, l, r,
+          l("user_id"), r("r_user"), l("ts"), r("r_ts"), forward = fwd)
+          .select(col("event_id"), col("user_id"), col(idName),
+            abs(unix_micros(col("r_ts")) - unix_micros(col("ts")))
+              .as(gapName))
+      }
+      val prev = side(fwd = false, "prev_id", "gap_prev")
+      val nxt = side(fwd = true, "next_id", "gap_next")
+      val takePrev = col("prev_id").isNotNull &&
+        (col("next_id").isNull || col("gap_prev") <= col("gap_next"))
+      prev.join(nxt, Seq("event_id", "user_id"), "full_outer")
+        .select(col("event_id"), col("user_id"),
+          when(takePrev, col("prev_id")).otherwise(col("next_id"))
+            .as("nearest_id"),
+          when(takePrev, col("gap_prev")).otherwise(col("gap_next"))
+            .as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Session SPANS — the session-window shape with both bounds:
     // session_window's end is last-event + gap (Spark's definition),
     // which the oracle reproduces as max(ts) + INTERVAL. Together with
@@ -391,6 +422,27 @@ object StreamingPack extends QueryPack {
         |FROM events l ASOF JOIN events r
         |  ON l.user_id = r.user_id AND r.ts > l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "st_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT l.event_id, l.user_id, r.event_id AS prev_id,
+        |    epoch_us(l.ts) - epoch_us(r.ts) AS gap_prev
+        |  FROM events l ASOF JOIN events r
+        |    ON l.user_id = r.user_id AND r.ts < l.ts),
+        |n AS (
+        |  SELECT l.event_id, l.user_id, r.event_id AS next_id,
+        |    epoch_us(r.ts) - epoch_us(l.ts) AS gap_next
+        |  FROM events l ASOF JOIN events r
+        |    ON l.user_id = r.user_id AND r.ts > l.ts)
+        |SELECT event_id, user_id,
+        |  CASE WHEN prev_id IS NOT NULL
+        |         AND (next_id IS NULL OR gap_prev <= gap_next)
+        |       THEN prev_id ELSE next_id END AS nearest_id,
+        |  CASE WHEN prev_id IS NOT NULL
+        |         AND (next_id IS NULL OR gap_prev <= gap_next)
+        |       THEN gap_prev ELSE gap_next END AS gap_us
+        |FROM p FULL JOIN n USING (event_id, user_id)
+        |ORDER BY event_id""".stripMargin,
 
     "st_rolling_window" ->
       """SELECT user_id, event_id,
