@@ -192,9 +192,13 @@ object AsOf {
            tolerance: Long = Long.MaxValue): DataFrame = {
     requireLongBacked(leftKey, "left key"); requireLongBacked(rightKey, "right key")
     requireLongBacked(leftTs, "left ts"); requireLongBacked(rightTs, "right ts")
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // synchronized: concurrent callers (parallel Verify dumps) would
+    // otherwise race the check-then-append into duplicate strategies
+    this.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     import org.apache.spark.sql.graft.ColumnBridge
     org.apache.spark.sql.graft.DatasetBridge.ofRows(spark,
       AsOfJoin(
