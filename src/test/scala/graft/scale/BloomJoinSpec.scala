@@ -36,6 +36,30 @@ class BloomJoinSpec extends SparkSpec {
       s"bloom kept $kept of 10001 non-matching rows")
   }
 
+  test("prune composes with Structured Streaming (stream-static)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val build = (0L to 100L by 10L).map(Tuple1(_)).toDF("bk")
+    val pruned = BloomJoin.prune(
+      input.toDF().toDF("k", "payload"), $"k", build, $"bk")
+    val q = pruned.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "hit"), (11L, "miss"), (20L, "hit"), (999L, "miss"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("bloom_stream").select($"k")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(10L) && kept.contains(20L),
+      s"matching keys must survive: $kept")
+    // non-members pruned modulo bloom FPs — with 1 Mi bits over 11
+    // keys, a specific-key FP is ~0 (deterministic hashes: stable)
+    assert(!kept.contains(11L) && !kept.contains(999L),
+      s"non-members should be pruned: $kept")
+  }
+
   test("membership test survives negative hash values and bit 63") {
     import spark.implicits._
     // brute-force a small bitset so every word/bit path gets exercised
