@@ -247,6 +247,30 @@ object AnalyticsPack extends QueryPack {
         .orderBy(desc("rank"), col("node")).limit(20)
     }),
 
+    // Market-basket co-occurrence — the support-counting core of
+    // frequent-itemset mining (FPGrowth's first pass): part pairs
+    // bought together in >= 3 orders. ONE order-keyed shuffle builds
+    // sorted baskets; pair expansion is a per-basket HOF (bounded by
+    // basket size, <= 13 here, <= 7-line orders in TPC-H generally) —
+    // never a fact-table self-join, whose order-keyed join would
+    // shuffle the lineitem table twice and blow up quadratically on a
+    // hot order before the group-count could reduce it. The (pa, pb)
+    // count shuffle is map-side combinable.
+    "a10_copurchase" -> ((s, dir) => {
+      val baskets = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairs = flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("pa"), y.as("pb")))))
+      baskets.select(explode(pairs).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 3)
+        .orderBy(desc("n_orders"), col("pa"), col("pb"))
+    }),
+
     // Winsorization — the outlier-clipping featurization step: exact
     // p01/p99 cut points (one sort-based aggregate), broadcast back as
     // a 1-row frame, clip in a codegen'd projection, re-profile in one
@@ -457,6 +481,16 @@ object AnalyticsPack extends QueryPack {
         |SELECT node, CAST(rank AS BIGINT) AS rank,
         |  node % 2 = 1 AS is_supplier
         |FROM r5 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    "a10_copurchase" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM li a JOIN li b USING (l_orderkey)
+        |WHERE a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY n_orders DESC, pa, pb""".stripMargin,
 
     "a8_winsorize" ->
       """WITH cuts AS (
