@@ -293,7 +293,6 @@ object TextPack extends QueryPack {
     // reassembled text's position-weighted fingerprint (engine-
     // portable via CharFingerprint / the t_split oracle formula).
     "t_para_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val seg = 8
       val toks = split(col("text"), " ")
       val segs = Tables(s, dir, "documents")
@@ -305,11 +304,15 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), col("start"),
           array_join(slice(col("w"), col("start") + 1, lit(seg)), " ")
             .as("seg_text"))
-      val w = Window.partitionBy(col("seg_text"))
-        .orderBy(col("doc_id"), col("start"))
+      // first occurrence via min(struct): map-side combinable, no
+      // per-key sort — a hot boilerplate segment partial-aggregates
+      // everywhere instead of sorting in one task (the row_number
+      // window formulation's skew hazard at corpus scale)
       val kept = segs
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("seg_text"))
+        .agg(min(struct(col("doc_id"), col("start"))).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("w.start").as("start"),
+          col("seg_text"))
       val perDoc = kept.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
           graft.expr.CharFingerprint(
