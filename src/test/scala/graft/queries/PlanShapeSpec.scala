@@ -151,6 +151,34 @@ class PlanShapeSpec extends SparkSpec {
       s"correlated AVG not decorrelated to aggregate-then-join:\n$p")
   }
 
+  test("j12_bloom_join evaluates the bitset test below the real join") {
+    val p = finalPlan(df("j12_bloom_join")).toString
+    // the 1-row bitset rides a broadcast nested-loop whose condition is
+    // the codegen'd membership test — if this disappears, the prune
+    // silently degenerated to a plain join (results stay identical)
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+      p.contains("shiftrightunsigned"),
+      s"bloom membership test missing from the plan:\n$p")
+  }
+
+  test("t_para_dedup shuffles carry no document text, only segments") {
+    // the corpus-sized exchange keys on seg_text (bounded segments);
+    // whole-document text must never reach an exchange
+    shuffles(finalPlan(df("t_para_dedup"))).foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"document text reaches a dedup shuffle: $cols")
+    }
+  }
+
+  test("a10_copurchase never self-joins the fact table") {
+    val p = finalPlan(df("a10_copurchase")).toString
+    // basket formulation: generator expansion, no join operator at all
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fact self-join crept into the basket plan:\n$p")
+    assert(p.contains("Generate"), s"pair generator missing:\n$p")
+  }
+
   test("relational queries keep whole-stage codegen in the hot path") {
     // codegen'd operators print as `*(id) Op` in the plan string
     val p = finalPlan(df("q1_agg")).toString
