@@ -129,7 +129,7 @@ object GraftFunctions {
     d("simhash_sig", classOf[SimHashSig], es => SimHashSig(es.head)),
     d("sign_bits_sig", classOf[SignBitsSig],
       es => SignBitsSig(es.head, intArg(es(1), "sign_bits_sig"),
-        longArg(es(2), "sign_bits_sig"))))
+        intArg(es(2), "sign_bits_sig"), longArg(es(3), "sign_bits_sig"))))
 
   private[graft] val accentFoldDescriptor: Descriptor = descriptors.head
 

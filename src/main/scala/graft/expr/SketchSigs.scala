@@ -70,9 +70,19 @@ object SketchSigs {
     * plane, left-to-right IEEE order (DotProduct's contract), so the
     * result is bit-identical to the composed
     * `when(DotProduct(v, plane_p) > 0, 1L << (bits-1-p))` chain it
-    * replaces — without the 64-branch codegen tree. */
-  def signBits(v: ArrayData, bits: Int, seed: Long): Long = {
-    val dim = v.numElements()
+    * replaces — without the 64-branch codegen tree.
+    *
+    * `dim` is part of the signature's CONTRACT, not inferred per row:
+    * hashing each row against a plane matrix derived from its own
+    * length would silently make mixed-length vectors incomparable
+    * (different planes -> different bit meanings) — a truncated
+    * embedding must surface as an error, never as a plausible sig. */
+  def signBits(v: ArrayData, bits: Int, dim: Int, seed: Long): Long = {
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"sign_bits_sig: vector of length ${v.numElements()} does not " +
+          s"match the declared dim=$dim — mixed-length vectors would hash " +
+          "against different hyperplane matrices and be incomparable")
     val pl = planes(bits, dim, seed)
     var sig = 0L
     var p = 0
@@ -136,31 +146,34 @@ object MinHashSig {
   * column — the embedding-space sibling of SimHashSig. Hyperplanes
   * are a pure function of (bits, dim, seed), generated once per JVM:
   * the signature is a narrow codegen projection, never a per-row
-  * hash chain or a 64-branch CASE tree. */
-case class SignBitsSig(child: Expression, bits: Int, seed: Long)
+  * hash chain or a 64-branch CASE tree. `dim` is declared by the
+  * caller and validated against every row (see SketchSigs.signBits):
+  * a mixed-length vector column is a data bug, not a hashable input. */
+case class SignBitsSig(child: Expression, bits: Int, dim: Int, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "sign_bits_sig"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.DoubleType, _)
-      if bits >= 1 && bits <= 64 => TypeCheckResult.TypeCheckSuccess
+      if bits >= 1 && bits <= 64 && dim >= 1 => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"sign_bits_sig needs (array<double>, 1 <= bits <= 64), got $t, bits=$bits")
+      s"sign_bits_sig needs (array<double>, 1 <= bits <= 64, dim >= 1), " +
+        s"got $t, bits=$bits, dim=$dim")
   }
   override def nullSafeEval(input: Any): Any =
-    SketchSigs.signBits(input.asInstanceOf[ArrayData], bits, seed)
+    SketchSigs.signBits(input.asInstanceOf[ArrayData], bits, dim, seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.expr.SketchSigs.signBits($c, $bits, ${seed}L)")
+      s"graft.expr.SketchSigs.signBits($c, $bits, $dim, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): SignBitsSig =
     copy(child = newChild)
 }
 
 object SignBitsSig {
-  def apply(v: Column, bits: Int, seed: Long): Column =
+  def apply(v: Column, bits: Int, dim: Int, seed: Long): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       SignBitsSig(org.apache.spark.sql.graft.ColumnBridge.expression(v),
-        bits, seed))
+        bits, dim, seed))
 }
 
 case class SimHashSig(child: Expression) extends UnaryExpression {

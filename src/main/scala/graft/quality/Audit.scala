@@ -45,12 +45,18 @@ object Audit {
     agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
-  /** Referential integrity: child keys absent from the parent key set
-    * (anti join — broadcast at dim scale, shuffled + AQE beyond). */
+  /** Referential integrity: NON-NULL child keys absent from the parent
+    * key set (anti join — broadcast at dim scale, shuffled + AQE
+    * beyond). NULL child keys are excluded by definition, matching SQL
+    * `NOT IN` / FK semantics (a left-anti join would otherwise keep
+    * them, since a null join condition never matches): whether the FK
+    * may be null at all is a separate `Complete` check, not an
+    * orphan-reference violation. */
   def referentialIntegrity(name: String, child: DataFrame,
                            childKey: Column, parent: DataFrame,
                            parentKey: Column): DataFrame = {
     val orphans = child.select(childKey.as("__ck"))
+      .where(col("__ck").isNotNull)
       .join(parent.select(parentKey.as("__pk")),
         col("__ck") === col("__pk"), "left_anti")
       .agg(count(lit(1)).as("violations"))

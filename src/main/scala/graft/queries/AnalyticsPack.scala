@@ -193,18 +193,20 @@ object AnalyticsPack extends QueryPack {
     // Equi-DEPTH histogram (ntile) — the complement of a6's
     // equi-width binning: deciles of the price distribution, each
     // bucket carrying its population and value span. ntile needs a
-    // total order, so the tiebreak on o_orderkey makes bucket
-    // assignment deterministic in both engines. The global sort is
-    // the honest cost of exact equi-depth; the 100 TB path is
-    // approx_percentile cut points (mergeable sketch) + a broadcast
-    // bucketizer join, with this exact twin pinning the target.
+    // total order (tiebreak on o_orderkey makes bucket assignment
+    // deterministic in both engines), but a bare ntile().over(
+    // Window.orderBy(...)) funnels the whole table through ONE
+    // partition — a scale-killer. scale/GlobalRank computes the
+    // identical bucket via two-level ranking (approx splitters ->
+    // chunk-partitioned row_number + broadcast chunk offsets), so
+    // every exchange and window here is partitioned; the oracle runs
+    // plain SQL ntile and the outputs hash-match.
     "g_histogram_eqdepth" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      Tables(s, dir, "orders")
+      val src = Tables(s, dir, "orders")
         .select(col("o_totalprice").as("v"), col("o_orderkey"))
-        .withColumn("bucket", // cast: Spark ntile is int32, DuckDB's int64
-          ntile(10).over(Window.orderBy(col("v"), col("o_orderkey")))
-            .cast("long"))
+      graft.scale.GlobalRank
+        .withNtile(src, col("v"), col("o_orderkey"), "bucket",
+          n = 10, totalRows = src.count())
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           round(min(col("v")), 2).as("lo"),

@@ -457,7 +457,7 @@ object DedupPack extends QueryPack {
       // produced the same bits (parity spec-pinned) but a codegen tree
       // janino spends seconds compiling
       val sigs = ev.select(col("vec_id"),
-        graft.expr.SignBitsSig(col("v"), 64, 7L).as("sig"))
+        graft.expr.SignBitsSig(col("v"), 64, 64, 7L).as("sig"))
       val cand = nibbleBlockCandidates(sigs, "vec_id", "sig", maxHamming = 15)
       val va = ev.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
       val vb = ev.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))

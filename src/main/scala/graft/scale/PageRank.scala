@@ -75,7 +75,26 @@ object PageRank {
           src: String = "src", dst: String = "dst",
           checkpointInterval: Int = 0,
           assumeDistinct: Boolean = false,
-          symmetric: Boolean = false): DataFrame = {
+          symmetric: Boolean = false): DataFrame =
+    runTracked(edges, iters, src, dst, checkpointInterval,
+      assumeDistinct, symmetric)._1
+
+  /** As `run`, but also returns the intermediates left persisted, so a
+    * long-lived session can `release()` them once the result has been
+    * acted on (CALLER CONTRACT, same as Bpe.train's caller-unpersists
+    * note) — repeated fire-and-forget run() calls otherwise accumulate
+    * cached partitions until LRU pressure clears them. Per-query
+    * sessions (Verify/Bench) can keep using `run` and rely on LRU. */
+  def runTracked(edges: DataFrame, iters: Int,
+                 src: String = "src", dst: String = "dst",
+                 checkpointInterval: Int = 0,
+                 assumeDistinct: Boolean = false,
+                 symmetric: Boolean = false): (DataFrame, CacheHandles) = {
+    val persisted = Seq.newBuilder[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      persisted += df
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val e0 = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
     val e = if (assumeDistinct) e0 else e0.distinct()
@@ -87,15 +106,13 @@ object PageRank {
     // all-rows-of-a-src-in-one-task placement adds no skew hazard the
     // per-round join didn't already have — the rank join shuffles by
     // src identically.
-    val eo = e
+    val eo = pin(e
       .withColumn("od",
-        count(lit(1)).over(Window.partitionBy(col("src"))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        count(lit(1)).over(Window.partitionBy(col("src")))))
     // Node set read FROM the edge cache (partitioned by src, so the
     // distinct is exchange-free) — deriving it from the raw input
     // upstream of the cache re-ran the full scans once per action.
-    val nodes = eo.select(col("src").as("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = pin(eo.select(col("src").as("node")).distinct())
     // Nodes with out-edges but NO in-edges never receive contributions:
     // dropping them (what a bare inner join + groupBy does) silently
     // removes them from the output AND loses their outgoing flow from
@@ -109,11 +126,10 @@ object PageRank {
     // left-join-with-floor formulation.)
     val noInflow =
       if (symmetric) nodes.limit(0).withColumn("rank", lit(150000L))
-      else nodes
+      else pin(nodes
         .join(eo.select(col("dst").as("node")).distinct(), Seq("node"),
           "left_anti")
-        .withColumn("rank", lit(150000L))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("rank", lit(150000L)))
     val hasNoInflow = !symmetric && noInflow.limit(1).count() > 0
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (i <- 1 to iters) {
@@ -125,10 +141,14 @@ object PageRank {
       if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iters)
         ranks = ranks.localCheckpoint() // eager: materializes + truncates
     }
-    // NOTE: eo stays persisted until the caller's action has run (an
-    // unpersist here would evict before the lazy plan executes); Spark
-    // evicts LRU under pressure, and the Verify/Bench sessions are
-    // per-query anyway.
-    ranks
+    // NOTE: the pinned intermediates stay persisted until the caller's
+    // action has run (an unpersist here would evict before the lazy
+    // plan executes) — hence the handles in the return value.
+    (ranks, new CacheHandles(persisted.result()))
+  }
+
+  /** Persisted-DataFrame handles with one idempotent release switch. */
+  final class CacheHandles(dfs: Seq[DataFrame]) {
+    def release(): Unit = dfs.foreach(_.unpersist(blocking = false))
   }
 }

@@ -54,7 +54,7 @@ class CodegenNoFallbackSpec extends SparkSpec {
         ShingleHashes(col("text"), 3).as("sh"),
         MinHashSig(ShingleHashes(col("text"), 3), 64, 20260812L).as("mh"),
         SimHashSig(ShingleHashes(col("text"), 3)).as("simh"),
-        SignBitsSig(col("va"), 16, 7L).as("sign"),
+        SignBitsSig(col("va"), 16, 3, 7L).as("sign"),
         DotProduct(col("va"), col("vb")).as("dot"))
       val plan = q.queryExecution.executedPlan.toString
       // executedPlan.toString marks whole-stage-codegen stages with a

@@ -53,7 +53,7 @@ class SketchExprSpec extends SparkSpec {
     val vecs = Tables(spark, sf("sf0.001"), "embeddings").limit(50)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val viaExpr = vecs.select(col("vec_id"), SignBitsSig(col("v"), 64, 7L).as("sig"))
+    val viaExpr = vecs.select(col("vec_id"), SignBitsSig(col("v"), 64, 64, 7L).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the formulation the expression replaced: same Random(7) planes,
     // same bit order, same left-to-right dot-product fold
@@ -67,6 +67,20 @@ class SketchExprSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaExpr == viaChain)
     assert(viaExpr.nonEmpty)
+  }
+
+  test("SignBitsSig rejects a vector whose length differs from the declared dim") {
+    // dim is contract, not inference: a truncated embedding must fail
+    // loudly, never hash against a different plane matrix
+    val vecs = spark.range(3).select(
+      expr("transform(sequence(0, cast(4 + id AS int)), i -> cast(i AS double))")
+        .as("v")) // lengths 5, 6, 7 — only the first matches dim=5
+    val err = intercept[Exception] {
+      vecs.select(SignBitsSig(col("v"), 16, 5, 7L).as("s")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("does not match the declared dim")))
   }
 
   test("SimHashSig expression == SimHashAgg UDAF") {

@@ -49,8 +49,8 @@ class SqlFunctionRegistrySpec extends SparkSpec {
     GraftFunctions.register(spark)
     import spark.implicits._
     val df = Seq(Seq(0.5, -1.25, 2.0, 0.75)).toDF("v")
-    val viaSql = df.selectExpr("sign_bits_sig(v, 16, 7L) AS s").first().getLong(0)
-    val viaCol = df.select(SignBitsSig(col("v"), 16, 7L).as("s")).first().getLong(0)
+    val viaSql = df.selectExpr("sign_bits_sig(v, 16, 4, 7L) AS s").first().getLong(0)
+    val viaCol = df.select(SignBitsSig(col("v"), 16, 4, 7L).as("s")).first().getLong(0)
     assert(viaSql == viaCol)
   }
 

@@ -184,4 +184,37 @@ class PlanShapeSpec extends SparkSpec {
     val p = finalPlan(df("q1_agg")).toString
     assert(p.contains("*("), s"no whole-stage-codegen spans:\n$p")
   }
+
+  test("no query plans an unpartitioned WindowExec (single-partition funnel)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Window.orderBy with no partition spec moves the operator's whole
+    // input through ONE task — invisible to the value oracle, fatal at
+    // cluster scale. Every SparkEntry query plan is walked; the only
+    // allowed sites are bounded by construction:
+    //  - t_vocab: window runs post-freq-filter over the Heaps'-law
+    //    vocabulary (sublinear in corpus size), capped at 100 rows
+    //  - m1_freq_index: the indexer's label vocabulary (5 rows here;
+    //    bounded by distinct labels, not by fact volume)
+    val allow = Set("t_vocab", "m1_freq_index")
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: QueryStageExec => windows(q.plan)
+        case r: ReusedExchangeExec => windows(r.child)
+        case w: WindowExec => w +: w.children.flatMap(windows)
+        case other => other.children.flatMap(windows)
+      }
+      here ++ p.subqueries.flatMap(windows)
+    }
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow)
+      .flatMap { name =>
+        windows(graft.SparkEntry.queries(name)(spark, dir)
+            .queryExecution.executedPlan)
+          .filter(_.partitionSpec.isEmpty)
+          .map(w => s"$name -> ${w.windowExpression.mkString(", ")}")
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec outside the allowlist:\n${offenders.mkString("\n")}")
+  }
 }
