@@ -205,8 +205,7 @@ object AnalyticsPack extends QueryPack {
       val src = Tables(s, dir, "orders")
         .select(col("o_totalprice").as("v"), col("o_orderkey"))
       graft.scale.GlobalRank
-        .withNtile(src, col("v"), col("o_orderkey"), "bucket",
-          n = 10, totalRows = src.count())
+        .withNtile(src, col("v"), col("o_orderkey"), "bucket", n = 10)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           round(min(col("v")), 2).as("lo"),

@@ -47,17 +47,29 @@ object GlobalRank {
     */
   def withGlobalRank(df: DataFrame, orderCol: Column, tieBreak: Column,
                      rankCol: String, nChunks: Int = 32): DataFrame = {
-    val keyed = df.withColumn("__gr_v", orderCol).withColumn("__gr_k", tieBreak)
+    val keyed = key(df, orderCol, tieBreak)
+    ranked(keyed, splittersAndCount(keyed, nChunks)._1, rankCol)
+  }
 
-    // 1. approximate splitters — values only steer load balance
+  private def key(df: DataFrame, orderCol: Column, tieBreak: Column) =
+    df.withColumn("__gr_v", orderCol).withColumn("__gr_k", tieBreak)
+
+  /** One scan: the splitter sketch (mergeable, load-balance only) and
+    * the exact row count ntile arithmetic needs. */
+  private def splittersAndCount(keyed: DataFrame,
+                                nChunks: Int): (Seq[Any], Long) = {
     val fracs = (1 until nChunks).map(i => i.toDouble / nChunks)
-    val splitterRow = keyed
-      .agg(approx_percentile(col("__gr_v"), lit(fracs.toArray), lit(10000)))
+    val row = keyed
+      .agg(approx_percentile(col("__gr_v"), lit(fracs.toArray), lit(10000)),
+        count(lit(1)))
       .head()
     val splitters = // null on an empty input -> everything in chunk 0
-      if (splitterRow.isNullAt(0)) Seq.empty[Any]
-      else splitterRow.getSeq[Any](0).distinct
+      if (row.isNullAt(0)) Seq.empty[Any] else row.getSeq[Any](0).distinct
+    (splitters, row.getLong(1))
+  }
 
+  private def ranked(keyed: DataFrame, splitters: Seq[Any],
+                     rankCol: String): DataFrame = {
     // 2. chunk id: number of splitters at or below this value. Ties on
     // a splitter value all share one chunk, so offsets stay exact.
     val chunkExpr = splitters
@@ -87,22 +99,23 @@ object GlobalRank {
   /** Exact `ntile(n)` bucket (1-based, SQL semantics: first `N mod n`
     * buckets get the extra row) over the total order (orderCol,
     * tieBreak), computed from the two-level global rank — no
-    * unpartitioned window. `totalRows` must be `df.count()` (or an
-    * equally exact count) for the bucket boundaries to match SQL
-    * ntile.
+    * unpartitioned window. The exact row count the bucket boundaries
+    * need is computed in the SAME aggregate as the splitter sketch
+    * (one scan), so callers cannot pass a stale or mismatched N.
     */
   def withNtile(df: DataFrame, orderCol: Column, tieBreak: Column,
-                bucketCol: String, n: Int, totalRows: Long,
-                nChunks: Int = 32): DataFrame = {
+                bucketCol: String, n: Int, nChunks: Int = 32): DataFrame = {
     require(n > 0, s"ntile bucket count must be positive, got $n")
+    val keyed = key(df, orderCol, tieBreak)
+    val (splitters, totalRows) = splittersAndCount(keyed, nChunks)
     val base = totalRows / n
     val rem = totalRows % n
     // last global rank belonging to bucket b (1-based)
     val boundary = (b: Long) => b * base + math.min(b, rem)
-    val ranked = withGlobalRank(df, orderCol, tieBreak, "__gr_rank", nChunks)
     val bucketExpr = (1L until n.toLong).foldLeft(lit(1L)) { (e, b) =>
       e + when(col("__gr_rank") > boundary(b), 1L).otherwise(0L)
     }
-    ranked.withColumn(bucketCol, bucketExpr).drop("__gr_rank")
+    ranked(keyed, splitters, "__gr_rank")
+      .withColumn(bucketCol, bucketExpr).drop("__gr_rank")
   }
 }

@@ -33,13 +33,12 @@ class GlobalRankSpec extends SparkSpec {
   }
 
   test("withNtile == SQL ntile, including the N % n remainder buckets") {
-    val n = orders.count()
     val expected = orders
       .withColumn("b", ntile(7)
         .over(Window.orderBy(col("v"), col("k"))).cast("long"))
       .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("b")).toMap
     val got = GlobalRank
-      .withNtile(orders, col("v"), col("k"), "b", n = 7, totalRows = n)
+      .withNtile(orders, col("v"), col("k"), "b", n = 7)
       .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("b")).toMap
     assert(got == expected)
   }
