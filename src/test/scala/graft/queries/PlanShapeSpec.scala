@@ -185,6 +185,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*("), s"no whole-stage-codegen spans:\n$p")
   }
 
+  /** File scans of `table` anywhere in the plan, including subquery
+    * plans — the replay detector for decorrelated-subquery rewrites. */
+  private def factScans(p: SparkPlan, table: String): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def go(n: SparkPlan): Int = {
+      val self = n match {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(table)) => 1
+        case _ => 0
+      }
+      val kids = n match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      self + kids.map(go).sum + n.subqueries.map(go).sum
+    }
+    go(p)
+  }
+
+  test("sql_q21 scans lineitem exactly once (no semi/anti replays)") {
+    // the textbook EXISTS + NOT-EXISTS spelling decorrelates to three
+    // lineitem scans; the aggregation rewrite must keep it at one
+    val p = df("sql_q21_waiting").queryExecution.executedPlan
+    assert(factScans(p, "lineitem") == 1,
+      s"lineitem scanned ${factScans(p, "lineitem")} times:\n$p")
+    assert(factScans(p, "orders") == 1)
+  }
+
+  test("sql_q2 builds the EU join tree once (single lineitem scan)") {
+    val p = df("sql_q2_min_cost").queryExecution.executedPlan
+    assert(factScans(p, "lineitem") == 1,
+      s"correlated-MIN join tree duplicated:\n$p")
+  }
+
   test("no query plans an unpartitioned WindowExec (single-partition funnel)") {
     import org.apache.spark.sql.execution.window.WindowExec
     // Window.orderBy with no partition spec moves the operator's whole
