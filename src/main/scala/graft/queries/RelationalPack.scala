@@ -325,6 +325,23 @@ object RelationalPack extends QueryPack {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // O6: exact global row ranking of a fact table — the operation a
+    // bare row_number() OVER (ORDER BY ...) spells, which funnels the
+    // whole table through one task. scale/GlobalRank's two-level
+    // scheme (approx splitters -> chunk-partitioned window ->
+    // broadcast offsets) produces the IDENTICAL rank fully
+    // partitioned; the oracle runs the single-threaded SQL window and
+    // the hash compare proves bit parity. Full-table dump, total-
+    // ordered by the rank itself.
+    "o6_global_rank" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.scale.GlobalRank
+        .withGlobalRank(src, col("o_totalprice"), col("o_orderkey"), "rnk")
+        .select(col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .orderBy(col("rnk"))
+    }),
+
     // ---- set operations ----------------------------------------------------
     // U1: positional union (data_utils.py:147-152) — UNION ALL semantics.
     "u1_union" -> ((s, dir) => {
@@ -833,6 +850,12 @@ object RelationalPack extends QueryPack {
     "o4_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "o6_global_rank" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+        |    AS BIGINT) AS rnk
+        |FROM orders ORDER BY rnk""".stripMargin,
 
     "u1_union" ->
       """SELECT * FROM (
