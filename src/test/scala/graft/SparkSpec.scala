@@ -14,7 +14,13 @@ trait SparkSpec extends AnyFunSuite {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: allow ONE task retry, like a real cluster
+      // (spark.task.maxFailures defaults to 4 there; plain local[N]
+      // pins it to 1 and silently masks retry-nondeterminism bugs).
+      // TaskRetrySpec injects first-attempt failures and asserts the
+      // retried output is bit-identical; deliberate-failure negative
+      // tests elsewhere just pay one extra (fast) attempt.
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
