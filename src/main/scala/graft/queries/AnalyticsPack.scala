@@ -272,6 +272,65 @@ object AnalyticsPack extends QueryPack {
         .orderBy(desc("n_orders"), col("pa"), col("pb"))
     }),
 
+    // Exact triangle census of the part co-occurrence graph (parts
+    // bought together in at least one order) — community density for
+    // co-occurrence analytics. Edges come from the same basket-HOF
+    // expansion as a10 (sorted baskets guarantee canonical a < b and
+    // the trailing distinct collapses repeat co-purchases — never a
+    // fact self-join); the count itself is scale/Triangles.scala's
+    // degree-oriented wedge closing, which caps the wedge exchange at
+    // O(m^1.5) regardless of hub-part skew. The DuckDB oracle counts
+    // by the canonical 3-way id-ordered self-join — a DIFFERENT
+    // orientation (id, not degree) proving the census is
+    // orientation-invariant, as any correct one must be.
+    "g_triangle_count" -> ((s, dir) => {
+      val baskets = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairs = flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("a"), y.as("b")))))
+      val edges = baskets.select(explode(pairs).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .distinct()
+      graft.scale.Triangles.stats(edges)
+    }),
+
+    // Single-source BFS hop histogram over the symmetrized
+    // customer<->supplier purchase graph (g_pagerank's parity-encoded
+    // node space), seeded at the smallest customer node, 4 rounds;
+    // nodes beyond the budget report hops = -1. The engine side is
+    // scale/Bfs.scala's FRONTIER expansion (round i touches only
+    // edges incident to newly-reached nodes); the DuckDB oracle
+    // replays the same 4 rounds as unrolled full-relaxation CTEs —
+    // equal outputs are the BFS frontier invariant, checked
+    // cross-engine. The distinct pair base is persisted because
+    // edges, seed, and node set all derive from it (one scan of
+    // orders⋈lineitem, three cache reads — the same memoized-base
+    // pattern as the dedup family's signature build).
+    "g_sssp_hops" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cNode = col("c") * 2L
+      val sNode = col("sp") * 2L + 1L
+      val edges = pairs.select(explode(array(
+          struct(cNode.as("src"), sNode.as("dst")),
+          struct(sNode.as("src"), cNode.as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val source = pairs.agg(min(cNode).as("node"))
+      val dist = graft.scale.Bfs.hops(edges, source, iters = 4)
+      val nodes = pairs
+        .select(explode(array(cNode, sNode)).as("node")).distinct()
+      nodes.join(dist, Seq("node"), "left")
+        .select(coalesce(col("dist"), lit(-1)).as("hops"))
+        .groupBy(col("hops")).agg(count(lit(1)).as("n"))
+        .orderBy(col("hops"))
+    }),
+
     // Winsorization — the outlier-clipping featurization step: exact
     // p01/p99 cut points (one sort-based aggregate), broadcast back as
     // a 1-row frame, clip in a codegen'd projection, re-profile in one
@@ -492,6 +551,63 @@ object AnalyticsPack extends QueryPack {
         |WHERE a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY n_orders DESC, pa, pb""".stripMargin,
+
+    "g_triangle_count" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT v, count(*) AS d
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY v),
+        |tri AS (
+        |  SELECT count(*) AS t
+        |  FROM e e1
+        |  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+        |    AS n_wedges,
+        |  CAST(t AS BIGINT) AS n_triangles,
+        |  CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+        |    THEN round(3.0 * t / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
+        |    ELSE 0.0 END AS clustering
+        |FROM tri""".stripMargin,
+
+    "g_sssp_hops" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (
+        |  SELECT c * 2 AS src, sp * 2 + 1 AS dst FROM pairs
+        |  UNION
+        |  SELECT sp * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+        |d0 AS (SELECT min(c) * 2 AS node, 0 AS dist FROM pairs),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT * FROM d0 UNION ALL
+        |  SELECT e.dst, d0.dist + 1 FROM d0 JOIN e ON e.src = d0.node)
+        |  GROUP BY node),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT * FROM d1 UNION ALL
+        |  SELECT e.dst, d1.dist + 1 FROM d1 JOIN e ON e.src = d1.node)
+        |  GROUP BY node),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT * FROM d2 UNION ALL
+        |  SELECT e.dst, d2.dist + 1 FROM d2 JOIN e ON e.src = d2.node)
+        |  GROUP BY node),
+        |d4 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT * FROM d3 UNION ALL
+        |  SELECT e.dst, d3.dist + 1 FROM d3 JOIN e ON e.src = d3.node)
+        |  GROUP BY node),
+        |nodes AS (SELECT DISTINCT src AS node FROM e)
+        |SELECT CAST(coalesce(d4.dist, -1) AS INTEGER) AS hops,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM nodes LEFT JOIN d4 ON nodes.node = d4.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a8_winsorize" ->
       """WITH cuts AS (

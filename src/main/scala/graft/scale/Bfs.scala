@@ -1,0 +1,86 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed single-source BFS (exact hop distances, fixed round
+  * budget) — the fourth graph operator next to [[ConnectedComponents]],
+  * [[PageRank]] and [[Triangles]]. Reachability radius / hop histogram
+  * queries over interaction graphs ("how far is everything from this
+  * account / this seed set").
+  *
+  * FRONTIER-based: round i expands only the nodes first reached in
+  * round i−1, not the whole visited set — the per-round join cost is
+  * O(edges incident to the frontier), and the anti-join that drops
+  * already-visited candidates keys on 8-byte node ids. A full-relax
+  * formulation (re-expanding every visited node each round, what the
+  * unrolled-SQL oracle does) is wrong at scale: its round-i cost is
+  * the whole i-hop ball. Both compute the same exact distances — the
+  * frontier induction is the textbook BFS invariant — which is what
+  * lets the oracle use the simple form while the engine ships the
+  * incremental one.
+  *
+  * Fixed `iters`, no convergence probe, same contract as
+  * [[PageRank]]: the oracle must replay the exact rounds, and the
+  * caller picks a budget ≥ the diameter of interest; nodes beyond it
+  * report unreached. Lineage grows linearly in rounds (each dist is
+  * the union of the previous dist and one join) — pass
+  * `checkpointInterval` for large budgets, same trade documented on
+  * PageRank.
+  */
+object Bfs {
+
+  /** Hop distance from `source` to every reachable node within
+    * `iters` hops.
+    *
+    * @param edges  directed edge list with integral `src`/`dst`
+    *               columns (symmetrize for undirected graphs);
+    *               duplicate edges are harmless (the per-round
+    *               distinct collapses them)
+    * @param source one-row frame with a `node` column — kept as a
+    *               frame (not a driver-side scalar) so seed derivation
+    *               stays inside the lazy plan
+    * @param iters  fixed number of expansion rounds
+    * @return (node, dist) for every node within `iters` hops of the
+    *         source, dist in [0, iters]
+    */
+  def hops(edges: DataFrame, source: DataFrame, iters: Int,
+           src: String = "src", dst: String = "dst",
+           checkpointInterval: Int = 0): DataFrame =
+    hopsTracked(edges, source, iters, src, dst, checkpointInterval)._1
+
+  /** As `hops`, plus the persisted-intermediate handles (caller
+    * releases after its action — the [[PageRank.runTracked]]
+    * contract). */
+  def hopsTracked(edges: DataFrame, source: DataFrame, iters: Int,
+                  src: String = "src", dst: String = "dst",
+                  checkpointInterval: Int = 0)
+      : (DataFrame, PageRank.CacheHandles) = {
+    val persisted = Seq.newBuilder[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      persisted += df
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val e = pin(edges.select(
+      col(src).cast("long").as("src"), col(dst).cast("long").as("dst")))
+    // Each frontier is read twice (expansion below, union into dist),
+    // and dist once per later round's anti-join — pin both.
+    var frontier = pin(source.select(col("node").cast("long").as("node"))
+      .withColumn("dist", lit(0)))
+    var dist = frontier
+    for (i <- 1 to iters) {
+      val candidates = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = pin(candidates
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(i)))
+      dist = pin(dist.unionByName(fresh))
+      frontier = fresh
+      if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iters)
+        dist = dist.localCheckpoint()
+    }
+    (dist, new PageRank.CacheHandles(persisted.result()))
+  }
+}

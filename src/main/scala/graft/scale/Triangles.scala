@@ -1,0 +1,105 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed exact triangle counting by degree orientation — the
+  * third graph operator next to [[ConnectedComponents]] and
+  * [[PageRank]] (the reference has no graph operators; this is
+  * extension surface for corpus/link analytics: community density of
+  * a co-occurrence graph, spam-farm detection on link graphs).
+  *
+  * Algorithm (Schank–Wagner "forward" / the MapReduce wedge-closing
+  * shape of Suri–Vassilvitskii): orient every undirected edge from its
+  * lower-(degree, id) endpoint to its higher one, enumerate wedges as
+  * the self-join of the oriented list on the shared source, and close
+  * each wedge with a semi-join back against the oriented list. Each
+  * triangle {a ≺ b ≺ c} (≺ = the orientation order) is produced by
+  * exactly ONE wedge — the one centered at its minimum vertex a — so
+  * the closing semi-join's surviving row count IS the triangle count.
+  *
+  * Why orientation is the whole scale story: a naive wedge join on the
+  * undirected list materializes Σ d(v)² rows — a single celebrity node
+  * of degree 10⁶ alone yields 10¹² wedges. Orienting by degree bounds
+  * every out-degree by O(√m) (a vertex of out-degree k has k higher-
+  * degree neighbors, each of degree ≥ k, so k² ≤ 2m), which caps the
+  * wedge volume at O(m^1.5) REGARDLESS of skew — the hot node's wedges
+  * are re-expressed as wedges of its (low-degree) neighbors. All three
+  * exchanges carry 8-byte ids (+ one degree): degrees are one
+  * map-side-combinable count, the wedge join shuffles on the wedge
+  * center, the closing semi-join on the (v, w) edge key.
+  *
+  * The returned metrics: `n_wedges` is the UNDIRECTED wedge (open +
+  * closed path of length 2) count Σ d(d−1)/2 — the denominator of the
+  * global clustering coefficient 3·triangles / wedges — computed from
+  * the degree table, never enumerated.
+  *
+  * The two internal persists (edge list, oriented list) are scoped to
+  * the returned plan and LRU-released — per-query sessions
+  * (Verify/Bench) need no release call; a long-lived session composing
+  * many graph ops should prefer the [[PageRank.runTracked]]-style
+  * handle contract if this ever grows a multi-result variant.
+  */
+object Triangles {
+
+  /** Global triangle statistics of an undirected graph.
+    *
+    * @param edges undirected edge list; one row per edge with integral
+    *              endpoint columns `a` < `b` (canonical form), no
+    *              duplicates — the caller's construction must
+    *              guarantee both (a groupBy-derived co-occurrence list
+    *              does so for free)
+    * @return one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    *         clustering) — clustering = 3·tri/wedges rounded to 6dp,
+    *         0.0 for wedge-free graphs
+    */
+  def stats(edges: DataFrame, a: String = "a", b: String = "b"): DataFrame = {
+    val e = edges
+      .select(col(a).cast("long").as("a"), col(b).cast("long").as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Degree of every endpoint: ONE map-side-combinable count over the
+    // exploded endpoint stream (8-byte rows).
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // Attach both endpoint degrees, then orient low-(d, id) -> high.
+    // Two node-keyed joins; the degree side is |V| rows of 16 bytes.
+    val ed = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = ed.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        // orientation key of the HEAD endpoint, carried so the wedge
+        // pair below can be ordered by ≺ without a third degree join
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Wedges centered at u: unordered pairs {v, w} of out-neighbors,
+    // emitted ordered by ≺ so the closing edge appears EXACTLY as
+    // (v, w) in the oriented list (for a triangle a ≺ b ≺ c the wedge
+    // at a is (b, c) and the oriented closing edge is b -> c).
+    val x = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
+    val y = oriented.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw"))
+    val wedges = x.join(y, Seq("u"))
+      .filter((col("dv") < col("dw")) ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v").as("src"), col("w").as("dst"))
+    // Left-semi keeps each closing wedge row once (wedges from
+    // different centers are distinct rows): count = triangle count.
+    val tri = wedges
+      .join(oriented.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val edgeCnt = e.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeCnt).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+}
