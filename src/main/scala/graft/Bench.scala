@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/SparkSpec: Tables.events' NTZ→TZ normalization
+      // must be the identity on wall-clock values in every harness
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
@@ -28,10 +31,23 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // (name, seconds, ok) — a crashing query must surface as a failure
+    // count in the emitted line, NOT fold into the total as a ~0 s
+    // timing (round 4: 8 analysis-failing queries read as instant
+    // successes and the bench line still claimed n_queries=160).
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // release this query's tracked persists (graph ops) so 160
+      // queries in one session don't accumulate cached partitions
+      graft.scale.CacheRegistry.drain()
+      (name, secs, ok)
     }
     // The round harness captures only the last ~2000 chars of sbt output
     // and parses the JSON line found there. With 100 queries at full
@@ -44,15 +60,18 @@ object Bench {
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
+    val failed = results.filter(!_._3)
+    val failedNames = failed.map(_._1).sorted
     val slowest = results.sortBy(-_._2).take(25)
-    val qs = slowest.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val qs = slowest.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // Full per-query timings go to a side file so bench_compare.py can
     // regression-check ALL queries, not just the top-25 of the line.
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"failed":${failed.size},"failed_names":$failedJson,"queries":$fullQs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/tmp/graft_bench_full.json")
     try {
@@ -63,7 +82,7 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] full-timings write to $outPath failed: $e")
     }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,13 +31,30 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // A failed dump must NOT just shrink the gate: record every failure
+    // in the out dir (per-query _FAILED.txt marker inside the query's
+    // dir so directory-globbing consumers see an err row instead of an
+    // absent one, plus an _errors.json summary with the expected query
+    // count so selfcheck can assert #dumps + #errors == #queries).
+    // Round 4 shipped "152/152 green" while 8 queries silently crashed.
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[verify] $name FAILED: $msg")
+          errors.put(name, msg)
+          try {
+            val d = new java.io.File(s"$outDir/$name")
+            d.mkdirs()
+            Files.writeString(Paths.get(s"$outDir/$name/_FAILED.txt"), msg)
+          } catch { case _: Throwable => () }
         }
+        // builder + write share this pool thread: releases exactly
+        // this query's tracked persists (graph ops), nobody else's
+        finally graft.scale.CacheRegistry.drain()
       }
     }
     scala.concurrent.Await.result(
@@ -59,6 +76,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (even when empty) so its ABSENCE is also a signal
+    // that Verify died before finishing the dump loop.
+    import scala.jdk.CollectionConverters._
+    val errJson = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{\"expected\": " + SparkEntry.queries.size +
+        ", \"errors\": {", ",", "}}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (!errors.isEmpty)
+      System.err.println(
+        s"[verify] ${errors.size}/${SparkEntry.queries.size} queries FAILED: " +
+          errors.keySet.asScala.toSeq.sorted.mkString(", "))
     spark.stop()
   }
 }

@@ -11,20 +11,44 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` ships with parquet TIMESTAMP(NANOS), which Spark reads
-    * only as a long of nanos-since-epoch
-    * (spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench).
-    * Convert to a proper microsecond TimestampType here so every
-    * downstream operator sees a real timestamp column.
+  /** Schema contract for the foreign `events` parquet: `ts` MUST leave
+    * this loader as session-TZ `TimestampType`, whatever physical
+    * encoding the file carries. The testdata has shipped (at different
+    * times) as parquet TIMESTAMP(NANOS) — which Spark reads only as a
+    * long of nanos-since-epoch under
+    * spark.sql.legacy.parquet.nanosAsLong=true (set by Verify/Bench/
+    * specs) — and as timestamp[us] with no timezone, which Spark 4
+    * surfaces as TIMESTAMP_NTZ and whose epoch functions
+    * (`unix_micros` etc.) then reject at analysis time. Normalizing
+    * every encoding HERE, at the one scan choke point, is what keeps
+    * an upstream re-encode from breaking ten scattered call sites; any
+    * NEW encoding fails this one loader loudly instead of leaking a
+    * foreign type downstream. All harnesses pin
+    * spark.sql.session.timeZone=UTC, so the NTZ→TZ cast is the
+    * identity on the wall-clock values the generator wrote.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(apply(spark, sfDir, "events"))
+
+  /** The normalization itself, shared with the streaming reader
+    * (EventStreams.streamFromParquet reads the same files through
+    * readStream and must apply the identical contract). */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    val raw = apply(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      // integer div, NOT `/`: Column./ is a double divide, and doubles
-      // lose integer precision above 2^53 — epoch-nanos are ~1.7e18.
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer div, NOT `/`: Column./ is a double divide, and doubles
+        // lose integer precision above 2^53 — epoch-nanos are ~1.7e18.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // explicit cast (NOT to_timestamp, whose return type follows
+        // spark.sql.timestampType and could stay NTZ)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.parquet ts arrived as $other — unknown physical " +
+          "encoding; extend Tables.normalizeEventTs to handle it")
+    }
   }
 }

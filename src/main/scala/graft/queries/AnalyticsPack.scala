@@ -241,8 +241,11 @@ object AnalyticsPack extends QueryPack {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       // the bidirectional union makes every src also a dst, so the
       // no-inflow probe job is provably empty — assert it away
-      graft.scale.PageRank.run(edges, 5, assumeDistinct = true,
-        symmetric = true)
+      val (ranks, handles) = graft.scale.PageRank.runTracked(edges, 5,
+        assumeDistinct = true, symmetric = true)
+      // harness releases the pins after its action (CacheRegistry doc)
+      graft.scale.CacheRegistry.track(handles)
+      ranks
         .select(col("node"), col("rank"),
           (col("node") % 2 === 1).as("is_supplier"))
         .orderBy(desc("rank"), col("node")).limit(20)
@@ -293,7 +296,9 @@ object AnalyticsPack extends QueryPack {
       val edges = baskets.select(explode(pairs).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .distinct()
-      graft.scale.Triangles.stats(edges)
+      val (out, handles) = graft.scale.Triangles.statsTracked(edges)
+      graft.scale.CacheRegistry.track(handles)
+      out
     }),
 
     // Single-source BFS hop histogram over the symmetrized
@@ -315,6 +320,7 @@ object AnalyticsPack extends QueryPack {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.scale.CacheRegistry.track(pairs)
       val cNode = col("c") * 2L
       val sNode = col("sp") * 2L + 1L
       val edges = pairs.select(explode(array(
@@ -322,7 +328,8 @@ object AnalyticsPack extends QueryPack {
           struct(sNode.as("src"), cNode.as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val source = pairs.agg(min(cNode).as("node"))
-      val dist = graft.scale.Bfs.hops(edges, source, iters = 4)
+      val (dist, handles) = graft.scale.Bfs.hopsTracked(edges, source, iters = 4)
+      graft.scale.CacheRegistry.track(handles)
       val nodes = pairs
         .select(explode(array(cNode, sNode)).as("node")).distinct()
       nodes.join(dist, Seq("node"), "left")

@@ -12,14 +12,28 @@ import org.apache.spark.storage.StorageLevel
   *
   * FRONTIER-based: round i expands only the nodes first reached in
   * round i−1, not the whole visited set — the per-round join cost is
-  * O(edges incident to the frontier), and the anti-join that drops
-  * already-visited candidates keys on 8-byte node ids. A full-relax
-  * formulation (re-expanding every visited node each round, what the
-  * unrolled-SQL oracle does) is wrong at scale: its round-i cost is
-  * the whole i-hop ball. Both compute the same exact distances — the
-  * frontier induction is the textbook BFS invariant — which is what
-  * lets the oracle use the simple form while the engine ships the
-  * incremental one.
+  * O(edges incident to the frontier). A full-relax formulation
+  * (re-expanding every visited node each round, what the unrolled-SQL
+  * oracle does) is wrong at scale: its round-i cost is the whole
+  * i-hop ball. Both compute the same exact distances — the frontier
+  * induction is the textbook BFS invariant — which is what lets the
+  * oracle use the simple form while the engine ships the incremental
+  * one.
+  *
+  * ONE exchange per round: the round-4 shape paid two (`distinct` on
+  * the expanded candidates, then a `left_anti` against the visited
+  * set, each shuffling on the node id). Both are the same
+  * "first-reach wins" selection, so they fuse into a single
+  * map-side-combinable aggregate: union the candidate stream
+  * (dist = i) with the visited set (dist < i), take min(dist) per
+  * node, keep rows where the min is i — exactly the nodes first
+  * reached this round. Candidate duplicates collapse in the partial
+  * aggregate BEFORE the shuffle, where the old distinct exchanged
+  * them; the visited set rides the same exchange the anti-join would
+  * have needed anyway. The frontier⋈edges expansion itself needs no
+  * edge shuffle: the frontier is at most the node set, orders of
+  * magnitude under the edge list, so AQE broadcasts it against the
+  * cached edges every round.
   *
   * Fixed `iters`, no convergence probe, same contract as
   * [[PageRank]]: the oracle must replay the exact rounds, and the
@@ -64,19 +78,23 @@ object Bfs {
     }
     val e = pin(edges.select(
       col(src).cast("long").as("src"), col(dst).cast("long").as("dst")))
-    // Each frontier is read twice (expansion below, union into dist),
-    // and dist once per later round's anti-join — pin both.
+    // Pin each round's FRESH set only (read by the next round's
+    // expansion and every later round's min-agg); `dist` stays a lazy
+    // union over the pinned pieces — round 4 additionally pinned every
+    // dist_i, storing dist_{i-1} twice per round for no reader.
     var frontier = pin(source.select(col("node").cast("long").as("node"))
       .withColumn("dist", lit(0)))
     var dist = frontier
     for (i <- 1 to iters) {
       val candidates = frontier
         .join(e, frontier("node") === e("src"))
-        .select(col("dst").as("node")).distinct()
-      val fresh = pin(candidates
-        .join(dist, Seq("node"), "left_anti")
-        .withColumn("dist", lit(i)))
-      dist = pin(dist.unionByName(fresh))
+        .select(col("dst").as("node"), lit(i).as("dist"))
+      // first-reach-wins in ONE exchange: min over (candidates @ i ∪
+      // visited @ <i); survivors of the filter are this round's fresh
+      val fresh = pin(candidates.unionByName(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .filter(col("dist") === i))
+      dist = dist.unionByName(fresh)
       frontier = fresh
       if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iters)
         dist = dist.localCheckpoint()

@@ -35,11 +35,12 @@ import org.apache.spark.storage.StorageLevel
   * global clustering coefficient 3·triangles / wedges — computed from
   * the degree table, never enumerated.
   *
-  * The two internal persists (edge list, oriented list) are scoped to
-  * the returned plan and LRU-released — per-query sessions
-  * (Verify/Bench) need no release call; a long-lived session composing
-  * many graph ops should prefer the [[PageRank.runTracked]]-style
-  * handle contract if this ever grows a multi-result variant.
+  * The two internal persists (edge list, oriented list) follow the
+  * [[PageRank.runTracked]] handle contract: `statsTracked` returns
+  * them for the caller to release after its action. Bench/Verify run
+  * 160 queries in ONE session — fire-and-forget persists there
+  * accumulate until LRU pressure evicts caches other queries still
+  * need (the round-4 leak class).
   */
 object Triangles {
 
@@ -54,7 +55,14 @@ object Triangles {
     *         clustering) — clustering = 3·tri/wedges rounded to 6dp,
     *         0.0 for wedge-free graphs
     */
-  def stats(edges: DataFrame, a: String = "a", b: String = "b"): DataFrame = {
+  def stats(edges: DataFrame, a: String = "a", b: String = "b"): DataFrame =
+    statsTracked(edges, a, b)._1
+
+  /** As `stats`, plus the persisted-intermediate handles (caller
+    * releases after its action — the [[PageRank.runTracked]]
+    * contract). */
+  def statsTracked(edges: DataFrame, a: String = "a", b: String = "b")
+      : (DataFrame, PageRank.CacheHandles) = {
     val e = edges
       .select(col(a).cast("long").as("a"), col(b).cast("long").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -95,11 +103,12 @@ object Triangles {
       count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     val edgeCnt = e.agg(count(lit(1)).as("n_edges"))
-    nodeStats.crossJoin(edgeCnt).crossJoin(tri)
+    val out = nodeStats.crossJoin(edgeCnt).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         when(col("n_wedges") > 0,
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .otherwise(lit(0.0)).as("clustering"))
+    (out, new PageRank.CacheHandles(Seq(e, oriented)))
   }
 }

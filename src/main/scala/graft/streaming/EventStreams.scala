@@ -73,16 +73,19 @@ object EventStreams {
     * listing as the stream. Normalizes the TIMESTAMP(NANOS) column the
     * same way Tables.events does. */
   def streamFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val nanos = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream
-      .schema(nanos)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // readStream needs an explicit schema; take it from ONE driver-side
+    // footer read of the same files so the stream sees whatever
+    // physical ts encoding this data generation carries, then apply
+    // the identical normalization contract as the batch loader
+    // (io/Tables.scala) — a hard-coded schema here silently breaks
+    // when the testdata is regenerated with a different encoding
+    // (round 4: TIMESTAMP(NANOS) → timestamp[us]).
+    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.io.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(physical)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Stream-static enrichment: join the event stream against a

@@ -36,6 +36,10 @@ def main(sf_dir, out_dir):
     results = {}
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
+        marker = f"{qdir}/_FAILED.txt"
+        if os.path.exists(marker):
+            results[name] = "FAILED: " + open(marker).read().strip()[:200]
+            continue
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
             results[name] = "NO_OUTPUT"
@@ -70,7 +74,24 @@ def main(sf_dir, out_dir):
     for k in sorted(results):
         print(f"{k:<{width}}  {results[k]}")
     print(f"\n{n_ok}/{len(results)} pass")
-    return 0 if n_ok == len(results) else 1
+    # Gate-shrinkage check: Verify records how many queries SparkEntry
+    # registers; a query whose dump silently vanished (round 4: 8 of
+    # them) must turn this red with the count mismatch named, not
+    # produce a smaller all-green gate.
+    shrank = False
+    err_path = f"{out_dir}/_errors.json"
+    if os.path.exists(err_path):
+        meta = json.load(open(err_path))
+        expected = meta.get("expected", 0)
+        if len(results) != expected:
+            print(f"GATE SHRANK: {len(results)} dump dirs but SparkEntry "
+                  f"registers {expected} queries — missing: check Verify stderr")
+            shrank = True
+    else:
+        print("GATE UNVERIFIED: no _errors.json in out dir — Verify died "
+              "before finishing, or pre-round-5 dump; treat as red")
+        shrank = True
+    return 0 if (n_ok == len(results) and not shrank) else 1
 
 
 if __name__ == "__main__":
