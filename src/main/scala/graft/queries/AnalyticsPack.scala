@@ -415,6 +415,79 @@ object AnalyticsPack extends QueryPack {
             col("o_orderdate") >= lit("1999-01-01").cast("timestamp_ntz")))),
         Audit.referentialIntegrity("orders.o_custkey references customer",
           orders, col("o_custkey"), cust, col("c_custkey"))))
+    }),
+
+    // Key-skew profiler — the diagnostic that decides WHETHER a join
+    // needs salting/AQE skew handling before it runs (j9_salted_join
+    // is the remedy; this is the measurement). Two-level shape: the
+    // per-key count aggregate (map-side combinable, the only
+    // fact-sized pass) feeds a key-cardinality-sized stats pass —
+    // exact quantiles over #keys rows are fine at any fact scale
+    // because keys, not rows, bound the second stage. top_share is
+    // the single-task fraction a key-partitioned shuffle would hand
+    // one reducer; p99/p50 is the standard skew ratio.
+    "dq_skew" -> ((s, dir) => {
+      val counts = Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        round(max(col("cnt")) / sum(col("cnt")), 6).as("top_share"),
+        round(expr("percentile(cnt, 0.5)"), 4).as("p50"),
+        round(expr("percentile(cnt, 0.99)"), 4).as("p99"),
+        round(expr("percentile(cnt, 0.99) / percentile(cnt, 0.5)"), 4)
+          .as("skew_ratio"))
+    }),
+
+    // Volume-anomaly detection over the event stream — the pipeline
+    // health check every ingestion DAG runs before training data is
+    // trusted: flag days whose event volume sits > 2 sigma from the
+    // mean. Two bounded aggregates (daily counts = O(#days) rows,
+    // global stats = 1 row broadcast back via cross join) — NO global
+    // window, so the plan scales regardless of how many events a day
+    // holds. stddev_pop (not _samp): the day set is the population
+    // under test, and both engines define it identically.
+    "dq_anomaly" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.agg(
+        avg(col("n")).as("mu"), expr("stddev_pop(n)").as("sigma"))
+      daily.crossJoin(broadcast(stats))
+        .select(col("day"), col("n"),
+          round((col("n") - col("mu")) / col("sigma"), 4).as("z"))
+        .filter(abs(col("n") - col("mu")) > lit(2) * col("sigma"))
+        .orderBy(col("day"))
+    }),
+
+    // Item-item collaborative filtering scores — the normalization
+    // step that turns a10's raw co-occurrence counts into cosine
+    // similarity (co_count / sqrt(cnt_a * cnt_b)), the classic
+    // item-CF / "customers also bought" kernel. Same basket-HOF
+    // expansion as a10 (never a fact self-join); the per-item totals
+    // are a broadcast-sized dimension joined back twice. Top-20
+    // overall by score — TakeOrderedAndProject, no global sort.
+    "a11_item_cf" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val baskets = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairExpr = flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("pa"), y.as("pb")))))
+      val co = baskets.select(explode(pairExpr).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("co_n"))
+        .filter(col("co_n") >= 3)
+      val itemN = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      co.join(broadcast(itemN.select(col("l_partkey").as("pa"), col("n").as("na"))), "pa")
+        .join(broadcast(itemN.select(col("l_partkey").as("pb"), col("n").as("nb"))), "pb")
+        .select(col("pa"), col("pb"), col("co_n"),
+          round(col("co_n") / sqrt(col("na") * col("nb")), 6).as("cosine"))
+        .orderBy(desc("cosine"), col("pa"), col("pb"))
+        .limit(20)
     })
   )
 
@@ -558,6 +631,46 @@ object AnalyticsPack extends QueryPack {
         |WHERE a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY n_orders DESC, pa, pb""".stripMargin,
+
+    "dq_skew" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  round(max(cnt) / sum(cnt), 6) AS top_share,
+        |  round(quantile_cont(cnt, 0.5), 4) AS p50,
+        |  round(quantile_cont(cnt, 0.99), 4) AS p99,
+        |  round(quantile_cont(cnt, 0.99) / quantile_cont(cnt, 0.5), 4)
+        |    AS skew_ratio
+        |FROM c""".stripMargin,
+
+    "dq_anomaly" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT avg(n) AS mu, stddev_pop(n) AS sigma FROM d)
+        |SELECT day, n, round((n - mu) / sigma, 4) AS z
+        |FROM d, s
+        |WHERE abs(n - mu) > 2 * sigma
+        |ORDER BY day""".stripMargin,
+
+    "a11_item_cf" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |co AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS co_n
+        |  FROM li a JOIN li b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |n AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1)
+        |SELECT pa, pb, co_n,
+        |  round(co_n / sqrt(na.n * nb.n), 6) AS cosine
+        |FROM co JOIN n na ON co.pa = na.l_partkey
+        |        JOIN n nb ON co.pb = nb.l_partkey
+        |ORDER BY cosine DESC, pa, pb LIMIT 20""".stripMargin,
 
     "g_triangle_count" ->
       """WITH li AS (

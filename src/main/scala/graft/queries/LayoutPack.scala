@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryPack
 import graft.io.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators — the file-clustering side of a 100 TB
@@ -57,6 +58,36 @@ object LayoutPack extends QueryPack {
           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
         .orderBy(col("bucket"))
+    }),
+
+    // Small-file compaction planner — Delta/Iceberg `OPTIMIZE`'s
+    // bin-packing half (ly_zorder is the clustering half). A 100 TB
+    // table accretes thousands of small files per partition from
+    // streaming/CDC writes; scan cost is then dominated by per-file
+    // open/footer overhead, not bytes. The plan: within each partition
+    // (documents.source), lay the files (each doc = one file of
+    // n_chars bytes) in a deterministic order and cut output bins at
+    // every `target` bytes of RUNNING offset — greedy sequential
+    // coalescing, exactly what a compaction job's file-assignment
+    // pass produces (a bin can overrun by at most one file: the one
+    // that straddles a cut; never undershoots except the tail).
+    // Scale shape: one window over the partition key (the same
+    // per-partition parallelism the real compactor has) + one hash
+    // agg; output is bins, not files — O(#files/target) rows.
+    "ly_compaction" -> ((s, dir) => {
+      val target = 4000L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("off", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"off div $target"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_chars")).as("bin_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin"))
     })
   )
 
@@ -75,6 +106,19 @@ object LayoutPack extends QueryPack {
          |SELECT z // 16384 AS bucket, count(*) AS n,
          |  min(x) AS x_min, max(x) AS x_max,
          |  min(y) AS y_min, max(y) AS y_max
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ly_compaction" ->
+      """WITH f AS (
+        |  SELECT source, doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS off
+        |  FROM documents)
+        |SELECT source, off // 4000 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -53,6 +53,34 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // Exact binary-content dedup — the first pass of any multimodal
+    // curation pipeline (identical image/audio files re-crawled under
+    // different ids). d_exact's hash-group shape at the binary level:
+    // group on xxhash64(payload) so the payload bytes NEVER shuffle
+    // (only 8-byte hashes + counts move), then re-group the few hot
+    // hashes by the payload itself (broadcast semi-join survivors) so
+    // a hash collision can never merge distinct content — exact
+    // output, sketch-sized exchanges. At 100 TB payloads are GB-scale
+    // objects and this is the only viable shape.
+    "mm_hash_dedup" -> ((s, dir) => {
+      val media = Media.mediaTable(Tables(s, dir, "documents"))
+        .select(col("media_id"), col("payload"),
+          xxhash64(col("payload")).as("h"),
+          length(col("payload")).as("nb"))
+      val groups = media.groupBy(col("h"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"), min(col("nb")).as("n_bytes"))
+      val uniques = groups.filter(col("n_copies") === 1)
+        .select(col("keep_id"), col("n_copies"), col("n_bytes"))
+      val hot = groups.filter(col("n_copies") > 1).select(col("h"))
+      val dups = media.join(broadcast(hot), Seq("h"), "left_semi")
+        .groupBy(col("h"), col("payload"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"), min(col("nb")).as("n_bytes"))
+        .select(col("keep_id"), col("n_copies"), col("n_bytes"))
+      uniques.union(dups).orderBy(col("keep_id"))
+    }),
+
     // Feature extraction: payload -> fixed-dim embedding (stub: 8-bin
     // byte histogram, L1-normalized float32). Exploded to scalar rows
     // so the oracle can compare element-wise; the float32 division is
@@ -101,6 +129,14 @@ object MultimodalPack extends QueryPack {
         |SELECT media_id, kind, f.f AS frame_no
         |FROM m, LATERAL (SELECT unnest(range(0, n_frames, 2)) AS f) f
         |ORDER BY media_id, frame_no""".stripMargin,
+
+    // payload = UTF-8 text bytes, so binary equality == text equality
+    // and the oracle can replay the dedup directly over the text.
+    "mm_hash_dedup" ->
+      """SELECT min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(octet_length(encode(text))) AS n_bytes
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
     "mm_resize" ->
       """SELECT doc_id AS media_id,

@@ -614,6 +614,35 @@ object RelationalPack extends QueryPack {
         .orderBy(col("o_custkey"))
     }),
 
+    // CDC changelog compaction — the third MERGE-family operator
+    // (j10 applies one batch to a snapshot, j11 builds the full
+    // history; this collapses a raw change stream to its final state,
+    // what a lakehouse table's periodic compaction of CDC deltas
+    // does). Event stream as changelog: 'error' rows are deletes,
+    // everything else upserts; the LAST op per key (by (ts, event_id),
+    // unique) wins, deleted keys vanish. Scale shape: ONE user-keyed
+    // hash aggregate whose max_by partials are map-side combinable —
+    // no window, no sort, no per-key row_number; the shuffle carries
+    // one (op, value, ts, id) struct per key per input partition, not
+    // the whole change history. The oracle spells the same semantics
+    // as the window row_number()=1 formulation — interchangeable
+    // because the (ts, event_id) key is unique.
+    "j13_cdc_apply" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("value"), col("ts"), col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ops"),
+          expr("max_by(op, struct(ts, event_id))").as("last_op"),
+          expr("max_by(value, struct(ts, event_id))").as("vx"))
+        .filter(col("last_op") =!= "D")
+        .select(col("user_id"), col("n_ops"),
+          round(col("vx"), 2).as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Top-K-per-group via the typed bounded-buffer Aggregator
     // (scale/TopKAggregator) instead of a window: the shuffle carries
     // at most k rows per group per partition — the generalization of
@@ -921,6 +950,22 @@ object RelationalPack extends QueryPack {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "j13_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, ts, event_id
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, op, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        |  FROM log)
+        |SELECT user_id, n_ops, round(value, 2) AS last_value
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
 
     "w6_topk_aggregator" ->
       """WITH r AS (
