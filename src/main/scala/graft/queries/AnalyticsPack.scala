@@ -466,8 +466,12 @@ object AnalyticsPack extends QueryPack {
     // similarity (co_count / sqrt(cnt_a * cnt_b)), the classic
     // item-CF / "customers also bought" kernel. Same basket-HOF
     // expansion as a10 (never a fact self-join); the per-item totals
-    // are a broadcast-sized dimension joined back twice. Top-20
-    // overall by score — TakeOrderedAndProject, no global sort.
+    // (one 16-byte row per distinct item) join back twice WITHOUT a
+    // forced broadcast hint: under the threshold AQE broadcasts them
+    // anyway, and at catalog scales where the item dimension outgrows
+    // broadcast the plan degrades to a shuffled join instead of OOMing
+    // the driver. Top-20 overall by score — TakeOrderedAndProject, no
+    // global sort.
     "a11_item_cf" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val baskets = li.groupBy(col("l_orderkey"))
@@ -482,8 +486,8 @@ object AnalyticsPack extends QueryPack {
         .filter(col("co_n") >= 3)
       val itemN = li.select(col("l_orderkey"), col("l_partkey")).distinct()
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-      co.join(broadcast(itemN.select(col("l_partkey").as("pa"), col("n").as("na"))), "pa")
-        .join(broadcast(itemN.select(col("l_partkey").as("pb"), col("n").as("nb"))), "pb")
+      co.join(itemN.select(col("l_partkey").as("pa"), col("n").as("na")), "pa")
+        .join(itemN.select(col("l_partkey").as("pb"), col("n").as("nb")), "pb")
         .select(col("pa"), col("pb"), col("co_n"),
           round(col("co_n") / sqrt(col("na") * col("nb")), 6).as("cosine"))
         .orderBy(desc("cosine"), col("pa"), col("pb"))

@@ -115,6 +115,32 @@ object SimilarityPack extends QueryPack {
       recallInvariant(knnPqTopK(e), bruteTopK(e), minMeanRecall = 0.5)
     }),
 
+    // Exact maximum-inner-product search (MIPS) — the recsys retrieval
+    // scoring, DISTINCT from cosine: user-item scores are raw dot
+    // products, so high-norm items legitimately outrank nearer-angle
+    // ones (cosine search normalizes exactly that away). Same
+    // broadcast-queries / corpus-scan / per-query-window shape as
+    // s_knn_brute; the window tops-k per query under AQE's partial
+    // top-k, never a global sort of the pair space. The classic
+    // norm-augmentation reduction (append sqrt(M^2 - |x|^2), search by
+    // cosine) would let the LSH/IVF/PQ paths above serve MIPS
+    // approximately — this exact twin is their target, the same
+    // exact/sketch pairing as the dedup family.
+    "s_knn_mips" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("ip").desc, col("nid").asc)
+      broadcast(q).crossJoin(e).filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"), dot.as("ip"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"), round(col("ip"), 4).as("ip"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // Int8 scalar quantization — the embedding-compression operator of
     // a vector pipeline (FAISS SQ8 / product-DB int8 storage): per-
     // vector symmetric scale = max|x| / 127, codes = round(x / scale),
@@ -474,6 +500,19 @@ object SimilarityPack extends QueryPack {
         |  FROM p)
         |SELECT qid, nid, round(c, 4) AS cos, rk FROM r
         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    "s_knn_mips" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |p AS (
+        |  SELECT qid, e.vec_id AS nid, list_dot_product(qv, e.v) AS ip
+        |  FROM q, e WHERE e.vec_id <> qid),
+        |r AS (SELECT qid, nid, ip,
+        |  row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid ASC) AS rk
+        |  FROM p)
+        |SELECT qid, nid, round(ip, 4) AS ip, rk FROM r
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "s_knn_filtered" ->
       """WITH e AS (

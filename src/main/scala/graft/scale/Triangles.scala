@@ -90,14 +90,22 @@ object Triangles {
     // at a is (b, c) and the oriented closing edge is b -> c).
     val x = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
     val y = oriented.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw"))
-    val wedges = x.join(y, Seq("u"))
+    // SHUFFLE_HASH here too: the wedge expansion's inputs are m rows
+    // each but its OUTPUT is the O(m^1.5) stream — a sort-merge plan
+    // sorts both inputs for no benefit to the exploding probe.
+    val wedges = x.join(y.hint("SHUFFLE_HASH"), Seq("u"))
       .filter((col("dv") < col("dw")) ||
         (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("v").as("src"), col("w").as("dst"))
     // Left-semi keeps each closing wedge row once (wedges from
     // different centers are distinct rows): count = triangle count.
+    // SHUFFLE_HASH on the build (edge) side: sort-merge would SORT the
+    // O(m^1.5) wedge stream — the single biggest cost of the census —
+    // while hashing only the m-row oriented list costs O(m) memory per
+    // partition. The wedge side streams through the probe unsorted.
     val tri = wedges
-      .join(oriented.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
+      .join(oriented.select(col("src"), col("dst")).hint("SHUFFLE_HASH"),
+        Seq("src", "dst"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val nodeStats = deg.agg(
       count(lit(1)).as("n_nodes"),

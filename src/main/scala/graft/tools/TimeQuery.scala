@@ -20,6 +20,7 @@ object TimeQuery {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
@@ -33,6 +34,7 @@ object TimeQuery {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       val s = (System.nanoTime() - t0) / 1e9
+      graft.scale.CacheRegistry.drain() // mirror Bench's post-action release
       println(f"[timequery] run $i: $s%.3f s ($n rows)")
     }
     spark.stop()
