@@ -621,12 +621,15 @@ object RelationalPack extends QueryPack {
     // does). Event stream as changelog: 'error' rows are deletes,
     // everything else upserts; the LAST op per key (by (ts, event_id),
     // unique) wins, deleted keys vanish. Scale shape: ONE user-keyed
-    // hash aggregate whose max_by partials are map-side combinable —
-    // no window, no sort, no per-key row_number; the shuffle carries
-    // one (op, value, ts, id) struct per key per input partition, not
-    // the whole change history. The oracle spells the same semantics
-    // as the window row_number()=1 formulation — interchangeable
-    // because the (ts, event_id) key is unique.
+    // aggregate whose max_by partials are map-side combinable, so the
+    // exchange carries one (op, value, ts, id) struct per key per
+    // input partition — never the whole change history, which the
+    // window row_number()=1 formulation WOULD shuffle in full before
+    // discarding all but one row per key. (Spark plans SortAggregate
+    // here — the struct ordering key rules out the hash-agg buffer —
+    // but those are per-partition local sorts of already-thin data,
+    // not a shuffle-side cost.) The oracle spells the window
+    // formulation — interchangeable because (ts, event_id) is unique.
     "j13_cdc_apply" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(col("user_id"),

@@ -171,6 +171,47 @@ object EventStreams {
       }
   }
 
+  case class CdcEvent(user_id: Long, ts: java.sql.Timestamp,
+                      event_id: Long, event_type: String, value: Double)
+  case class CdcState(epochSec: Long, nanos: Int, event_id: Long,
+                      deleted: Boolean, value: Double, n_ops: Long)
+  case class CdcRow(user_id: Long, n_ops: Long, deleted: Boolean,
+                    last_value: Double)
+
+  /** Streaming twin of the batch `j13_cdc_apply` query: maintain each
+    * key's LATEST change (by full-precision (ts, event_id), same
+    * tiebreak as the batch max_by) as keyed state across
+    * micro-batches; 'error' rows are deletes. Update mode restates a
+    * key's current final state whenever a batch touches it, so the
+    * sink's last write per key IS the compacted table — late/out-of-
+    * order rows across batches are handled exactly (the state keeps
+    * the ordering key, not just the value: an older row arriving
+    * later CANNOT overwrite a newer state, where a naive
+    * last-write-wins fold would). State is O(#keys) x ~40 bytes.
+    * StreamingSpec asserts equality with the batch twin across an
+    * out-of-order two-batch split. */
+  def cdcFinalState(spark: SparkSession, stream: DataFrame): Dataset[CdcRow] = {
+    import spark.implicits._
+    stream.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value")).as[CdcEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[CdcEvent], state: GroupState[CdcState]) =>
+          var s = state.getOption.getOrElse(
+            CdcState(Long.MinValue, 0, Long.MinValue, deleted = false, 0.0, 0L))
+          batch.foreach { e =>
+            val i = e.ts.toInstant
+            val k = (i.getEpochSecond, i.getNano, e.event_id)
+            s = s.copy(n_ops = s.n_ops + 1)
+            if (Ordering[(Long, Int, Long)].gt(k, (s.epochSec, s.nanos, s.event_id)))
+              s = CdcState(k._1, k._2, k._3,
+                deleted = e.event_type == "error", e.value, s.n_ops)
+          }
+          state.update(s)
+          CdcRow(uid, s.n_ops, s.deleted, s.value)
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   /** Not private: the state Encoder's generated code must see the
     * accessors (a private case class fails janino compilation). */

@@ -114,6 +114,44 @@ class StreamingSpec extends SparkSpec {
       s"fold ran in event_id order, not time order: got $got (want 25.0)")
   }
 
+  test("cdcFinalState: out-of-order cross-batch changes compact exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val stream = input.toDF()
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = EventStreams.cdcFinalState(spark, stream)
+      .writeStream.format("memory").queryName("cdc_state")
+      .outputMode("update").start()
+    try {
+      // batch 1: u1 @ t=30 (the eventual winner arrives FIRST);
+      // u2 deleted; u3 upserted
+      input.addData((1L, ts(30), 103L, "click", 9.9),
+        (2L, ts(10), 201L, "error", 0.0),
+        (3L, ts(5), 301L, "view", 3.3))
+      q.processAllAvailable()
+      // batch 2: u1 gets an OLDER row (must NOT overwrite the t=30
+      // state — the ordering key lives in the state, not the arrival
+      // order); u2 revives after its delete; u3 re-deleted
+      input.addData((1L, ts(1), 101L, "view", 1.1),
+        (2L, ts(20), 202L, "purchase", 7.7),
+        (3L, ts(6), 302L, "error", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode: the last emitted row per key is the compacted state
+    val last = spark.table("cdc_state")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_ops"), col("deleted"), col("last_value"))).as("s"))
+      .select(col("user_id"), col("s.n_ops"), col("s.deleted"), col("s.last_value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        r.getDouble(3)))).toMap
+    assert(last(1L) == ((2L, false, 9.9)),
+      s"older cross-batch row overwrote newer state: ${last(1L)}")
+    assert(last(2L) == ((2L, false, 7.7)), s"revive after delete: ${last(2L)}")
+    assert(last(3L) == ((2L, true, 0.0)), s"re-delete: ${last(3L)}")
+  }
+
   test("stream-stream join pairs same-user events within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
