@@ -95,6 +95,36 @@ object AnalyticsPack extends QueryPack {
         .select((abs(col("apx") - col("exact")) / col("exact") <= 0.05)
           .as("within_5pct"))),
 
+    // Approximate-quantile sketch with a self-verifying error bound —
+    // the MERGEABLE sketch that replaces exact `percentile` at 100 TB
+    // (g_percentiles / dq_skew document the swap; this row makes the
+    // sketch path itself gate-checked). percentile_approx is
+    // rank-error bounded: with accuracy a the returned value's rank is
+    // within n/a of the target rank — a contract on RANKS, not
+    // values, so the check converts it: the sketch value must sit
+    // between the exact quantiles at q +- 2/a (slack 2x the bound for
+    // interpolation at small n). Both engines run their OWN sketch
+    // (Spark KLL-style, DuckDB t-digest) against their own exact
+    // ranks, emitting the same booleans — the invariant, like
+    // g_approx_distinct, is what ships, so the gate survives any
+    // sketch implementation change.
+    "g_quantile_sketch" -> ((s, dir) => {
+      val a = 1000 // rank error <= n/1000 = 0.1% of ranks
+      Tables(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        expr(s"approx_percentile(o_totalprice, 0.5, $a)").as("a50"),
+        expr(s"approx_percentile(o_totalprice, 0.95, $a)").as("a95"),
+        expr("percentile(o_totalprice, 0.498)").as("lo50"),
+        expr("percentile(o_totalprice, 0.502)").as("hi50"),
+        expr("percentile(o_totalprice, 0.948)").as("lo95"),
+        expr("percentile(o_totalprice, 0.952)").as("hi95"))
+        .select(col("n"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+            .as("p50_in_bound"),
+          (col("a95") >= col("lo95") && col("a95") <= col("hi95"))
+            .as("p95_in_bound"))
+    }),
+
     // MERGEABLE distinct-count sketches (Apache DataSketches HLL,
     // built into Spark 4): per-year partial sketches union into one
     // global sketch whose estimate is checked against the exact
@@ -533,6 +563,16 @@ object AnalyticsPack extends QueryPack {
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
         |  round(median(o_totalprice), 4) AS med
+        |FROM orders""".stripMargin,
+
+    "g_quantile_sketch" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  approx_quantile(o_totalprice, 0.5)
+        |    BETWEEN quantile_cont(o_totalprice, 0.498)
+        |        AND quantile_cont(o_totalprice, 0.502) AS p50_in_bound,
+        |  approx_quantile(o_totalprice, 0.95)
+        |    BETWEEN quantile_cont(o_totalprice, 0.948)
+        |        AND quantile_cont(o_totalprice, 0.952) AS p95_in_bound
         |FROM orders""".stripMargin,
 
     "g_approx_distinct" ->

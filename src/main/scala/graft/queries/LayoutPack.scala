@@ -88,6 +88,35 @@ object LayoutPack extends QueryPack {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("source"), col("bin"))
+    }),
+
+    // File-statistics pruning planner — the READ-side payoff the other
+    // two layout operators exist for: given per-file min/max column
+    // stats (the footer metadata every parquet file already carries),
+    // decide which files a predicate must open at all. Files are
+    // modeled as doc_id-ranges (50 docs/file); a file is prunable iff
+    // its [min, max] n_chars interval misses the predicate — NO row
+    // in it can match, byte-identical to parquet row-group skipping.
+    // The emitted row audits the plan: files pruned, rows in the
+    // surviving files (what the scan actually reads), and true
+    // matches (what a full scan would have found — pruning must never
+    // change this). Two aggregates, both O(#files) after the per-file
+    // stats pass; at 100 TB the stats table IS the catalog and the
+    // fact table is never touched to plan.
+    "ly_stats_prune" -> ((s, dir) => {
+      val threshold = 900
+      val stats = Tables(s, dir, "documents")
+        .groupBy(expr("doc_id div 50").as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+          sum(when(col("n_chars") >= threshold, 1L).otherwise(0L))
+            .as("n_match"))
+      stats.agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("hi") < threshold, 1L).otherwise(0L)).as("n_pruned"),
+        sum(when(col("hi") >= threshold, col("n_rows")).otherwise(0L))
+          .as("rows_scanned"),
+        sum(col("n_match")).as("rows_matched"))
     })
   )
 
@@ -119,6 +148,20 @@ object LayoutPack extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_files,
         |  CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ly_stats_prune" ->
+      """WITH s AS (
+        |  SELECT doc_id // 50 AS file_id, count(*) AS n_rows,
+        |    min(n_chars) AS lo, max(n_chars) AS hi,
+        |    sum(CASE WHEN n_chars >= 900 THEN 1 ELSE 0 END) AS n_match
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN hi < 900 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pruned,
+        |  CAST(sum(CASE WHEN hi >= 900 THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS rows_scanned,
+        |  CAST(sum(n_match) AS BIGINT) AS rows_matched
+        |FROM s""".stripMargin
   )
 }
