@@ -12,6 +12,36 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsPack extends QueryPack {
 
+  /** Basket co-occurrence counts (pa < pb, co_n = #orders containing
+    * both) — the shared base of the three heaviest analytics queries:
+    * a10_copurchase (support filter), a11_item_cf (cosine
+    * normalization), g_triangle_count (its distinct pair set IS the
+    * co-occurrence edge list). Memoized + persisted per (session,
+    * dir) exactly like DedupPack's signature base: each query paid the
+    * same lineitem scan + basket build + pair-count shuffle (~2 s each
+    * at sf0.1) for byte-identical intermediate state. Bounded:
+    * one 24-byte row per co-purchased part pair. Session-lifetime by
+    * design (NOT CacheRegistry-tracked): a cross-query memo released
+    * after one query's action would just recompute for the next —
+    * LRU evicts it under pressure, the same documented trade as the
+    * dedup bases. */
+  private val coPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def coPairs(s: SparkSession, dir: String): DataFrame =
+    coPairsCache.computeIfAbsent((s, dir), _ => {
+      val baskets = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val pairs = flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("pa"), y.as("pb")))))
+      baskets.select(explode(pairs).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("co_n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ROLLUP with grouping_id to disambiguate subtotal rows from
     // genuine nulls. Partial-agg friendly: one shuffle.
@@ -289,43 +319,28 @@ object AnalyticsPack extends QueryPack {
     // never a fact-table self-join, whose order-keyed join would
     // shuffle the lineitem table twice and blow up quadratically on a
     // hot order before the group-count could reduce it. The (pa, pb)
-    // count shuffle is map-side combinable.
+    // count shuffle is map-side combinable; the counted base itself
+    // is the memoized `coPairs` shared with a11/g_triangle_count.
     "a10_copurchase" -> ((s, dir) => {
-      val baskets = Tables(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      val pairs = flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-          y => struct(x.as("pa"), y.as("pb")))))
-      baskets.select(explode(pairs).as("p"))
-        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("n_orders"))
+      coPairs(s, dir)
+        .select(col("pa"), col("pb"), col("co_n").as("n_orders"))
         .filter(col("n_orders") >= 3)
         .orderBy(desc("n_orders"), col("pa"), col("pb"))
     }),
 
     // Exact triangle census of the part co-occurrence graph (parts
     // bought together in at least one order) — community density for
-    // co-occurrence analytics. Edges come from the same basket-HOF
-    // expansion as a10 (sorted baskets guarantee canonical a < b and
-    // the trailing distinct collapses repeat co-purchases — never a
-    // fact self-join); the count itself is scale/Triangles.scala's
-    // degree-oriented wedge closing, which caps the wedge exchange at
-    // O(m^1.5) regardless of hub-part skew. The DuckDB oracle counts
-    // by the canonical 3-way id-ordered self-join — a DIFFERENT
-    // orientation (id, not degree) proving the census is
-    // orientation-invariant, as any correct one must be.
+    // co-occurrence analytics. The edge list is the memoized `coPairs`
+    // base's key set (grouped, so canonical a < b and distinct by
+    // construction — never a fact self-join); the count itself is
+    // scale/Triangles.scala's degree-oriented wedge closing, which
+    // caps the wedge exchange at O(m^1.5) regardless of hub-part
+    // skew. The DuckDB oracle counts by the canonical 3-way
+    // id-ordered self-join — a DIFFERENT orientation (id, not degree)
+    // proving the census is orientation-invariant, as any correct one
+    // must be.
     "g_triangle_count" -> ((s, dir) => {
-      val baskets = Tables(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      val pairs = flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-          y => struct(x.as("a"), y.as("b")))))
-      val edges = baskets.select(explode(pairs).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .distinct()
+      val edges = coPairs(s, dir).select(col("pa").as("a"), col("pb").as("b"))
       val (out, handles) = graft.scale.Triangles.statsTracked(edges)
       graft.scale.CacheRegistry.track(handles)
       out
@@ -503,18 +518,9 @@ object AnalyticsPack extends QueryPack {
     // the driver. Top-20 overall by score — TakeOrderedAndProject, no
     // global sort.
     "a11_item_cf" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem")
-      val baskets = li.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      val pairExpr = flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-          y => struct(x.as("pa"), y.as("pb")))))
-      val co = baskets.select(explode(pairExpr).as("p"))
-        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("co_n"))
-        .filter(col("co_n") >= 3)
-      val itemN = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      val co = coPairs(s, dir).filter(col("co_n") >= 3)
+      val itemN = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
       co.join(itemN.select(col("l_partkey").as("pa"), col("n").as("na")), "pa")
         .join(itemN.select(col("l_partkey").as("pb"), col("n").as("nb")), "pb")
