@@ -321,6 +321,30 @@ object StreamingPack extends QueryPack {
           (unix_micros(col("p_ts")) - unix_micros(col("start_ts")))
             .as("delta_us"))
         .orderBy(col("interval_id"), col("point_id"))
+    }),
+
+    // Interval-INTERVAL overlap join (st_range_join's two-sided
+    // sibling, scale/RangeJoin.intervalOverlap): which daily click
+    // activity spans overlapped daily purchase spans in wall-clock.
+    // The binned rewrite emits each true pair exactly once — only the
+    // bucket containing max(a_start, b_start) keeps it — so no
+    // distinct follows the join; the oracle is the plain quadratic
+    // overlap predicate, safe in DuckDB at O(#days²). Emitted overlap
+    // duration in micros is engine-portable bigint arithmetic.
+    "st_interval_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def spans(t: String, p: String) = ev.filter(col("event_type") === t)
+        .groupBy(to_date(col("ts")).as(s"${p}_day"))
+        .agg(min(col("ts")).as(s"${p}_start"),
+          (max(col("ts")) + expr("INTERVAL 1 SECOND")).as(s"${p}_end"))
+      graft.scale.RangeJoin.intervalOverlap(
+          spans("click", "a"), spans("purchase", "b"),
+          "a_start", "a_end", "b_start", "b_end", bucketSeconds = 6 * 3600)
+        .select(col("a_day"), col("b_day"),
+          (unix_micros(least(col("a_end"), col("b_end"))) -
+            unix_micros(greatest(col("a_start"), col("b_start"))))
+            .as("overlap_us"))
+        .orderBy(col("a_day"), col("b_day"))
     })
   )
 
@@ -515,6 +539,21 @@ object StreamingPack extends QueryPack {
         |SELECT i.interval_id, p.point_id,
         |  epoch_us(p.p_ts) - epoch_us(i.start_ts) AS delta_us
         |FROM i JOIN p ON p.p_ts >= i.start_ts AND p.p_ts < i.end_ts
-        |ORDER BY interval_id, point_id""".stripMargin
+        |ORDER BY interval_id, point_id""".stripMargin,
+
+    "st_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT CAST(ts AS DATE) AS a_day, min(ts) AS a_start,
+        |    max(ts) + INTERVAL 1 SECOND AS a_end
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(ts AS DATE) AS b_day, min(ts) AS b_start,
+        |    max(ts) + INTERVAL 1 SECOND AS b_end
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT a_day, b_day,
+        |  epoch_us(least(a_end, b_end)) - epoch_us(greatest(a_start, b_start))
+        |    AS overlap_us
+        |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+        |ORDER BY a_day, b_day""".stripMargin
   )
 }

@@ -50,4 +50,39 @@ object RangeJoin {
           p2(pts) >= i2(start) && p2(pts) < i2(end))
       .drop(i2("__bucket")).drop(p2("__bucket"))
   }
+
+  /** Interval-INTERVAL overlap join: one row per (a, b) pair whose
+    * half-open intervals [aStart, aEnd) and [bStart, bEnd) intersect.
+    *
+    * Same binning idea as `pointInInterval`, plus the exactly-once
+    * trick the two-sided case needs: a pair sharing k buckets would be
+    * emitted k times, so the join keeps a pair ONLY in the bucket
+    * containing the overlap's start, max(aStart, bStart) — a point
+    * inside both intervals, hence a bucket both sides registered, and
+    * unique per pair. No distinct, no post-dedup shuffle; the exact
+    * overlap predicate (aStart < bEnd AND bStart < aEnd) re-filters
+    * inside the bucket as before. Both interval sets replicate by
+    * length/bucketSeconds + 1, and the candidate work is sharded by
+    * bucket — never a nested-loop stage over the full cross product.
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String,
+                      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val w = bucketSeconds * 1000000L // micros
+    // half-open: the last occupied bucket is (end - 1) div w; requires
+    // end > start, which half-open non-empty intervals guarantee
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__bucket", explode(expr(
+        s"sequence(unix_micros($s) div $w, (unix_micros($e) - 1) div $w)")))
+    val a2 = binned(a, aStart, aEnd)
+    val b2 = binned(b, bStart, bEnd)
+    a2.join(b2,
+        a2("__bucket") === b2("__bucket") &&
+          a2(aStart) < b2(bEnd) && b2(bStart) < a2(aEnd) &&
+          expr(s"greatest(unix_micros($aStart), unix_micros($bStart)) div $w") ===
+            a2("__bucket"))
+      .drop(a2("__bucket")).drop(b2("__bucket"))
+  }
 }

@@ -67,4 +67,54 @@ class RangeJoinSpec extends SparkSpec {
       .select(col("point_id")).collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(11L, 12L))
   }
+
+  test("intervalOverlap: exactly-once pairs == naive overlap, at adversarial widths") {
+    import spark.implicits._
+    def iv(rows: Seq[(Long, String, String)], p: String) =
+      rows.toDF("id", "s", "e").select(col("id").as(s"${p}_id"),
+        col("s").cast("timestamp").as(s"${p}_start"),
+        col("e").cast("timestamp").as(s"${p}_end"))
+    // shapes chosen to stress the dedup: long intervals spanning many
+    // buckets (k-fold candidate duplication), touching-not-overlapping
+    // (half-open: no pair), containment, identical intervals, and a
+    // 1-second sliver crossing a bucket boundary
+    val a = iv(Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 12:00:00"),
+      (2L, "2024-01-01 06:00:00", "2024-01-01 06:00:01"),
+      (3L, "2024-01-02 00:00:00", "2024-01-03 00:00:00"),
+      (4L, "2024-01-01 23:59:59", "2024-01-02 00:00:01")), "a")
+    val b = iv(Seq(
+      (10L, "2024-01-01 05:00:00", "2024-01-01 07:00:00"),
+      (11L, "2024-01-01 12:00:00", "2024-01-01 13:00:00"), // touches a1: out
+      (12L, "2024-01-01 00:00:00", "2024-01-01 12:00:00"), // identical to a1
+      (13L, "2024-01-02 10:00:00", "2024-01-02 10:00:01")), "b")
+    val naive = a.crossJoin(b)
+      .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (w <- Seq(60L, 3600L, 86400L, 7L * 86400L)) {
+      val binned = RangeJoin.intervalOverlap(a, b,
+          "a_start", "a_end", "b_start", "b_end", w)
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(binned == naive, s"bucketSeconds=$w: $binned vs $naive")
+    }
+  }
+
+  test("intervalOverlap plans as an equi-join on the bucket key") {
+    import spark.implicits._
+    val a = Seq((1L, "2024-01-01 00:00:00", "2024-01-01 01:00:00"))
+      .toDF("a_id", "s", "e").select(col("a_id"),
+        col("s").cast("timestamp").as("a_start"),
+        col("e").cast("timestamp").as("a_end"))
+    val b = Seq((2L, "2024-01-01 00:30:00", "2024-01-01 02:00:00"))
+      .toDF("b_id", "s", "e").select(col("b_id"),
+        col("s").cast("timestamp").as("b_start"),
+        col("e").cast("timestamp").as("b_end"))
+    val plan = RangeJoin.intervalOverlap(a, b,
+        "a_start", "a_end", "b_start", "b_end", 600)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
