@@ -26,6 +26,26 @@ object StreamingPack extends QueryPack {
       EventStreams.userSessions(Tables.events(s, dir), watermarked = false)
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Spark's NATIVE session_window operator (the built-in that also
+    // runs under readStream with identical semantics), checked
+    // against the gaps-and-islands formulation the oracle spells:
+    // both define a session as events of one user with < 30 min
+    // between neighbors, so session start = island min(ts) and the
+    // row counts match exactly. Gating the native operator proves the
+    // two formulations interchangeable — the islands form is what
+    // engines without session windows run, the native form is what a
+    // migration to streaming keeps. One user-keyed exchange; session
+    // assembly is partition-local.
+    "st_session_window_native" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // AS-OF join via the custom LogicalPlan + SparkStrategy +
     // SparkPlan operator (graft.plans.AsOfJoin): each event joined to
     // the user's latest strictly-earlier event. Oracle: DuckDB's
@@ -380,6 +400,28 @@ object StreamingPack extends QueryPack {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM g)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // same islands shape, ONE deliberate difference: session_window's
+    // [start, last + gap) window is end-EXCLUSIVE, so a successor at
+    // exactly last + 30 min does NOT merge — the islands split is
+    // `>=`, where st_user_sessions' definition is `>`
+    "st_session_window_native" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "st_asof_prev_event" ->
