@@ -62,6 +62,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => CollapseAccentFold)
     ext.injectOptimizerRule(_ => graft.plans.Top1WindowToMaxBy)
+    // the custom whole-operator piece too: ONE config line delivers
+    // the complete library surface (AsOf.join also self-registers via
+    // experimental.extraStrategies for sessions built without it)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

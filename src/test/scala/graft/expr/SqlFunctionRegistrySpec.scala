@@ -67,4 +67,22 @@ class SqlFunctionRegistrySpec extends SparkSpec {
     val e = intercept[Exception](df.selectExpr("shingle_hashes(s, n)").collect())
     assert(e.getMessage.contains("literal"))
   }
+
+  test("GraftExtensions injects functions, both rules, and the as-of strategy") {
+    // `spark.sql.extensions` is a STATIC conf — it binds at
+    // SparkContext creation, so a config-path session cannot be built
+    // inside the shared-context suite JVM. The contract is tested at
+    // the extension-point level instead: apply GraftExtensions to a
+    // fresh SparkSessionExtensions and assert everything a config-path
+    // session would receive is registered (via the spark.sql-package
+    // bridge, the build methods being private[sql]).
+    val (rules, strategies, fns) =
+      org.apache.spark.sql.GraftExtensionsProbe.build(spark)
+    assert(rules.contains(CollapseAccentFold), s"rules: $rules")
+    assert(rules.contains(graft.plans.Top1WindowToMaxBy), s"rules: $rules")
+    assert(strategies.contains(graft.plans.AsOfJoinStrategy),
+      s"strategies: $strategies")
+    val expected = GraftFunctions.descriptors.map(_._1.funcName).toSet
+    assert(expected.subsetOf(fns), s"missing functions: ${expected -- fns}")
+  }
 }
