@@ -221,6 +221,62 @@ class PlanShapeSpec extends SparkSpec {
       s"correlated-MIN join tree duplicated:\n$p")
   }
 
+  test("no query plans an unbounded nested-loop join outside the allowlist") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // A join with no equi-key plans as BNLJ/CartesianProduct — O(n*m)
+    // comparisons, the range-join scale killer RangeJoin.scala exists
+    // to avoid. Value-invisible (results stay right), so it is pinned
+    // at the plan level like the window invariant below. Allowlisted
+    // sites are each bounded or deliberate:
+    //  - s_knn_brute/s_knn_mips/s_knn_filtered/d_embed_cos: the LABELED
+    //    exact baselines — broadcast query side is ~10 rows by
+    //    construction; their sketch twins are the scale path
+    //  - s_knn_lsh/ivf/pq: recall-invariant rows that RUN the brute
+    //    baseline to score the ANN path against it
+    //  - a8_winsorize/a9_zscore/dq_anomaly/sql_q11_important/
+    //    sql_scalar_max_qty/d_pipeline/t_pipeline/t_decontam/t_budget/
+    //    t_split/mm_*: a 1-row (or per-group stats) broadcast frame
+    //    crossed back into the projection — O(n), not O(n*m)
+    //  - j12_bloom_join: the 1-row bitset rides a BNLJ by design
+    //    (plan pinned in its own test above)
+    //  - a7_profile/dq_audit/g_hll_merge/g_triangle_count/t_tfidf:
+    //    crosses of 1-row aggregate frames (profile passes, check
+    //    tallies, sketch-vs-exact, census stats, the IDF doc count) —
+    //    1 x 1 or n x 1 with a literal row, never n x m
+    //  - d_fuzzy_names: the length-band non-equi join runs on the
+    //    DISTINCT-name vocabulary (Heaps'-law bounded), not the corpus
+    val allow = Set(
+      "s_knn_brute", "s_knn_mips", "s_knn_filtered", "d_embed_cos",
+      "s_knn_lsh", "s_knn_ivf", "s_knn_pq", "s_quantize", "s_label_centroid",
+      "a8_winsorize", "a9_zscore", "dq_anomaly", "j12_bloom_join",
+      "sql_q11_important", "sql_scalar_max_qty", "d_pipeline", "t_pipeline",
+      "t_decontam", "t_budget", "t_split", "d_semdedup", "d_cluster",
+      "mm_decode", "mm_embed", "mm_frame_sample", "mm_resize",
+      "a7_profile", "dq_audit", "g_hll_merge", "g_triangle_count",
+      "t_tfidf", "d_fuzzy_names")
+    def loops(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => loops(a.executedPlan)
+        case q: QueryStageExec => loops(q.plan)
+        case r: ReusedExchangeExec => loops(r.child)
+        case j: BroadcastNestedLoopJoinExec => j +: j.children.flatMap(loops)
+        case c: CartesianProductExec => c +: c.children.flatMap(loops)
+        case other => other.children.flatMap(loops)
+      }
+      here ++ p.subqueries.flatMap(loops)
+    }
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow)
+      .flatMap { name =>
+        val found = loops(graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan)
+        graft.scale.CacheRegistry.drain()
+        found.map(j => s"$name -> ${j.nodeName}")
+      }
+    assert(offenders.isEmpty,
+      s"nested-loop join outside the allowlist:\n${offenders.mkString("\n")}")
+  }
+
   test("no query plans an unpartitioned WindowExec (single-partition funnel)") {
     import org.apache.spark.sql.execution.window.WindowExec
     // Window.orderBy with no partition spec moves the operator's whole
