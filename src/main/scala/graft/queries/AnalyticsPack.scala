@@ -383,6 +383,32 @@ object AnalyticsPack extends QueryPack {
         .orderBy(col("hops"))
     }),
 
+    // Degree assortativity of the co-purchase graph — Newman's r: the
+    // Pearson correlation of endpoint degrees across edges, THE
+    // one-number summary of whether hubs attach to hubs (r > 0,
+    // social-graph-like) or to leaves (r < 0, web/purchase-like).
+    // Non-iterative, three bounded passes off the memoized coPairs
+    // base: degree count (map-side combinable), two node-keyed joins
+    // to attach endpoint degrees, one corr aggregate. Undirected
+    // convention: each edge contributes BOTH (da, db) and (db, da) —
+    // doubling makes the correlation symmetric (corr of the
+    // symmetrized pairs equals Newman's formulation) and costs one
+    // in-projection explode, not a second join. Rounded to 4dp: corr
+    // partials are doubles and the last ulp is partial-agg-order
+    // dependent (the a5_corr_skew precedent).
+    "g_assortativity" -> ((s, dir) => {
+      val e = coPairs(s, dir).select(col("pa").as("a"), col("pb").as("b"))
+      val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      e.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+        .select(explode(array(
+          struct(col("da").as("x"), col("db").as("y")),
+          struct(col("db").as("x"), col("da").as("y")))).as("p"))
+        .agg(count(lit(1)).as("n_endpoints"),
+          round(corr(col("p.x"), col("p.y")), 4).as("assortativity"))
+    }),
+
     // Winsorization — the outlier-clipping featurization step: exact
     // p01/p99 cut points (one sort-based aggregate), broadcast back as
     // a 1-row frame, clip in a codegen'd projection, re-profile in one
@@ -681,6 +707,27 @@ object AnalyticsPack extends QueryPack {
         |WHERE a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY n_orders DESC, pa, pb""".stripMargin,
+
+    "g_assortativity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY 1),
+        |pairs AS (
+        |  SELECT da.d AS x, db.d AS y
+        |  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+        |  UNION ALL
+        |  SELECT db.d AS x, da.d AS y
+        |  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v)
+        |SELECT CAST(count(*) AS BIGINT) AS n_endpoints,
+        |  round(corr(x, y), 4) AS assortativity
+        |FROM pairs""".stripMargin,
 
     "dq_skew" ->
       """WITH c AS (
