@@ -27,7 +27,11 @@ object AnalyticsPack extends QueryPack {
     * dedup bases. */
   private val coPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def coPairs(s: SparkSession, dir: String): DataFrame =
+  private def coPairs(s: SparkSession, dir: String): DataFrame = {
+    // Evict entries whose session has stopped: a JVM that cycles
+    // SparkSessions (specs, tools) must not accumulate dead-session
+    // plans, and a stale stopped-session hit must never be returned.
+    coPairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     coPairsCache.computeIfAbsent((s, dir), _ => {
       val baskets = Tables(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
@@ -41,6 +45,7 @@ object AnalyticsPack extends QueryPack {
         .agg(count(lit(1)).as("co_n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ROLLUP with grouping_id to disambiguate subtotal rows from
@@ -597,14 +602,20 @@ object AnalyticsPack extends QueryPack {
         |  round(median(o_totalprice), 4) AS med
         |FROM orders""".stripMargin,
 
+    // Oracle-side band is ±0.01 rank (vs Spark's ±0.002): DuckDB's
+    // approx_quantile is a t-digest with NO hard rank-error bound
+    // (unlike Spark's GK at accuracy=1000, eps=0.001), so a tight band
+    // can flake under parallel aggregation or regenerated testdata.
+    // Each side checks its OWN sketch against its OWN exact quantiles
+    // at a band its sketch can honor; both emit true.
     "g_quantile_sketch" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  approx_quantile(o_totalprice, 0.5)
-        |    BETWEEN quantile_cont(o_totalprice, 0.498)
-        |        AND quantile_cont(o_totalprice, 0.502) AS p50_in_bound,
+        |    BETWEEN quantile_cont(o_totalprice, 0.49)
+        |        AND quantile_cont(o_totalprice, 0.51) AS p50_in_bound,
         |  approx_quantile(o_totalprice, 0.95)
-        |    BETWEEN quantile_cont(o_totalprice, 0.948)
-        |        AND quantile_cont(o_totalprice, 0.952) AS p95_in_bound
+        |    BETWEEN quantile_cont(o_totalprice, 0.94)
+        |        AND quantile_cont(o_totalprice, 0.96) AS p95_in_bound
         |FROM orders""".stripMargin,
 
     "g_approx_distinct" ->

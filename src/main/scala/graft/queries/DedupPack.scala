@@ -181,18 +181,26 @@ object DedupPack extends QueryPack {
         |    + element_at(sig, b*4+3)) * 31 + element_at(sig, b*4+4))"""
         .stripMargin)).as(Seq("band", "bh")))
 
-  private def minhashVerifiedPairsUncached(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct banded candidate pairs (ida < idb) — the pre-verify
+    * stage of the MinHash-LSH path, factored out so the scale-growth
+    * harness (tools/ScaleGrowth, ScaleGrowthSpec) counts THE SAME
+    * candidate set the production path verifies — the quantity whose
+    * sub-quadratic growth is the whole point of banding. */
+  private[graft] def bandedCandidates(s: SparkSession, dir: String): DataFrame = {
     val sigs = hashArrays(s, dir)
       .withColumn("sig", graft.expr.MinHashSig(col("hs"), 64, 20260812L))
     val bands = bandHashes(sigs)
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
-    verified(cand, sigs.select(col("doc_id"), col("hs"), col("n")))
   }
+
+  private def minhashVerifiedPairsUncached(s: SparkSession, dir: String): DataFrame =
+    verified(bandedCandidates(s, dir),
+      hashArrays(s, dir).select(col("doc_id"), col("hs"), col("n")))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup, keep lowest doc_id — see exactDedup for the
@@ -351,6 +359,37 @@ object DedupPack extends QueryPack {
           col("cluster_size"),
           (col("node") === col("component")).as("is_rep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Quality-aware duplicate-REPRESENTATIVE election — the
+    // Dolma/RefinedWeb step after clustering: instead of d_cluster's
+    // positional rep (min doc_id), each dup cluster keeps its
+    // HIGHEST-QUALITY member, ranked by t_quality's bucket
+    // (TextPack.qualityRank — shared definition) with lowest-doc_id
+    // tie-break. The election is ONE max_by aggregate over the
+    // existing component frame; the composite key packs
+    // (q_rank, -doc_id) into a single long (q_rank * 2^44 - doc_id —
+    // doc_id stays far below 2^44 at any SF), so both engines elect
+    // integer-exactly with no float ordering, no window, and no new
+    // shuffle beyond the component agg (the quality frame joins in on
+    // doc_id before the component exchange). At 100 TB: q_rank is a
+    // narrow per-doc projection, the join is id+tinyint wide, and the
+    // agg is component-keyed — the same partitioning d_cluster already
+    // produced.
+    "d_rep_quality" -> ((s, dir) => {
+      val edges = minhashVerifiedPairs(s, dir)
+        .select(col("ida").as("src"), col("idb").as("dst"))
+      val cc = ConnectedComponents.run(edges)
+      val qr = TextPack.qualityRank(Tables(s, dir, "documents"))
+      cc.join(qr, cc("node") === qr("doc_id"))
+        .groupBy(col("component"))
+        .agg(
+          max_by(col("doc_id"),
+            col("q_rank") * lit(17592186044416L) - col("doc_id"))
+            .as("rep_doc"),
+          count(lit(1)).as("n_members"),
+          max(col("q_rank")).as("rep_score"))
+        .orderBy(col("component"))
     }),
 
     // CONTAINMENT near-dup — the asymmetric complement of Jaccard:
@@ -671,6 +710,42 @@ object DedupPack extends QueryPack {
         |  comp.node = comp.component AS is_rep
         |FROM comp JOIN sizes USING (component)
         |ORDER BY doc_id""".stripMargin,
+
+    // same components + t_quality's CASE ladder as an integer rank;
+    // arg_max on the identical packed (q_rank, -doc_id) key
+    "d_rep_quality" ->
+      s"""WITH RECURSIVE
+        |p AS ($exactJaccardSubquery),
+        |edges AS (
+        |  SELECT ida AS s, idb AS d FROM p
+        |  UNION SELECT idb AS s, ida AS d FROM p),
+        |walk(node, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT walk.node, e.d FROM walk JOIN edges e ON e.s = walk.r),
+        |comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node),
+        |q AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(w) AS n_tokens,
+        |    list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) AS avg_len,
+        |    len(list_filter(w, x -> x IN ('the', 'a'))) * 1.0 / len(w) AS stop_r,
+        |    len(list_filter(w, x -> len(x) <= 2)) * 1.0 / len(w) AS short_r
+        |  FROM q),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN stop_r > 0.15 OR short_r > 0.2 THEN 0
+        |         WHEN n_tokens BETWEEN 20 AND 200 AND avg_len >= 4.0 THEN 2
+        |         ELSE 1 END AS q_rank
+        |  FROM m),
+        |j AS (
+        |  SELECT comp.component, comp.node AS doc_id, r.q_rank
+        |  FROM comp JOIN r ON r.doc_id = comp.node)
+        |SELECT component,
+        |  CAST(arg_max(doc_id, q_rank * 17592186044416 - doc_id) AS BIGINT)
+        |    AS rep_doc,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(max(q_rank) AS BIGINT) AS rep_score
+        |FROM j GROUP BY component ORDER BY component""".stripMargin,
 
     // all-pairs exact cosine over the planted corpus + recursive-CTE
     // components — the brute-force twin of the banded Spark path

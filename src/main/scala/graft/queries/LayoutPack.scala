@@ -144,7 +144,7 @@ object LayoutPack extends QueryPack {
         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
         |      AND 1 PRECEDING), 0) AS off
         |  FROM documents)
-        |SELECT source, off // 4000 AS bin,
+        |SELECT source, CAST(off // 4000 AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n_files,
         |  CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc

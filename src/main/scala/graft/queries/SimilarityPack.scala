@@ -41,11 +41,71 @@ object SimilarityPack extends QueryPack {
 
   private val dot = dotCols("qv", "v")
 
+  /** lcm(61..70): the common denominator that makes reciprocal-rank
+    * fusion INTEGER-exact. RRF(k=60) sums 1/(60+rank) over rankers
+    * with rank in 1..10, so every term times this scale is an exact
+    * int64 (max total 2 * L/61 ~ 4.7e12) — both engines order fused
+    * candidates on identical integers, no float summation order, no
+    * rank flapping at the hash. */
+  private[queries] val RrfScale = 142813628717760L
+
+  /** Reciprocal-rank fusion (k=60) of two rankers given per-pair
+    * scores (qid, nid, cos, ip): rank each signal with deterministic
+    * nid tie-break, keep the union of the two top-10 lists, score by
+    * the scaled-integer RRF sum (a ranker outside its top-10
+    * contributes 0 — standard RRF truncation), emit fused top-10.
+    * Three windows over ONE qid partitioning — a single exchange. */
+  private[queries] def rrfFuse(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    val wb = Window.partitionBy(col("qid"))
+      .orderBy(col("ip").desc, col("nid").asc)
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_scaled").desc, col("nid").asc)
+    pairs
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .filter(col("ra") <= 10 || col("rb") <= 10)
+      .withColumn("rrf_scaled",
+        when(col("ra") <= 10, expr(s"$RrfScale div (60 + ra)"))
+          .otherwise(lit(0L)) +
+        when(col("rb") <= 10, expr(s"$RrfScale div (60 + rb)"))
+          .otherwise(lit(0L)))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("nid"), col("rrf_scaled"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-10 for 10 query vectors: broadcast the
     // queries against the corpus, rank per query with deterministic
     // tie-break. Linear in corpus size per query — the exact baseline.
     "s_knn_brute" -> ((s, dir) => bruteTopK(vecs(s, dir))),
+
+    // HYBRID retrieval via reciprocal-rank fusion — the production
+    // retrieval shape (BM25+vector, or here: two vector signals).
+    // Ranker A = cosine (normalized, direction-only relevance),
+    // ranker B = raw inner product (MIPS — magnitude-weighted), both
+    // exact over the same corpus, computed in ONE pass over the pair
+    // set (the dot product is shared; cosine just divides by norms).
+    // RRF with k=60 on integer-exact scaled arithmetic (see RrfScale).
+    // HybridRrfSpec pins that fusion beats either ranker alone on a
+    // planted-neighbor fixture. Scale: same broadcast-queries x
+    // corpus-scan shape as s_knn_brute, one qid exchange for all
+    // three windows.
+    "s_hybrid_rrf" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val pairs = broadcast(q).crossJoin(e)
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (dot / (col("qn") * col("nrm"))).as("cos"), dot.as("ip"))
+      rrfFuse(pairs)
+    }),
 
     // Metadata-FILTERED vector search — same-class top-5 per query:
     // the retrieval shape every production vector store must support
@@ -500,6 +560,34 @@ object SimilarityPack extends QueryPack {
         |  FROM p)
         |SELECT qid, nid, round(c, 4) AS cos, rk FROM r
         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // identical rankers, ranks, truncation, and integer RRF scale as
+    // the Spark side; `//` keeps every term in int64
+    "s_hybrid_rrf" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |p AS (
+        |  SELECT qid, n.vec_id AS nid,
+        |    list_dot_product(qv, n.v) / (qn * n.nrm) AS c,
+        |    list_dot_product(qv, n.v) AS ip
+        |  FROM q, n WHERE n.vec_id <> qid),
+        |r AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS ra,
+        |  row_number() OVER (PARTITION BY qid ORDER BY ip DESC, nid ASC) AS rb
+        |  FROM p),
+        |f AS (SELECT qid, nid,
+        |  (CASE WHEN ra <= 10 THEN 142813628717760 // (60 + ra) ELSE 0 END) +
+        |  (CASE WHEN rb <= 10 THEN 142813628717760 // (60 + rb) ELSE 0 END)
+        |    AS rrf_scaled
+        |  FROM r WHERE ra <= 10 OR rb <= 10),
+        |g AS (SELECT qid, nid, rrf_scaled,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf_scaled DESC, nid ASC) AS rk
+        |  FROM f)
+        |SELECT qid, nid, CAST(rrf_scaled AS BIGINT) AS rrf_scaled, rk
+        |FROM g WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     "s_knn_mips" ->
       """WITH e AS (

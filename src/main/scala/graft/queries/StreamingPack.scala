@@ -46,6 +46,18 @@ object StreamingPack extends QueryPack {
           col("n_events"), col("sum_value"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // REAL StreamExecution rows (graft.streaming.StreamExec): the
+    // Spark side runs through an actual micro-batch readStream loop —
+    // 4 file-source batches, state carried across them, watermark
+    // timeouts flushed by sentinel batches — and the FINAL streamed
+    // state is checked against the SAME oracle SQL as the batch twins
+    // above. Closes the "streaming correctness is spec-only" gap.
+    "st_tumbling_stream_exec" -> ((s, dir) =>
+      graft.streaming.StreamExec.tumblingViaStream(s, dir)),
+
+    "st_sessions_stream_exec" -> ((s, dir) =>
+      graft.streaming.StreamExec.sessionsViaStream(s, dir)),
+
     // AS-OF join via the custom LogicalPlan + SparkStrategy +
     // SparkPlan operator (graft.plans.AsOfJoin): each event joined to
     // the user's latest strictly-earlier event. Oracle: DuckDB's
@@ -373,6 +385,29 @@ object StreamingPack extends QueryPack {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical oracle as the batch twin — the point: the streamed
+    // final state must equal the batch answer exactly
+    "st_tumbling_stream_exec" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st_sessions_stream_exec" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     // each event belongs to the 2-day windows starting at its day and
     // the day before (epoch-aligned slide = plain date_trunc)

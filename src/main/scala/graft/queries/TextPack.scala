@@ -83,6 +83,26 @@ object TextPack extends QueryPack {
           .as("contaminated"))
   }
 
+  /** (doc_id, q_rank) — t_quality's bucket as an integer rank
+    * (low=0, medium=1, high=2), the election key for quality-aware
+    * duplicate-representative selection (DedupPack.d_rep_quality).
+    * Shared by construction with t_quality's CASE ladder so a
+    * threshold tweak cannot desynchronize the two. Pure projection,
+    * no shuffle. */
+  def qualityRank(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val avgLen = expr(
+      "aggregate(transform(split(text, ' '), w -> length(w)), 0, (acc, x) -> acc + x)")
+      .cast("double") / n
+    val stopR = ratioIn(toks, stopwords)
+    val shortR = size(filter(toks, w => length(w) <= 2)) / n
+    docs.select(col("doc_id"),
+      when(stopR > 0.15 || shortR > 0.2, 0L)
+        .when(n.between(20, 200) && avgLen >= 4.0, 2L)
+        .otherwise(1L).as("q_rank"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + distinct tokens + a BPE-ish
     // regex token count. Pure projection — scales linearly.

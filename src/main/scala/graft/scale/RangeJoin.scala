@@ -71,18 +71,29 @@ object RangeJoin {
                       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val w = bucketSeconds * 1000000L // micros
-    // half-open: the last occupied bucket is (end - 1) div w; requires
-    // end > start, which half-open non-empty intervals guarantee
+    // half-open: the last occupied bucket is (end - 1) div w. Empty
+    // intervals (end <= start) contain no point, so they are filtered
+    // out here — ENFORCING the half-open precondition rather than
+    // documenting it (an unfiltered [x,x) would both explode a
+    // boundary-crossing descending sequence and spuriously match as
+    // the point x). `__sbucket` is the interval-start's bucket,
+    // resolved per-side BEFORE the join so callers may share column
+    // names across a and b without ambiguous-reference errors.
     def binned(df: DataFrame, s: String, e: String): DataFrame =
-      df.withColumn("__bucket", explode(expr(
-        s"sequence(unix_micros($s) div $w, (unix_micros($e) - 1) div $w)")))
+      df.filter(expr(s"unix_micros($e) > unix_micros($s)"))
+        .withColumn("__sbucket", expr(s"unix_micros($s) div $w"))
+        .withColumn("__bucket", explode(expr(
+          s"sequence(unix_micros($s) div $w, (unix_micros($e) - 1) div $w)")))
     val a2 = binned(a, aStart, aEnd)
     val b2 = binned(b, bStart, bEnd)
+    // exactly-once bucket = bucket of max(aStart, bStart); div by a
+    // positive width is monotonic, so greatest() commutes with it and
+    // the per-side __sbucket columns suffice — no cross-plan expr().
     a2.join(b2,
         a2("__bucket") === b2("__bucket") &&
           a2(aStart) < b2(bEnd) && b2(bStart) < a2(aEnd) &&
-          expr(s"greatest(unix_micros($aStart), unix_micros($bStart)) div $w") ===
-            a2("__bucket"))
+          greatest(a2("__sbucket"), b2("__sbucket")) === a2("__bucket"))
       .drop(a2("__bucket")).drop(b2("__bucket"))
+      .drop(a2("__sbucket")).drop(b2("__sbucket"))
   }
 }

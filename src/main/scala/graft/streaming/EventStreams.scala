@@ -219,7 +219,20 @@ object EventStreams {
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long)
 
+  /** Session gap in MICROSECONDS: state carries micros, not millis —
+    * `Timestamp.getTime` truncates to ms, and an ms-truncated
+    * session_start would hash-mismatch the oracle's microsecond
+    * min(ts) (same lesson as runningUserEwma's ordering fix). */
+  private val SessionGapUs = 30L * 60 * 1000 * 1000
   private val SessionGapMs = 30L * 60 * 1000
+
+  private def toUs(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def usToTs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
   /** Sessionization via flatMapGroupsWithState + EventTimeTimeout —
     * the arbitrary-stateful twin of `userSessions` that EMITS each
@@ -243,19 +256,19 @@ object EventStreams {
         (uid: Long, batch: Iterator[SessionEvent],
          state: GroupState[OpenSession]) =>
           def closed(s: OpenSession) = ClosedSession(uid,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
+            usToTs(s.start), usToTs(s.end), s.n)
           if (state.hasTimedOut) {
             val out = state.getOption.map(closed).toList
             state.remove()
             out.iterator
           } else {
-            val times = batch.map(_.ts.getTime).toArray.sorted
+            val times = batch.map(e => toUs(e.ts)).toArray.sorted
             var open = state.getOption.orNull
             val out = List.newBuilder[ClosedSession]
             times.foreach { t =>
               open match {
                 case null => open = OpenSession(t, t, 1)
-                case s if t - s.end <= SessionGapMs =>
+                case s if t - s.end <= SessionGapUs =>
                   open = OpenSession(s.start, math.max(s.end, t), s.n + 1)
                 case s =>
                   out += closed(s)
@@ -264,7 +277,11 @@ object EventStreams {
             }
             if (open != null) {
               state.update(open)
-              state.setTimeoutTimestamp(open.end + SessionGapMs)
+              // timeout API is ms; ceil so the timeout never precedes
+              // end+gap (an early fire is still safe — the watermark
+              // lags far behind — but keep the contract exact)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(open.end + 999, 1000) + SessionGapMs)
             }
             out.result().iterator
           }

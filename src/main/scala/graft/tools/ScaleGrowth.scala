@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-growth experiment (VERDICT r5 task 4): measure, instead of
+  * argue, how the heavy operators grow from 1x to 10x data.
+  *
+  * Generates a 10x corpus (50k docs / 20k embeddings / 1.5M orders —
+  * SyntheticCorpus, same shape as the driver fixture), then times the
+  * dedup trio, d_cluster, one ANN query, and the graph trio at both
+  * scales (repeats, min taken — the load-variance methodology in
+  * BASELINE.md), and counts the MinHash banded candidate pairs at
+  * each scale — the quantity that must grow sub-quadratically for
+  * the 100 TB story to hold.
+  *
+  * Usage: runMain graft.tools.ScaleGrowth <refDir> <outJson>
+  * (refDir = /root/testdata/sf0.1). Writes one JSON line; SCALE.md
+  * records the table.
+  */
+object ScaleGrowth {
+  def main(args: Array[String]): Unit = {
+    val refDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outJson = if (args.length > 1) args(1) else "/tmp/graft_scale_growth.json"
+    val repeats = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+
+        graft.plans.Top1WindowToMaxBy :+ graft.expr.CollapseAccentFold
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+
+    val bigDir = "/tmp/graft_scale10x"
+    System.err.println(s"[scale] generating 10x corpus under $bigDir ...")
+    SyntheticCorpus.writeCorpus(spark, refDir, bigDir, scale = 10)
+    // 1x twin from the SAME generator so the comparison isolates
+    // scale, not generator-vs-driver distribution differences
+    val oneDir = "/tmp/graft_scale1x"
+    SyntheticCorpus.writeCorpus(spark, refDir, oneDir, scale = 1)
+
+    val queries = Seq("d_minhash_lsh", "d_simhash", "d_ngram_jaccard",
+      "d_cluster", "s_knn_brute", "g_pagerank", "g_sssp_hops",
+      "g_triangle_count")
+
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    def timeAll(dir: String): Seq[(String, Double, Long)] =
+      queries.map { name =>
+        var best = Double.MaxValue
+        var rows = 0L
+        (1 to repeats).foreach { _ =>
+          val t0 = System.nanoTime()
+          rows = graft.SparkEntry.queries(name)(spark, dir).count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          graft.scale.CacheRegistry.drain()
+        }
+        System.err.println(f"[scale] $dir%-24s $name%-18s ${ms(best)}%8s s ($rows rows)")
+        (name, best, rows)
+      }
+
+    def candidates(dir: String): Long =
+      graft.queries.DedupPack.bandedCandidates(spark, dir).count()
+
+    val t1 = timeAll(oneDir)
+    val t10 = timeAll(bigDir)
+    val c1 = candidates(oneDir)
+    val c10 = candidates(bigDir)
+
+    val per = queries.map { q =>
+      val a = t1.find(_._1 == q).get
+      val b = t10.find(_._1 == q).get
+      s""""$q":{"t1":${ms(a._2)},"t10":${ms(b._2)},"growth":${ms(b._2 / a._2)},"rows1":${a._3},"rows10":${b._3}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_growth","cand_pairs_1x":$c1,"cand_pairs_10x":$c10,"cand_growth":${ms(c10.toDouble / c1)},"queries":$per}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+    spark.stop()
+  }
+}

@@ -228,9 +228,11 @@ class PlanShapeSpec extends SparkSpec {
     // to avoid. Value-invisible (results stay right), so it is pinned
     // at the plan level like the window invariant below. Allowlisted
     // sites are each bounded or deliberate:
-    //  - s_knn_brute/s_knn_mips/s_knn_filtered/d_embed_cos: the LABELED
-    //    exact baselines — broadcast query side is ~10 rows by
-    //    construction; their sketch twins are the scale path
+    //  - s_knn_brute/s_knn_mips/s_knn_filtered/d_embed_cos/
+    //    s_hybrid_rrf: the LABELED exact baselines — broadcast query
+    //    side is ~10 rows by construction; their sketch twins are the
+    //    scale path (s_hybrid_rrf fuses two exact rankers over the
+    //    same bounded query set)
     //  - s_knn_lsh/ivf/pq: recall-invariant rows that RUN the brute
     //    baseline to score the ANN path against it
     //  - a8_winsorize/a9_zscore/dq_anomaly/sql_q11_important/
@@ -247,6 +249,7 @@ class PlanShapeSpec extends SparkSpec {
     //    DISTINCT-name vocabulary (Heaps'-law bounded), not the corpus
     val allow = Set(
       "s_knn_brute", "s_knn_mips", "s_knn_filtered", "d_embed_cos",
+      "s_hybrid_rrf",
       "s_knn_lsh", "s_knn_ivf", "s_knn_pq", "s_quantize", "s_label_centroid",
       "a8_winsorize", "a9_zscore", "dq_anomaly", "j12_bloom_join",
       "sql_q11_important", "sql_scalar_max_qty", "d_pipeline", "t_pipeline",

@@ -101,6 +101,31 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlap: empty intervals match nothing; shared column names resolve") {
+    import spark.implicits._
+    // both frames deliberately share the column names start/end — the
+    // per-side __sbucket resolution must not throw ambiguous-reference
+    def iv(rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "s", "e").select(col("id"),
+        col("s").cast("timestamp").as("start"),
+        col("e").cast("timestamp").as("end"))
+    val a = iv(Seq(
+      (1L, "2024-01-01 00:30:00", "2024-01-01 00:30:00"), // empty, inside b10
+      (2L, "2024-01-01 00:10:00", "2024-01-01 00:50:00"))) // real overlap
+    val b = iv(Seq(
+      (10L, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+      (11L, "2024-01-01 02:00:00", "2024-01-01 02:00:00"))) // empty
+    val got = RangeJoin.intervalOverlap(
+        a.select(col("id").as("a_id"), col("start"), col("end")),
+        b.select(col("id").as("b_id"), col("start"), col("end")),
+        "start", "end", "start", "end", 600)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // the empty interval [00:30, 00:30) sits strictly inside b10 but
+    // contains no point — it must NOT be emitted
+    assert(got == Seq((2L, 10L)), got.toString)
+  }
+
   test("intervalOverlap plans as an equi-join on the bucket key") {
     import spark.implicits._
     val a = Seq((1L, "2024-01-01 00:00:00", "2024-01-01 01:00:00"))

@@ -26,6 +26,55 @@ def norm(v):
     return (1, str(v))
 
 
+def type_family(t):
+    """Coarse arrow type family, mirroring what the driver's
+    type-sensitive hash distinguishes. Round-5 lesson: stringified
+    values hide decimal128-vs-int64 divergence (ly_compaction), so the
+    local gate must compare *types*, not just values."""
+    import pyarrow.types as pt
+    if pt.is_decimal(t):
+        return "decimal"        # always a hard failure, either side
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return "list<%s>" % type_family(t.value_type)
+    return str(t)
+
+
+def type_check(name, spark_tbl, duck):
+    """Return an error string if column type families diverge or either
+    side emits a decimal column; None when clean."""
+    s_types = {f.name: f.type for f in spark_tbl.schema}
+    d_types = {f.name: f.type for f in duck.schema}
+    for side, types in (("spark", s_types), ("duck", d_types)):
+        for c, t in types.items():
+            fam = type_family(t)
+            if "decimal" in fam:
+                return (f"DECIMAL_COLUMN {side}.{c} is {t} — cast it "
+                        f"(oracle: CAST(... AS BIGINT/DOUBLE)); the "
+                        f"driver hash is type-sensitive")
+    for c in s_types:
+        if c not in d_types:
+            continue            # name mismatch reported separately
+        sf, df = type_family(s_types[c]), type_family(d_types[c])
+        if sf != df:
+            return (f"TYPE_MISMATCH col={c} spark={s_types[c]}({sf}) "
+                    f"duck={d_types[c]}({df})")
+    return None
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -57,6 +106,10 @@ def main(sf_dir, out_dir):
         d_cols = sorted(duck.column_names)
         if s_cols != d_cols:
             results[name] = f"SCHEMA_MISMATCH spark={s_cols} duck={d_cols}"
+            continue
+        terr = type_check(name, spark_tbl, duck)
+        if terr:
+            results[name] = terr
             continue
         s_rows = sorted(tuple(norm(v) for v in row)
                         for row in zip(*[spark_tbl.column(c).to_pylist() for c in s_cols]))
