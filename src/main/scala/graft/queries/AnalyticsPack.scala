@@ -351,6 +351,35 @@ object AnalyticsPack extends QueryPack {
       out
     }),
 
+    // APPROXIMATE triangle census — the budget twin SCALE.md's growth
+    // table calls for (exact wedge-closing measured 8x at 10x edges;
+    // its O(m^1.5) bound is the one super-linear grower). DOULION
+    // (Tsourakakis et al., KDD'09): keep each edge independently with
+    // p = 3/10, count triangles EXACTLY on the sample (same
+    // degree-oriented operator), scale by 1/p^3 = 1000/27 — unbiased,
+    // rel. std ~ 1/sqrt(p^3 T) (~1% on this fixture's 400k
+    // triangles); wedge work drops by p^1.5. The sample is decided by
+    // DETERMINISTIC integer arithmetic ((a*2654435761 + b*40503) mod
+    // 10 < 3) that BOTH engines evaluate bit-identically in int64, so
+    // unlike hash-seeded sketches this approximate row is fully
+    // hash-gated, and the estimate is emitted as an exact integer
+    // division (t * 1000 div 27). At 100 TB swap the multiplicative
+    // mix for a shared 64-bit hash before ids approach overflow.
+    // TrianglesSpec pins estimate-vs-exact accuracy (< 10% here).
+    "g_triangle_approx" -> ((s, dir) => {
+      val edges = coPairs(s, dir).select(col("pa").as("a"), col("pb").as("b"))
+      val sampled = edges.filter(
+        pmod(col("a") * lit(2654435761L) + col("b") * lit(40503L),
+          lit(10L)) < 3)
+      val (out, handles) = graft.scale.Triangles.statsTracked(sampled)
+      graft.scale.CacheRegistry.track(handles)
+      out.crossJoin(edges.agg(count(lit(1)).as("n_edges_full")))
+        .select(col("n_edges_full"),
+          col("n_edges").as("n_sampled_edges"),
+          col("n_triangles").as("t_sampled"),
+          expr("n_triangles * 1000 div 27").as("t_est"))
+    }),
+
     // Single-source BFS hop histogram over the symmetrized
     // customer<->supplier purchase graph (g_pagerank's parity-encoded
     // node space), seeded at the smallest customer node, 4 rounds;
@@ -804,6 +833,28 @@ object AnalyticsPack extends QueryPack {
         |  CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
         |    THEN round(3.0 * t / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
         |    ELSE 0.0 END AS clustering
+        |FROM tri""".stripMargin,
+
+    // same deterministic sample + 3-way count + exact integer scaling
+    "g_triangle_approx" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey),
+        |s AS (
+        |  SELECT a, b FROM e
+        |  WHERE (a * 2654435761 + b * 40503) % 10 < 3),
+        |tri AS (
+        |  SELECT count(*) AS t
+        |  FROM s e1
+        |  JOIN s e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN s e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges_full,
+        |  CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sampled_edges,
+        |  CAST(t AS BIGINT) AS t_sampled,
+        |  CAST(t * 1000 // 27 AS BIGINT) AS t_est
         |FROM tri""".stripMargin,
 
     "g_sssp_hops" ->

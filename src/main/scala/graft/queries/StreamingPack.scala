@@ -58,6 +58,9 @@ object StreamingPack extends QueryPack {
     "st_sessions_stream_exec" -> ((s, dir) =>
       graft.streaming.StreamExec.sessionsViaStream(s, dir)),
 
+    "st_cdc_stream_exec" -> ((s, dir) =>
+      graft.streaming.StreamExec.cdcViaStream(s, dir)),
+
     // AS-OF join via the custom LogicalPlan + SparkStrategy +
     // SparkPlan operator (graft.plans.AsOfJoin): each event joined to
     // the user's latest strictly-earlier event. Oracle: DuckDB's
@@ -392,6 +395,24 @@ object StreamingPack extends QueryPack {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the j13_cdc_apply oracle verbatim: the streamed upsert sink's
+    // final per-key rows must equal the batch CDC compaction
+    "st_cdc_stream_exec" ->
+      """WITH log AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value, ts, event_id
+        |  FROM events),
+        |ranked AS (
+        |  SELECT user_id, op, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        |  FROM log)
+        |SELECT user_id, n_ops, round(value, 2) AS last_value
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
 
     "st_sessions_stream_exec" ->
       """WITH g AS (

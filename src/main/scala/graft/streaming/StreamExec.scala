@@ -137,6 +137,45 @@ object StreamExec {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** CDC compaction computed BY A STREAM: cdcFinalState's
+    * mapGroupsWithState keeps each key's latest change (full-precision
+    * (ts, event_id) ordering key in state, so an older row arriving in
+    * a later batch cannot overwrite) and RESTATES the key's final row
+    * whenever a batch touches it (update mode). The sink's
+    * last-write-per-key IS the compacted table — modeled here by a
+    * keyed upsert map that foreachBatch overwrites per batch, exactly
+    * what a Delta/JDBC MERGE sink does. Bounded: O(#users) entries.
+    * Gated against the SAME oracle as the batch j13_cdc_apply. */
+  def cdcViaStream(s: SparkSession, sfDir: String): DataFrame = {
+    val stream = stagedStream(s, stagedDir(s, sfDir))
+    val updates = EventStreams.cdcFinalState(s, stream)
+    val state = new java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, (Long, Boolean, Double)]()
+    val q = updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EventStreams.CdcRow], _: Long) =>
+        // one row per touched key per batch; later batches overwrite —
+        // the upsert contract of a real CDC sink
+        ds.collect().foreach { r =>
+          state.put(r.user_id, (r.n_ops, r.deleted, r.last_value))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val rows = state.asScala.toSeq
+      .map { case (uid, (n, del, v)) => (uid.longValue(), n, del, v) }
+    import s.implicits._
+    rows.toDF("user_id", "n_ops", "deleted", "value")
+      .filter(col("user_id") =!= SentinelUser && !col("deleted"))
+      .select(col("user_id"), col("n_ops"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** User sessions computed BY A STREAM: the flatMapGroupsWithState
     * sessionizer (append mode, EventTimeTimeout) over the staged
     * micro-batches — sessions that straddle the slice boundary resume

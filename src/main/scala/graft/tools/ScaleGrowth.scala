@@ -51,18 +51,26 @@ object ScaleGrowth {
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-    def timeAll(dir: String): Seq[(String, Double, Long)] =
+    // (name, cold, warm, rows): the COLD first run pays the memoized
+    // base builds (hashArrays / verified pairs / coPairs are
+    // deliberately session-lifetime persists) — that is the honest
+    // growth number; warm = min of the later repeats, the incremental
+    // cost once the bases exist (what a multi-query session pays).
+    def timeAll(dir: String): Seq[(String, Double, Double, Long)] =
       queries.map { name =>
-        var best = Double.MaxValue
+        var cold = 0.0
+        var warm = Double.MaxValue
         var rows = 0L
-        (1 to repeats).foreach { _ =>
+        (1 to repeats).foreach { i =>
           val t0 = System.nanoTime()
           rows = graft.SparkEntry.queries(name)(spark, dir).count()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          val t = (System.nanoTime() - t0) / 1e9
+          if (i == 1) cold = t else warm = math.min(warm, t)
           graft.scale.CacheRegistry.drain()
         }
-        System.err.println(f"[scale] $dir%-24s $name%-18s ${ms(best)}%8s s ($rows rows)")
-        (name, best, rows)
+        if (repeats == 1) warm = cold
+        System.err.println(f"[scale] $dir%-24s $name%-18s cold ${ms(cold)}%8s s warm ${ms(warm)}%8s s ($rows rows)")
+        (name, cold, warm, rows)
       }
 
     def candidates(dir: String): Long =
@@ -76,7 +84,7 @@ object ScaleGrowth {
     val per = queries.map { q =>
       val a = t1.find(_._1 == q).get
       val b = t10.find(_._1 == q).get
-      s""""$q":{"t1":${ms(a._2)},"t10":${ms(b._2)},"growth":${ms(b._2 / a._2)},"rows1":${a._3},"rows10":${b._3}}"""
+      s""""$q":{"cold1":${ms(a._2)},"cold10":${ms(b._2)},"growth":${ms(b._2 / a._2)},"warm1":${ms(a._3)},"warm10":${ms(b._3)},"rows1":${a._4},"rows10":${b._4}}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_growth","cand_pairs_1x":$c1,"cand_pairs_10x":$c10,"cand_growth":${ms(c10.toDouble / c1)},"queries":$per}"""

@@ -241,10 +241,12 @@ class PlanShapeSpec extends SparkSpec {
     //    crossed back into the projection — O(n), not O(n*m)
     //  - j12_bloom_join: the 1-row bitset rides a BNLJ by design
     //    (plan pinned in its own test above)
-    //  - a7_profile/dq_audit/g_hll_merge/g_triangle_count/t_tfidf:
-    //    crosses of 1-row aggregate frames (profile passes, check
-    //    tallies, sketch-vs-exact, census stats, the IDF doc count) —
-    //    1 x 1 or n x 1 with a literal row, never n x m
+    //  - a7_profile/dq_audit/g_hll_merge/g_triangle_count/
+    //    g_triangle_approx/t_tfidf: crosses of 1-row aggregate frames
+    //    (profile passes, check tallies, sketch-vs-exact, census
+    //    stats, the full-edge count next to the sampled census, the
+    //    IDF doc count) — 1 x 1 or n x 1 with a literal row, never
+    //    n x m
     //  - d_fuzzy_names: the length-band non-equi join runs on the
     //    DISTINCT-name vocabulary (Heaps'-law bounded), not the corpus
     val allow = Set(
@@ -256,6 +258,7 @@ class PlanShapeSpec extends SparkSpec {
       "t_decontam", "t_budget", "t_split", "d_semdedup", "d_cluster",
       "mm_decode", "mm_embed", "mm_frame_sample", "mm_resize",
       "a7_profile", "dq_audit", "g_hll_merge", "g_triangle_count",
+      "g_triangle_approx",
       "t_tfidf", "d_fuzzy_names")
     def loops(p: SparkPlan): Seq[SparkPlan] = {
       val here = p match {

@@ -62,4 +62,25 @@ class TrianglesSpec extends SparkSpec {
       assert((gn, gm, gw, gt) == (bn, bm, bw, bt), s"trial $trial")
     }
   }
+
+  test("DOULION sampled estimate lands within 10% of exact (g_triangle_approx)") {
+    // the gated row's accuracy claim, pinned against the live fixture:
+    // p = 0.3 on a 126k-triangle graph gives rel. std ~ 1.7%, so 10%
+    // is a ~6-sigma band — deterministic sample, so this cannot flake
+    val dir = sf("sf0.001")
+    val approx = graft.queries.AnalyticsPack
+      .queries("g_triangle_approx")(spark, dir).head()
+    graft.scale.CacheRegistry.drain()
+    val exact = graft.queries.AnalyticsPack
+      .queries("g_triangle_count")(spark, dir).head().getAs[Long]("n_triangles")
+    graft.scale.CacheRegistry.drain()
+    val est = approx.getAs[Long]("t_est")
+    val relErr = math.abs(est - exact).toDouble / exact
+    assert(relErr < 0.10,
+      f"estimate $est vs exact $exact: rel err $relErr%.3f")
+    // the sample really is a ~30% edge subset
+    val full = approx.getAs[Long]("n_edges_full")
+    val sampled = approx.getAs[Long]("n_sampled_edges")
+    assert(sampled > full / 5 && sampled < full / 2, s"$sampled of $full")
+  }
 }
