@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (dev only; the driver passes 2): comma-separated
+    // query names — dump just those for fast oracle iteration
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,7 +42,9 @@ object Verify {
     // count so selfcheck can assert #dumps + #errors == #queries).
     // Round 4 shipped "152/152 green" while 8 queries silently crashed.
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -81,7 +87,9 @@ object Verify {
     import scala.jdk.CollectionConverters._
     val errJson = errors.asScala.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }
-      .mkString("{\"expected\": " + SparkEntry.queries.size +
+      .mkString("{\"expected\": " +
+        only.map(f => SparkEntry.queries.keySet.count(f.contains))
+          .getOrElse(SparkEntry.queries.size) +
         ", \"errors\": {", ",", "}}")
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     if (!errors.isEmpty)

@@ -47,6 +47,25 @@ object LayoutPack extends QueryPack {
     // win. Plan: narrow projection (bit ops) + one hash agg on the
     // 6-bit bucket key; at 100 TB the same z column feeds
     // repartitionByRange + per-file writes.
+    // ORC round-trip — the second columnar format next to parquet
+    // (SURVEY §2.2 extension; Spark's built-in ORC source/sink): write
+    // `part` to ORC, read it back, and aggregate THROUGH the copy;
+    // the oracle runs the same aggregate on the original parquet, so
+    // equality gates the full write→read fidelity (ints, doubles,
+    // strings) plus the filter running against the ORC scan
+    // (OrcRoundtripSpec pins the pushed filter + pruned read schema).
+    // Money is summed in integer cents — sum order must not matter.
+    "ly_orc_roundtrip" -> ((s, dir) => {
+      s.read.orc(orcCopyOfPart(s, dir))
+        .filter(col("p_size") > 25)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("p_retailprice") * 100).cast("long")).as("cents"),
+          sum(col("p_size")).cast("long").as("sz"),
+          min(col("p_name")).as("first_name"))
+        .orderBy(col("p_brand"))
+    }),
+
     "ly_zorder" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .select(pmod(col("l_partkey"), lit(1024)).as("x"),
@@ -127,7 +146,32 @@ object LayoutPack extends QueryPack {
     s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))"
   }.mkString(" | ")
 
+  /** One ORC copy of `part` per (session, sfDir), reused across
+    * repeated runs in a harness (Bench repeats; TimeQuery loops). */
+  private val orcCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[queries] def orcCopyOfPart(s: SparkSession, dir: String): String = {
+    orcCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    orcCache.computeIfAbsent((s, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_orc_part_").toString
+      Tables(s, dir, "part").write.mode("overwrite").orc(out)
+      out
+    })
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    // the oracle reads the ORIGINAL parquet — equality proves the ORC
+    // round-trip preserved every value the aggregate touches
+    "ly_orc_roundtrip" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(sum(p_size) AS BIGINT) AS sz,
+        |  min(p_name) AS first_name
+        |FROM part WHERE p_size > 25 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ly_zorder" ->
       s"""WITH b AS (
          |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),

@@ -61,6 +61,20 @@ object StreamingPack extends QueryPack {
     "st_cdc_stream_exec" -> ((s, dir) =>
       graft.streaming.StreamExec.cdcViaStream(s, dir)),
 
+    // Exactly-once dedup of an at-least-once stream: the staged input
+    // carries injected re-sends and replays (StreamExec.dedupStagedDir)
+    // and dropDuplicatesWithinWatermark must reconstruct the clean
+    // corpus exactly — gated per type on count AND id-sum vs the
+    // ORIGINAL table, so the faults are provably removed.
+    "st_dedup_stream_exec" -> ((s, dir) =>
+      graft.streaming.StreamExec.dedupViaStream(s, dir)),
+
+    // Stream-STREAM join through a real StreamExecution: matches
+    // across micro-batch boundaries come out of watermarked join
+    // state; final match set must equal the batch self-join oracle.
+    "st_join_stream_exec" -> ((s, dir) =>
+      graft.streaming.StreamExec.joinViaStream(s, dir)),
+
     // AS-OF join via the custom LogicalPlan + SparkStrategy +
     // SparkPlan operator (graft.plans.AsOfJoin): each event joined to
     // the user's latest strictly-earlier event. Oracle: DuckDB's
@@ -413,6 +427,24 @@ object StreamingPack extends QueryPack {
         |SELECT user_id, n_ops, round(value, 2) AS last_value
         |FROM ranked WHERE rn = 1 AND op <> 'D'
         |ORDER BY user_id""".stripMargin,
+
+    // the ORIGINAL (fault-free) census — the streamed dedup of the
+    // fault-injected staging must land exactly back on it; id_sum
+    // rules out a re-send surviving in place of its original
+    "st_dedup_stream_exec" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the batch twin of correlatedPairs: same-user event pairs with r
+    // inside [l.ts, l.ts + 10 min], inclusive BETWEEN on both ends
+    "st_join_stream_exec" ->
+      """SELECT l.user_id, l.event_id AS eid_a, r.event_id AS eid_b
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts BETWEEN l.ts AND l.ts + INTERVAL 10 MINUTE
+        | AND l.event_id < r.event_id
+        |ORDER BY eid_a, eid_b""".stripMargin,
 
     "st_sessions_stream_exec" ->
       """WITH g AS (

@@ -176,6 +176,128 @@ object StreamExec {
       .orderBy(col("user_id"))
   }
 
+  /** Staged dirs for the DEDUP stream: same slicing as [[stagedDir]]
+    * but with at-least-once delivery FAULTS injected — the input a
+    * real ingest pipeline actually sees (producer retries, partition
+    * handoff replays). Batches, in mtime order:
+    *  - b0: slice 0 (ts < mid) PLUS a re-emission of its last
+    *    10 minutes — intra-batch duplicates;
+    *  - b1: a replay of slice 0's last 30 minutes — CROSS-batch
+    *    duplicates whose originals sit in b0's dedup state (their ts
+    *    is within the 1-hour watermark horizon, so the state that
+    *    drops them is still live);
+    *  - b2: slice 1 (ts >= mid), clean.
+    * No sentinels: dropDuplicatesWithinWatermark emits first-seen rows
+    * in the batch they arrive (it is not an aggregation — nothing
+    * waits on the watermark to close), so the stream is fully drained
+    * by AvailableNow without a flush. Kept separate from [[stagedDir]]
+    * because injecting duplicates there would corrupt the tumbling /
+    * CDC execs' inputs. */
+  private val dedupStagedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Path]()
+
+  private[streaming] def dedupStagedDir(s: SparkSession, sfDir: String): Path = {
+    dedupStagedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    dedupStagedCache.computeIfAbsent((s, sfDir), _ => {
+      val ev = Tables.events(s, sfDir)
+      val Row(minTs: java.sql.Timestamp, maxTs: java.sql.Timestamp) =
+        ev.agg(min(col("ts")), max(col("ts"))).head()
+      def us(t: java.sql.Timestamp) =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      val midUs = (us(minTs) + us(maxTs)) / 2
+      val streamDir = Files.createTempDirectory("graft_dedup_src_")
+      val stage = Files.createTempDirectory("graft_dedup_stage_")
+      def writeSlice(df: DataFrame, k: Int): Unit = {
+        val tmp = stage.resolve(s"w$k")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet written under $tmp"))
+        val dst = streamDir.resolve(f"b$k%03d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(1600000000000L + k * 60000L))
+      }
+      val tsUs = unix_micros(col("ts"))
+      val slice0 = ev.filter(tsUs < midUs)
+      writeSlice(slice0.unionAll(
+        slice0.filter(tsUs >= midUs - 10L * 60 * 1000000)), 0)
+      writeSlice(slice0.filter(tsUs >= midUs - 30L * 60 * 1000000), 1)
+      writeSlice(ev.filter(tsUs >= midUs), 2)
+      streamDir
+    })
+  }
+
+  /** Exactly-once event delivery computed BY A STREAM: the
+    * dropDuplicatesWithinWatermark operator over 3 micro-batches whose
+    * input carries injected at-least-once faults (intra-batch re-sends
+    * AND cross-batch replays — see [[dedupStagedDir]]). The oracle is
+    * the per-type census of the ORIGINAL events table: the gated claim
+    * is that streaming dedup reconstructs the clean corpus exactly —
+    * count AND id-sum per type, so a survivor swap cannot hide.
+    * The per-batch drain is the aggregated census (#types rows per
+    * batch), never the event stream itself; merging censuses across
+    * batches is sound because dedup emits every survivor exactly once.
+    * StreamDedupSpec pins that WITHOUT the operator the same staged
+    * input over-counts (the faults are real). */
+  def dedupViaStream(s: SparkSession, sfDir: String): DataFrame = {
+    val stream = stagedStream(s, dedupStagedDir(s, sfDir))
+    val deduped = EventStreams.dedupedEvents(stream)
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val q = deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("id_sum"))
+          .collect() // bounded: #event_types rows
+          .foreach { r =>
+            acc.merge(r.getString(0), (r.getLong(1), r.getLong(2)),
+              (a, b) => (a._1 + b._1, a._2 + b._2))
+          }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import s.implicits._
+    acc.asScala.toSeq
+      .map { case (t, (c, sm)) => (t, c, sm) }
+      .toDF("event_type", "cnt", "id_sum")
+      .orderBy(col("event_type"))
+  }
+
+  /** Stream-STREAM join computed BY A STREAM: correlatedPairs (same
+    * user, r within 10 minutes after l, watermarks both sides) over
+    * TWO file-source instances of the staged slices — each trigger
+    * advances both sides one file, so cross-batch matches (l in batch
+    * 0, r in batch 1) must come out of the join STATE, which is what
+    * this row gates. Inner stream-stream joins emit each match exactly
+    * once as it becomes available; the memory sink accumulates them
+    * and the final set must equal the batch self-join oracle row for
+    * row. State is evicted by the watermark + time-range bound; the
+    * sentinel batches advance the watermark at end-of-stream (their
+    * far-apart rows can never pair). */
+  def joinViaStream(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedDir(s, sfDir)
+    val pairs = EventStreams.correlatedPairs(
+      stagedStream(s, dir), stagedStream(s, dir))
+    val qn = "st_join_exec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = pairs.writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(qn)
+    val rows = out.collect() // bounded: matched pairs (oracle-sized)
+    val schema = out.schema
+    s.catalog.dropTempView(qn)
+    s.createDataFrame(rows.toList.asJava, schema)
+      .filter(col("user_id") =!= SentinelUser)
+      .orderBy(col("eid_a"), col("eid_b"))
+  }
+
   /** User sessions computed BY A STREAM: the flatMapGroupsWithState
     * sessionizer (append mode, EventTimeTimeout) over the staged
     * micro-batches — sessions that straddle the slice boundary resume
