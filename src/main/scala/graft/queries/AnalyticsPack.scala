@@ -351,6 +351,22 @@ object AnalyticsPack extends QueryPack {
       out
     }),
 
+    // k-CORE decomposition (scale/KCore.scala): peel the co_n >= 2
+    // co-occurrence graph to its 3-core and emit every core node with
+    // its within-core degree. The oracle replays the peel as a DuckDB
+    // recursive CTE capped at 40 levels — far above the measured peel
+    // depth (11 rounds at sf0.01, <= 3 elsewhere; peeling is
+    // idempotent at fixpoint, so extra capped levels are no-ops) —
+    // while the Spark side runs to TRUE fixpoint with an observe()-
+    // fused convergence count. Exercises a different iterative shape
+    // than CC/PageRank/BFS: monotone edge DELETION with a both-
+    // endpoint predicate, not label propagation.
+    "g_kcore" -> ((s, dir) => {
+      val e = coPairs(s, dir).filter(col("co_n") >= 2)
+        .select(col("pa").as("a"), col("pb").as("b"))
+      graft.scale.KCore.nodeDegrees(e, 3).orderBy(col("node"))
+    }),
+
     // APPROXIMATE triangle census — the budget twin SCALE.md's growth
     // table calls for (exact wedge-closing measured 8x at 10x edges;
     // its O(m^1.5) bound is the one super-linear grower). DOULION
@@ -856,6 +872,39 @@ object AnalyticsPack extends QueryPack {
         |  CAST(t AS BIGINT) AS t_sampled,
         |  CAST(t * 1000 // 27 AS BIGINT) AS t_est
         |FROM tri""".stripMargin,
+
+    // the peel as a recursive CTE: each level keeps edges whose BOTH
+    // endpoints have degree >= 3 in the PREVIOUS level's survivor set;
+    // 40 capped levels >> the measured peel depth (11 at sf0.01), and
+    // a stable level is a no-op, so level 40 IS the fixpoint (an empty
+    // core just stops the recursion early — also the fixpoint)
+    "g_kcore" ->
+      """WITH RECURSIVE bk AS (
+        |  SELECT l_orderkey, list(DISTINCT l_partkey) AS ps
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT unnest(ps) AS pa, l_orderkey FROM bk),
+        |pp AS (SELECT x.pa AS a, y.pa AS b FROM p x JOIN p y
+        |       ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa),
+        |e AS (SELECT a, b FROM
+        |        (SELECT a, b, count(*) AS n FROM pp GROUP BY 1, 2)
+        |      WHERE n >= 2),
+        |peel(a, b, iter) AS (
+        |  SELECT a, b, 0 FROM e
+        |  UNION ALL
+        |  SELECT pl.a, pl.b, pl.iter + 1
+        |  FROM peel pl,
+        |    (SELECT n, count(*) AS c FROM
+        |      (SELECT a AS n FROM peel UNION ALL SELECT b AS n FROM peel) t
+        |     GROUP BY n) da,
+        |    (SELECT n, count(*) AS c FROM
+        |      (SELECT a AS n FROM peel UNION ALL SELECT b AS n FROM peel) t
+        |     GROUP BY n) db
+        |  WHERE pl.iter < 40 AND da.n = pl.a AND db.n = pl.b
+        |    AND da.c >= 3 AND db.c >= 3),
+        |core AS (SELECT a, b FROM peel WHERE iter = 40)
+        |SELECT n AS node, CAST(count(*) AS BIGINT) AS core_deg
+        |FROM (SELECT a AS n FROM core UNION ALL SELECT b AS n FROM core) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g_sssp_hops" ->
       """WITH pairs AS (

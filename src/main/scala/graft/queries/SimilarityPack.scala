@@ -232,6 +232,31 @@ object SimilarityPack extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Distributed Lloyd's k-means (k=4, 3 rounds) on the integer
+    // lattice — scale/KMeans.scala. The WHOLE iteration is exact
+    // int64 arithmetic (quantize floor(x*1000), integer squared L2,
+    // argmin fused into min(dist*k + cid), centroids floored back
+    // onto the lattice), so the DuckDB oracle replays the identical
+    // three rounds and must land on bit-identical cluster sizes,
+    // inertia, AND centroid vectors — a fully oracle-gated iterative
+    // ML operator, not a stats-band check. Per round: one corpus scan
+    // + broadcast centroid cross + min-agg; update shuffles only
+    // k x dims partial sums.
+    "s_kmeans" -> ((s, dir) => {
+      val q = vecs(s, dir).select(col("vec_id"),
+        expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))").as("qv"))
+      val (assigned, cent) =
+        graft.scale.KMeans.lloydQuantized(s, q, k = 4, iters = 3)
+      import s.implicits._
+      val cdf = cent.zipWithIndex.toSeq.toDF("centroid", "cluster_id")
+      assigned.groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("inertia"))
+        .join(broadcast(cdf), "cluster_id")
+        .select(col("cluster_id").cast("long").as("cluster_id"),
+          col("n_points"), col("inertia"), col("centroid"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Per-label centroid: element-wise mean embedding per class — the
     // aggregation shape of IVF coarse quantizers and class prototypes.
     // posexplode + two-level hash agg; 64 x n_labels cells total.
@@ -560,6 +585,78 @@ object SimilarityPack extends QueryPack {
         |  FROM p)
         |SELECT qid, nid, round(c, 4) AS cos, rk FROM r
         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // the same three Lloyd rounds in chained CTEs: quantize, seed at
+    // vec_id {0, s, 2s, 3s}, then per round assign by
+    // min(intL2 * 4 + cid) and re-floor the centroid means. Verified
+    // against an independent dense reference during development; any
+    // divergence from the Spark side is a REAL reproducibility break,
+    // not float noise.
+    "s_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT vec_id, t.d, qv[t.d + 1] AS v
+        |  FROM q, range(64) t(d)),
+        |step AS (SELECT count(*) // 4 AS st FROM q),
+        |c0 AS (
+        |  SELECT vec_id // (SELECT st FROM step) AS cid, d, v
+        |  FROM dims
+        |  WHERE vec_id % (SELECT st FROM step) = 0
+        |    AND vec_id // (SELECT st FROM step) < 4),
+        |a1 AS (
+        |  SELECT vec_id, min(key) AS key FROM (
+        |    SELECT dims.vec_id, c0.cid,
+        |      sum((dims.v - c0.v) * (dims.v - c0.v)) * 4 + c0.cid AS key
+        |    FROM dims JOIN c0 USING (d)
+        |    GROUP BY dims.vec_id, c0.cid) GROUP BY 1),
+        |c1n AS (
+        |  SELECT a1.key % 4 AS cid, dims.d,
+        |    CAST(floor(CAST(sum(dims.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM a1 JOIN dims USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c0.cid, c0.d, coalesce(c1n.v, c0.v) AS v
+        |  FROM c0 LEFT JOIN c1n ON c0.cid = c1n.cid AND c0.d = c1n.d),
+        |a2 AS (
+        |  SELECT vec_id, min(key) AS key FROM (
+        |    SELECT dims.vec_id, c1.cid,
+        |      sum((dims.v - c1.v) * (dims.v - c1.v)) * 4 + c1.cid AS key
+        |    FROM dims JOIN c1 USING (d)
+        |    GROUP BY dims.vec_id, c1.cid) GROUP BY 1),
+        |c2n AS (
+        |  SELECT a2.key % 4 AS cid, dims.d,
+        |    CAST(floor(CAST(sum(dims.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM a2 JOIN dims USING (vec_id) GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT c1.cid, c1.d, coalesce(c2n.v, c1.v) AS v
+        |  FROM c1 LEFT JOIN c2n ON c1.cid = c2n.cid AND c1.d = c2n.d),
+        |a3 AS (
+        |  SELECT vec_id, min(key) AS key FROM (
+        |    SELECT dims.vec_id, c2.cid,
+        |      sum((dims.v - c2.v) * (dims.v - c2.v)) * 4 + c2.cid AS key
+        |    FROM dims JOIN c2 USING (d)
+        |    GROUP BY dims.vec_id, c2.cid) GROUP BY 1),
+        |c3n AS (
+        |  SELECT a3.key % 4 AS cid, dims.d,
+        |    CAST(floor(CAST(sum(dims.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM a3 JOIN dims USING (vec_id) GROUP BY 1, 2),
+        |c3 AS (
+        |  SELECT c2.cid, c2.d, coalesce(c3n.v, c2.v) AS v
+        |  FROM c2 LEFT JOIN c3n ON c2.cid = c3n.cid AND c2.d = c3n.d),
+        |stats AS (
+        |  SELECT CAST(key % 4 AS BIGINT) AS cluster_id,
+        |    CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(sum(key // 4) AS BIGINT) AS inertia
+        |  FROM a3 GROUP BY 1),
+        |cent AS (
+        |  SELECT cid AS cluster_id, list(v ORDER BY d) AS centroid
+        |  FROM c3 GROUP BY 1)
+        |SELECT stats.cluster_id, n_points, inertia, centroid
+        |FROM stats JOIN cent ON stats.cluster_id = cent.cluster_id
+        |ORDER BY stats.cluster_id""".stripMargin,
 
     // identical rankers, ranks, truncation, and integer RRF scale as
     // the Spark side; `//` keeps every term in int64
