@@ -351,6 +351,90 @@ object AnalyticsPack extends QueryPack {
       out
     }),
 
+    // ASSOCIATION RULES over the basket pairs — the step after a10's
+    // support counting: confidence(a→b) = co(a,b)/cnt(a) and lift =
+    // co·N/(cnt(a)·cnt(b)), emitted as exact integer basis points /
+    // millis (div) so both engines rank on identical integers. Shape:
+    // the shared memoized pair base + a broadcast item-count table +
+    // a 1-row basket census cross — no new corpus-sized shuffle; the
+    // top-20 is TakeOrderedAndProject. All quantities stay int64
+    // (co·N·1000 ≲ 1e9 at sf0.1).
+    "a12_basket_rules" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val items = li.groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val pairs = coPairs(s, dir).filter(col("co_n") >= 2)
+      val both = pairs
+        .select(col("pa").as("ant"), col("pb").as("cons"), col("co_n"))
+        .unionByName(pairs
+          .select(col("pb").as("ant"), col("pa").as("cons"), col("co_n")))
+      both
+        .join(broadcast(items.select(col("item").as("ant"),
+          col("cnt").as("cnt_a"))), "ant")
+        .join(broadcast(items.select(col("item").as("cons"),
+          col("cnt").as("cnt_c"))), "cons")
+        .crossJoin(broadcast(n))
+        .select(col("ant"), col("cons"), col("co_n"),
+          col("cnt_a"), col("cnt_c"),
+          expr("co_n * 10000 div cnt_a").as("conf_bp"),
+          expr("co_n * n_baskets * 1000 div (cnt_a * cnt_c)")
+            .as("lift_milli"))
+        .orderBy(desc("lift_milli"), col("ant"), col("cons"))
+        .limit(20)
+        .orderBy(desc("lift_milli"), col("ant"), col("cons"))
+    }),
+
+    // Per-node LOCAL clustering coefficient — the node-level refinement
+    // of g_triangle_count's global census (community-membership signal,
+    // spam-node flagging: hubs with near-zero closure). Same degree
+    // orientation + adjacency intersection as scale/Triangles, but
+    // each edge's common-neighbor set is attributed to ALL THREE
+    // corners (u and v get |W|, every w ∈ W gets 1 — one explode of
+    // the already-computed intersection, no second census). Arrays are
+    // O(√m)-bounded by orientation; coefficient in integer basis
+    // points (20000·tri div d(d-1)) so the oracle hashes bit-stably.
+    "g_local_clustering" -> ((s, dir) => {
+      val e = coPairs(s, dir).filter(col("co_n") >= 2)
+        .select(col("pa").as("a"), col("pb").as("b"))
+      val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val ed = e
+        .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      val aFirst = (col("da") < col("db")) ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = ed.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+      val adj = oriented.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nb"))
+      val perEdge = oriented
+        .join(adj.select(col("u"), col("nb").as("na")), Seq("u"))
+        .join(adj.select(col("u").as("v"), col("nb").as("nv")),
+          Seq("v"), "left")
+        .select(col("u"), col("v"),
+          array_intersect(col("na"),
+            coalesce(col("nv"), array())).as("ws"))
+      val tri = perEdge.select(explode(concat(
+          array(
+            struct(col("u").as("node"),
+              size(col("ws")).cast("long").as("t")),
+            struct(col("v").as("node"),
+              size(col("ws")).cast("long").as("t"))),
+          expr("transform(ws, w -> struct(w AS node, 1L AS t))"))).as("c"))
+        .select(col("c.node").as("node"), col("c.t").as("t"))
+        .groupBy(col("node")).agg(sum(col("t")).as("tri"))
+      deg.filter(col("d") >= 2)
+        .join(tri, deg("v") === tri("node"), "left")
+        .select(col("v").as("node"), col("d"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("coeff_bp", expr("20000 * tri div (d * (d - 1))"))
+        .orderBy(col("node"))
+    }),
+
     // k-CORE decomposition (scale/KCore.scala): peel the co_n >= 2
     // co-occurrence graph to its 3-core and emit every core node with
     // its within-core degree. The oracle replays the peel as a DuckDB
@@ -872,6 +956,69 @@ object AnalyticsPack extends QueryPack {
         |  CAST(t AS BIGINT) AS t_sampled,
         |  CAST(t * 1000 // 27 AS BIGINT) AS t_est
         |FROM tri""".stripMargin,
+
+    // same pair base, item census, and integer rule arithmetic; both
+    // rule directions unioned before ranking
+    "a12_basket_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |items AS (
+        |  SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM li GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |        AS n_baskets FROM li),
+        |p AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS co_n
+        |  FROM li a JOIN li b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |bi AS (
+        |  SELECT pa AS ant, pb AS cons, co_n FROM p
+        |  UNION ALL
+        |  SELECT pb AS ant, pa AS cons, co_n FROM p),
+        |r AS (
+        |  SELECT ant, cons, co_n, ia.cnt AS cnt_a, ic.cnt AS cnt_c,
+        |    CAST(co_n * 10000 // ia.cnt AS BIGINT) AS conf_bp,
+        |    CAST(co_n * (SELECT n_baskets FROM n) * 1000
+        |         // (ia.cnt * ic.cnt) AS BIGINT) AS lift_milli
+        |  FROM bi
+        |  JOIN items ia ON bi.ant = ia.item
+        |  JOIN items ic ON bi.cons = ic.item)
+        |SELECT ant, cons, co_n, cnt_a, cnt_c, conf_bp, lift_milli
+        |FROM r ORDER BY lift_milli DESC, ant, cons LIMIT 20""".stripMargin,
+
+    // per-node triangle incidence via the canonical id-oriented 3-way
+    // join (a DIFFERENT orientation than the Spark side's degree
+    // orientation — the per-node census must be orientation-invariant),
+    // each triangle credited to all three corners
+    "g_local_clustering" ->
+      """WITH bk AS (
+        |  SELECT l_orderkey, list(DISTINCT l_partkey) AS ps
+        |  FROM lineitem GROUP BY 1),
+        |pr AS (SELECT unnest(ps) AS pa, l_orderkey FROM bk),
+        |pp AS (SELECT x.pa AS a, y.pa AS b FROM pr x JOIN pr y
+        |       ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa),
+        |e AS (SELECT a, b FROM
+        |        (SELECT a, b, count(*) AS n FROM pp GROUP BY 1, 2)
+        |      WHERE n >= 2),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+        |    (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t
+        |  GROUP BY 1),
+        |tri3 AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tn AS (SELECT x AS n FROM tri3 UNION ALL SELECT y FROM tri3
+        |       UNION ALL SELECT z FROM tri3),
+        |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM tn GROUP BY 1)
+        |SELECT deg.v AS node, d, CAST(coalesce(t, 0) AS BIGINT) AS tri,
+        |  CAST(20000 * coalesce(t, 0) // (d * (d - 1)) AS BIGINT)
+        |    AS coeff_bp
+        |FROM deg LEFT JOIN tc ON deg.v = tc.n
+        |WHERE d >= 2 ORDER BY node""".stripMargin,
 
     // the peel as a recursive CTE: each level keeps edges whose BOTH
     // endpoints have degree >= 3 in the PREVIOUS level's survivor set;

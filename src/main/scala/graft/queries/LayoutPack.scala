@@ -47,6 +47,26 @@ object LayoutPack extends QueryPack {
     // win. Plan: narrow projection (bit ops) + one hash agg on the
     // 6-bit bucket key; at 100 TB the same z column feeds
     // repartitionByRange + per-file writes.
+    // HIVE-PARTITIONED write→read round-trip: events written
+    // partitionBy(event_type), read back through the partition
+    // discovery path with a partition-column filter — the layout every
+    // lakehouse table actually uses. Equality against the unpartitioned
+    // oracle gates that (a) rows land in the right partition, (b) the
+    // partition column round-trips through the DIRECTORY NAME (it is
+    // dropped from the data files), (c) the filtered read-back loses
+    // nothing. PartitionedRoundtripSpec pins that the filtered scan
+    // prunes to the two matching partitions (PartitionFilters, not a
+    // post-scan filter) — at 100 TB that pruning IS the query budget.
+    "ly_partitioned_roundtrip" -> ((s, dir) => {
+      s.read.parquet(partitionedCopyOfEvents(s, dir))
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("event_id")).as("id_sum"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // ORC round-trip — the second columnar format next to parquet
     // (SURVEY §2.2 extension; Spark's built-in ORC source/sink): write
     // `part` to ORC, read it back, and aggregate THROUGH the copy;
@@ -146,6 +166,26 @@ object LayoutPack extends QueryPack {
     s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))"
   }.mkString(" | ")
 
+  /** One hive-partitioned copy of `events` per (session, sfDir). The
+    * partition count is #event_types (bounded, low-cardinality — the
+    * partitionBy contract; partitioning on a high-cardinality key
+    * would be the small-files anti-pattern ly_compaction exists to
+    * undo). */
+  private val partCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[queries] def partitionedCopyOfEvents(s: SparkSession,
+                                               dir: String): String = {
+    partCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    partCache.computeIfAbsent((s, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_part_events_").toString
+      Tables.events(s, dir).write.mode("overwrite")
+        .partitionBy("event_type").parquet(out)
+      out
+    })
+  }
+
   /** One ORC copy of `part` per (session, sfDir), reused across
     * repeated runs in a harness (Bench repeats; TimeQuery loops). */
   private val orcCache =
@@ -162,6 +202,15 @@ object LayoutPack extends QueryPack {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    // the unpartitioned original: the partitioned copy must lose
+    // nothing and reconstruct the partition column exactly
+    "ly_partitioned_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the oracle reads the ORIGINAL parquet — equality proves the ORC
     // round-trip preserved every value the aggregate touches
     "ly_orc_roundtrip" ->

@@ -630,6 +630,26 @@ object RelationalPack extends QueryPack {
     // but those are per-partition local sorts of already-thin data,
     // not a shuffle-side cost.) The oracle spells the window
     // formulation — interchangeable because (ts, event_id) is unique.
+    // FULL OUTER join — the one join type the inventory exercised only
+    // inside st_asof_nearest's merge, now gated standalone: a filtered
+    // dimension side against a fact aggregate, so BOTH null shapes
+    // appear in the output (customers of the nation slice with no
+    // orders; order-holders outside the slice). One equi-shuffle; the
+    // aggregate side is pre-shrunk to key cardinality before the join.
+    "j14_full_outer" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_nationkey") < 5)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          col("c_nationkey"), col("n_orders"), col("total"))
+        .orderBy(col("custkey"))
+    }),
+
     "j13_cdc_apply" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(col("user_id"),
@@ -953,6 +973,19 @@ object RelationalPack extends QueryPack {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "j14_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey FROM customer
+        |  WHERE c_nationkey < 5),
+        |o AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  c_nationkey, n_orders, total
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "j13_cdc_apply" ->
       """WITH log AS (

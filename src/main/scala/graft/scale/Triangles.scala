@@ -10,14 +10,14 @@ import org.apache.spark.storage.StorageLevel
   * extension surface for corpus/link analytics: community density of
   * a co-occurrence graph, spam-farm detection on link graphs).
   *
-  * Algorithm (Schank–Wagner "forward" / the MapReduce wedge-closing
-  * shape of Suri–Vassilvitskii): orient every undirected edge from its
-  * lower-(degree, id) endpoint to its higher one, enumerate wedges as
-  * the self-join of the oriented list on the shared source, and close
-  * each wedge with a semi-join back against the oriented list. Each
-  * triangle {a ≺ b ≺ c} (≺ = the orientation order) is produced by
-  * exactly ONE wedge — the one centered at its minimum vertex a — so
-  * the closing semi-join's surviving row count IS the triangle count.
+  * Algorithm (Schank–Wagner "forward" orientation + per-edge
+  * adjacency intersection): orient every undirected edge from its
+  * lower-(degree, id) endpoint to its higher one, build each node's
+  * sorted out-neighbor array, and count per oriented edge (u, v) the
+  * common out-neighbors |N⁺(u) ∩ N⁺(v)|. Each triangle {a ≺ b ≺ c}
+  * (≺ = the orientation order) is counted exactly once — at its edge
+  * (a, b), the only edge whose endpoints both point to c — so the
+  * intersection sum IS the triangle count.
   *
   * Why orientation is the whole scale story: a naive wedge join on the
   * undirected list materializes Σ d(v)² rows — a single celebrity node
@@ -84,29 +84,33 @@ object Triangles {
         // pair below can be ordered by ≺ without a third degree join
         when(aFirst, col("db")).otherwise(col("da")).as("dd"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Wedges centered at u: unordered pairs {v, w} of out-neighbors,
-    // emitted ordered by ≺ so the closing edge appears EXACTLY as
-    // (v, w) in the oriented list (for a triangle a ≺ b ≺ c the wedge
-    // at a is (b, c) and the oriented closing edge is b -> c).
-    val x = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
-    val y = oriented.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw"))
-    // SHUFFLE_HASH here too: the wedge expansion's inputs are m rows
-    // each but its OUTPUT is the O(m^1.5) stream — a sort-merge plan
-    // sorts both inputs for no benefit to the exploding probe.
-    val wedges = x.join(y.hint("SHUFFLE_HASH"), Seq("u"))
-      .filter((col("dv") < col("dw")) ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-      .select(col("v").as("src"), col("w").as("dst"))
-    // Left-semi keeps each closing wedge row once (wedges from
-    // different centers are distinct rows): count = triangle count.
-    // SHUFFLE_HASH on the build (edge) side: sort-merge would SORT the
-    // O(m^1.5) wedge stream — the single biggest cost of the census —
-    // while hashing only the m-row oriented list costs O(m) memory per
-    // partition. The wedge side streams through the probe unsorted.
-    val tri = wedges
-      .join(oriented.select(col("src"), col("dst")).hint("SHUFFLE_HASH"),
-        Seq("src", "dst"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    // Close triangles by ADJACENCY INTERSECTION, not a wedge join: for
+    // a triangle a ≺ b ≺ c, edge (a, b) is the unique edge whose two
+    // out-neighborhoods share c (b ∉ N⁺(c) by orientation), so
+    // n_triangles = Σ over oriented edges |N⁺(u) ∩ N⁺(v)|. Earlier
+    // rounds enumerated wedges and semi-joined them back against the
+    // edge list — correct, but it pushed the O(m^1.5) wedge stream
+    // through a (v, w)-keyed EXCHANGE, the single biggest cost of the
+    // census (109 s cold at the 10x growth corpus). Here the O(m^1.5)
+    // work still happens — it must — but entirely INSIDE whole-stage
+    // codegen: the only exchanges are the m-row edge list and the
+    // |V|-row adjacency table (total array payload m cells), and the
+    // per-edge intersection streams straight into a partial sum.
+    // Orientation still bounds every array at O(√m) cells, so a row is
+    // never wide, skew or not. SHUFFLE_HASH: hashing |V| adjacency
+    // rows beats sort-merge sorting the m-row edge stream twice.
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = oriented.select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("nb").as("na")).hint("SHUFFLE_HASH"),
+        Seq("src"))
+      // dst may have no out-edges (orientation sinks): left + coalesce
+      .join(adj.select(col("src").as("dst"), col("nb").as("nv"))
+        .hint("SHUFFLE_HASH"), Seq("dst"), "left")
+      .select(size(array_intersect(col("na"),
+        coalesce(col("nv"), array()))).cast("long").as("t"))
+      .agg(sum(col("t")).as("n_triangles"))
     val nodeStats = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
@@ -117,6 +121,6 @@ object Triangles {
         when(col("n_wedges") > 0,
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .otherwise(lit(0.0)).as("clustering"))
-    (out, new PageRank.CacheHandles(Seq(e, oriented)))
+    (out, new PageRank.CacheHandles(Seq(e, oriented, adj)))
   }
 }

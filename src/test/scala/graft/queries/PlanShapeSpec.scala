@@ -249,7 +249,13 @@ class PlanShapeSpec extends SparkSpec {
     //    n x m
     //  - d_fuzzy_names: the length-band non-equi join runs on the
     //    DISTINCT-name vocabulary (Heaps'-law bounded), not the corpus
+    //  - a12_basket_rules: the 1-row basket-census frame crossed into
+    //    the rule projection (n x 1) — same class as a7/dq_audit
+    //  - s_kmeans: the k-row (k=4) broadcast centroid frame crossed
+    //    against the corpus for assignment — n x k with k a small
+    //    constant, the canonical Lloyd's broadcast shape
     val allow = Set(
+      "a12_basket_rules", "s_kmeans",
       "s_knn_brute", "s_knn_mips", "s_knn_filtered", "d_embed_cos",
       "s_hybrid_rrf",
       "s_knn_lsh", "s_knn_ivf", "s_knn_pq", "s_quantize", "s_label_centroid",
