@@ -351,6 +351,38 @@ object AnalyticsPack extends QueryPack {
       out
     }),
 
+    // PERSONALIZED PageRank (scale/PageRank.runPersonalizedTracked):
+    // teleport mass restricted to the low-id customer nodes — "which
+    // suppliers matter to THESE customers", the seed-biased relevance
+    // twin of g_pagerank's global authority. Same integer-exact
+    // recurrence (base(v) = 150000·|V| div |S| on seeds), so the
+    // oracle replays the 5 rounds bit-identically; top-20 via
+    // TakeOrderedAndProject.
+    "g_ppr" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val cNode = col("c") * 2L
+      val sNode = col("sp") * 2L + 1L
+      val edges = pairs.select(explode(array(
+          struct(cNode.as("src"), sNode.as("dst")),
+          struct(sNode.as("src"), cNode.as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // seeds: customer nodes (even parity) with custkey < 25 —
+      // deterministic, present at every SF
+      val seeds = edges.select(col("src").as("node"))
+        .filter(col("node") % 2 === 0 && col("node") < 50)
+      val (ranks, handles) =
+        graft.scale.PageRank.runPersonalizedTracked(edges, seeds, 5)
+      graft.scale.CacheRegistry.track(handles)
+      ranks
+        .select(col("node"), col("rank"),
+          (col("node") % 2 === 1).as("is_supplier"))
+        .orderBy(desc("rank"), col("node")).limit(20)
+    }),
+
     // ASSOCIATION RULES over the basket pairs — the step after a10's
     // support counting: confidence(a→b) = co(a,b)/cnt(a) and lift =
     // co·N/(cnt(a)·cnt(b)), emitted as exact integer basis points /
@@ -956,6 +988,67 @@ object AnalyticsPack extends QueryPack {
         |  CAST(t AS BIGINT) AS t_sampled,
         |  CAST(t * 1000 // 27 AS BIGINT) AS t_est
         |FROM tri""".stripMargin,
+
+    // the personalized recurrence unrolled: per round, every node's
+    // rank = its seed base + damped inflow (coalesced to 0 — rank
+    // concentrates near seeds); integer-exact like g_pagerank
+    "g_ppr" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |ed AS (
+        |  SELECT c * 2 AS src, sp * 2 + 1 AS dst FROM pairs
+        |  UNION
+        |  SELECT sp * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+        |od AS (SELECT src, count(*) AS od FROM ed GROUP BY 1),
+        |e AS (SELECT ed.src, ed.dst, od.od FROM ed JOIN od ON od.src = ed.src),
+        |nd AS (SELECT DISTINCT src AS node FROM ed),
+        |seeds AS (SELECT node FROM nd WHERE node % 2 = 0 AND node < 50),
+        |base AS (
+        |  SELECT nd.node,
+        |    CASE WHEN s.node IS NOT NULL THEN
+        |      CAST(150000 * (SELECT count(*) FROM nd)
+        |           // (SELECT count(*) FROM seeds) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS b
+        |  FROM nd LEFT JOIN seeds s ON nd.node = s.node),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nd),
+        |r1 AS (
+        |  SELECT b.node, CAST(b.b + (850 * coalesce(f.fl, 0)) // 1000
+        |    AS BIGINT) AS rank
+        |  FROM base b LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank // e.od) AS fl
+        |    FROM e JOIN r0 r ON r.node = e.src GROUP BY 1) f
+        |  ON b.node = f.node),
+        |r2 AS (
+        |  SELECT b.node, CAST(b.b + (850 * coalesce(f.fl, 0)) // 1000
+        |    AS BIGINT) AS rank
+        |  FROM base b LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank // e.od) AS fl
+        |    FROM e JOIN r1 r ON r.node = e.src GROUP BY 1) f
+        |  ON b.node = f.node),
+        |r3 AS (
+        |  SELECT b.node, CAST(b.b + (850 * coalesce(f.fl, 0)) // 1000
+        |    AS BIGINT) AS rank
+        |  FROM base b LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank // e.od) AS fl
+        |    FROM e JOIN r2 r ON r.node = e.src GROUP BY 1) f
+        |  ON b.node = f.node),
+        |r4 AS (
+        |  SELECT b.node, CAST(b.b + (850 * coalesce(f.fl, 0)) // 1000
+        |    AS BIGINT) AS rank
+        |  FROM base b LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank // e.od) AS fl
+        |    FROM e JOIN r3 r ON r.node = e.src GROUP BY 1) f
+        |  ON b.node = f.node),
+        |r5 AS (
+        |  SELECT b.node, CAST(b.b + (850 * coalesce(f.fl, 0)) // 1000
+        |    AS BIGINT) AS rank
+        |  FROM base b LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank // e.od) AS fl
+        |    FROM e JOIN r4 r ON r.node = e.src GROUP BY 1) f
+        |  ON b.node = f.node)
+        |SELECT node, rank, node % 2 = 1 AS is_supplier
+        |FROM r5 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
     // same pair base, item census, and integer rule arithmetic; both
     // rule directions unioned before ranking

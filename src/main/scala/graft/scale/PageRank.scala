@@ -147,6 +147,63 @@ object PageRank {
     (ranks, new CacheHandles(persisted.result()))
   }
 
+  /** PERSONALIZED PageRank: the teleport mass lands only on `seeds`
+    * instead of uniformly — rank'(v) = base(v) + (850·Σ contrib) div
+    * 1000 with base(v) = 150000·|V| div |S| for v ∈ S, else 0 (total
+    * teleport mass preserved vs the uniform recurrence, every
+    * operation integral — same cross-engine bit-exactness contract as
+    * [[runTracked]]). THE relevance-propagation primitive: "important
+    * near THESE nodes" (seed-biased crawl frontiers, related-entity
+    * ranking) rather than global authority.
+    *
+    * Same scale mechanics as the uniform loop. Two extra bounded
+    * actions up front (|V| and |S| counts — node-sized aggregates);
+    * the per-round shape gains one node-keyed left join against the
+    * pinned base frame (nodes without inflow exist in personalized
+    * walks even on symmetric graphs once rank concentrates, hence the
+    * coalesce(flow, 0) — mass conservation is the recurrence's, not
+    * the join's, job).
+    *
+    * Contract: `seeds` ⊆ the graph's source-node set; graph
+    * symmetrized like [[runTracked]]'s `symmetric = true` input.
+    */
+  def runPersonalizedTracked(edges: DataFrame, seeds: DataFrame, iters: Int,
+                             src: String = "src", dst: String = "dst")
+      : (DataFrame, CacheHandles) = {
+    val persisted = Seq.newBuilder[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      persisted += df
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .distinct()
+    val eo = pin(e.withColumn("od",
+      count(lit(1)).over(Window.partitionBy(col("src")))))
+    val nodes = pin(eo.select(col("src").as("node")).distinct())
+    val sd = pin(seeds.select(col("node").cast("long").as("node")).distinct())
+    val nNodes = nodes.count()
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    val perSeed = 150000L * nNodes / nSeeds
+    val baseDf = pin(
+      nodes.join(sd, Seq("node"), "left_semi")
+        .withColumn("base", lit(perSeed))
+        .unionByName(nodes.join(sd, Seq("node"), "left_anti")
+          .withColumn("base", lit(0L))))
+    var ranks = nodes.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val flow = eo.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div od").as("c"))
+        .groupBy(col("node"))
+        .agg(expr("(850 * sum(c)) div 1000").as("fl"))
+      ranks = baseDf.join(flow, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") + coalesce(col("fl"), lit(0L))).as("rank"))
+    }
+    (ranks, new CacheHandles(persisted.result()))
+  }
+
   /** Persisted-DataFrame handles with one idempotent release switch. */
   final class CacheHandles(dfs: Seq[DataFrame]) {
     def release(): Unit = dfs.foreach(_.unpersist(blocking = false))
