@@ -685,6 +685,37 @@ object AnalyticsPack extends QueryPack {
     // window, so the plan scales regardless of how many events a day
     // holds. stddev_pop (not _samp): the day set is the population
     // under test, and both engines define it identically.
+    // Distribution DRIFT between two time halves of the stream — the
+    // monitoring check behind model-retrain triggers and pipeline
+    // regression alarms: per value-bin share of each half and the
+    // share delta, all in integer basis points (a PSI-style score
+    // would need ln(), whose last-ulp differs across libm builds — the
+    // per-bin deltas carry the same signal hash-stably). The split
+    // point is the integer-microsecond midpoint of the observed span:
+    // deterministic at every SF, no percentile parity risk. Two
+    // map-side-combinable censuses + a 1-row totals broadcast.
+    "dq_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(unix_micros(col("ts")).as("us"), col("value"))
+      val half = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val binned = ev.crossJoin(broadcast(half))
+        .select(least(floor(col("value") / 50.0), lit(9.0))
+            .cast("long").as("bin"),
+          (col("us") < col("mid")).as("early"))
+      val census = binned.groupBy(col("bin"))
+        .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_early"),
+          sum(when(col("early"), 0L).otherwise(1L)).as("n_late"))
+      val tot = census.agg(sum(col("n_early")).as("te"),
+        sum(col("n_late")).as("tl"))
+      census.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_early"), col("n_late"),
+          expr("n_early * 10000 div te").as("early_bp"),
+          expr("n_late * 10000 div tl").as("late_bp"),
+          expr("n_late * 10000 div tl - n_early * 10000 div te")
+            .as("delta_bp"))
+        .orderBy(col("bin"))
+    }),
+
     "dq_anomaly" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"))
@@ -913,6 +944,31 @@ object AnalyticsPack extends QueryPack {
         |  round(quantile_cont(cnt, 0.99) / quantile_cont(cnt, 0.5), 4)
         |    AS skew_ratio
         |FROM c""".stripMargin,
+
+    // same integer-microsecond midpoint split, bins, and bp arithmetic
+    "dq_drift" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS us, value FROM events),
+        |half AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |b AS (
+        |  SELECT CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS bin,
+        |    us < (SELECT mid FROM half) AS early
+        |  FROM ev),
+        |c AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_early,
+        |    CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_late
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_early) AS BIGINT) AS te,
+        |             CAST(sum(n_late) AS BIGINT) AS tl FROM c)
+        |SELECT bin, n_early, n_late,
+        |  CAST(n_early * 10000 // te AS BIGINT) AS early_bp,
+        |  CAST(n_late * 10000 // tl AS BIGINT) AS late_bp,
+        |  CAST(n_late * 10000 // tl - n_early * 10000 // te AS BIGINT)
+        |    AS delta_bp
+        |FROM c, t ORDER BY bin""".stripMargin,
 
     "dq_anomaly" ->
       """WITH d AS (

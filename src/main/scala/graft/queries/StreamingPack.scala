@@ -257,6 +257,31 @@ object StreamingPack extends QueryPack {
     // stages 2..k join a corpus-sized filter against an already-tiny
     // aggregated side (AQE broadcasts it); no window over a global
     // ordering, no per-user event-list materialization.
+    // First-order Markov transition census over the event stream: per
+    // user, each consecutive (prev -> cur) event-type pair counted,
+    // with row-normalized transition probability in integer basis
+    // points — the user-behavior model every "what happens after X"
+    // analysis starts from. One user-keyed exchange for the lag
+    // window; the census is #types² rows. Ordering key is the full-
+    // precision (ts, event_id) pair — ms truncation would misorder
+    // sub-second neighbors (the r5 sessionizer lesson).
+    "e_markov" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("prev"))
+        .agg(sum(col("n")).as("tot"))
+      pairs.join(tot, "prev")
+        .select(col("prev"), col("cur"), col("n"),
+          expr("n * 10000 div tot").as("prob_bp"))
+        .orderBy(col("prev"), col("cur"))
+    }),
+
     "e_funnel" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val v = ev.filter(col("event_type") === "view")
@@ -606,6 +631,24 @@ object StreamingPack extends QueryPack {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // identical lag window (full-precision ordering) + row-normalized
+    // integer probabilities
+    "e_markov" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev,
+        |    event_type AS cur
+        |  FROM events),
+        |c AS (
+        |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM c GROUP BY 1)
+        |SELECT c.prev, c.cur, c.n,
+        |  CAST(c.n * 10000 // t.tot AS BIGINT) AS prob_bp
+        |FROM c JOIN t ON c.prev = t.prev
+        |ORDER BY c.prev, c.cur""".stripMargin,
 
     "e_funnel" ->
       """WITH v AS (

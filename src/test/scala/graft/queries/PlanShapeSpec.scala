@@ -251,11 +251,13 @@ class PlanShapeSpec extends SparkSpec {
     //    DISTINCT-name vocabulary (Heaps'-law bounded), not the corpus
     //  - a12_basket_rules: the 1-row basket-census frame crossed into
     //    the rule projection (n x 1) — same class as a7/dq_audit
+    //  - dq_drift: two 1-row crosses (the midpoint scalar, the totals
+    //    row) — same class
     //  - s_kmeans: the k-row (k=4) broadcast centroid frame crossed
     //    against the corpus for assignment — n x k with k a small
     //    constant, the canonical Lloyd's broadcast shape
     val allow = Set(
-      "a12_basket_rules", "s_kmeans",
+      "a12_basket_rules", "s_kmeans", "dq_drift",
       "s_knn_brute", "s_knn_mips", "s_knn_filtered", "d_embed_cos",
       "s_hybrid_rrf",
       "s_knn_lsh", "s_knn_ivf", "s_knn_pq", "s_quantize", "s_label_centroid",
