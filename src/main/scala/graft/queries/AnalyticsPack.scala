@@ -351,6 +351,53 @@ object AnalyticsPack extends QueryPack {
       out
     }),
 
+    // MODULARITY of the core/periphery partition — Newman's partition
+    // quality Q for the 2-community split the 3-core induces (core
+    // nodes vs the rest), computed EXACTLY: Q·4m² = Σ_c (4m·intra_c −
+    // D_c²) is pure int64, emitted per community plus the global
+    // Q in milli-units (div). The "is this split better than random"
+    // check that community pipelines gate on; composes two existing
+    // operators (KCore membership + one edge census) with zero new
+    // iteration. All exchanges are node/edge-keyed hash aggs.
+    "g_modularity" -> ((s, dir) => {
+      val e = coPairs(s, dir).filter(col("co_n") >= 2)
+        .select(col("pa").as("a"), col("pb").as("b"))
+      val core = graft.scale.KCore.edges(e, 3)
+        .select(explode(array(col("a"), col("b"))).as("node"))
+        .distinct()
+      // community id: 1 = in the 3-core, 0 = periphery
+      val label = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .distinct()
+        .join(core.withColumn("inc", lit(1L)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("inc"), lit(0L)).as("comm"))
+      val withC = e
+        .join(label.select(col("node").as("a"), col("comm").as("ca")), "a")
+        .join(label.select(col("node").as("b"), col("comm").as("cb")), "b")
+      val m = e.agg(count(lit(1)).as("m"))
+      // intra-community edge count and community degree sums
+      val intra = withC.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("comm"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val degSum = withC
+        .select(explode(array(
+          struct(col("ca").as("comm")), struct(col("cb").as("comm"))))
+          .as("x"))
+        .select(col("x.comm").as("comm"))
+        .groupBy(col("comm")).agg(count(lit(1)).as("deg_sum"))
+      val nNodes = label.groupBy(col("comm")).agg(count(lit(1)).as("n_nodes"))
+      nNodes
+        .join(intra, Seq("comm"), "left")
+        .join(degSum, Seq("comm"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("comm"), col("n_nodes"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+          expr("""(4 * m * coalesce(intra_edges, 0)
+                  - coalesce(deg_sum, 0) * coalesce(deg_sum, 0))
+                 * 1000 div (4 * m * m)""").as("q_contrib_milli"))
+        .orderBy(col("comm"))
+    }),
+
     // PERSONALIZED PageRank (scale/PageRank.runPersonalizedTracked):
     // teleport mass restricted to the low-id customer nodes — "which
     // suppliers matter to THESE customers", the seed-biased relevance
@@ -1044,6 +1091,65 @@ object AnalyticsPack extends QueryPack {
         |  CAST(t AS BIGINT) AS t_sampled,
         |  CAST(t * 1000 // 27 AS BIGINT) AS t_est
         |FROM tri""".stripMargin,
+
+    // reuses the k-core peel recursion for the core membership, then
+    // the same exact-integer Q arithmetic; comm CAST to BIGINT to
+    // match Spark's long labels
+    "g_modularity" ->
+      """WITH RECURSIVE bk AS (
+        |  SELECT l_orderkey, list(DISTINCT l_partkey) AS ps
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT unnest(ps) AS pa, l_orderkey FROM bk),
+        |pp AS (SELECT x.pa AS a, y.pa AS b FROM p x JOIN p y
+        |       ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa),
+        |e AS (SELECT a, b FROM
+        |        (SELECT a, b, count(*) AS n FROM pp GROUP BY 1, 2)
+        |      WHERE n >= 2),
+        |peel(a, b, iter) AS (
+        |  SELECT a, b, 0 FROM e
+        |  UNION ALL
+        |  SELECT pl.a, pl.b, pl.iter + 1
+        |  FROM peel pl,
+        |    (SELECT n, count(*) AS c FROM
+        |      (SELECT a AS n FROM peel UNION ALL SELECT b AS n FROM peel) t
+        |     GROUP BY n) da,
+        |    (SELECT n, count(*) AS c FROM
+        |      (SELECT a AS n FROM peel UNION ALL SELECT b AS n FROM peel) t
+        |     GROUP BY n) db
+        |  WHERE pl.iter < 40 AND da.n = pl.a AND db.n = pl.b
+        |    AND da.c >= 3 AND db.c >= 3),
+        |core AS (SELECT DISTINCT n FROM
+        |  (SELECT a AS n FROM peel WHERE iter = 40
+        |   UNION ALL SELECT b AS n FROM peel WHERE iter = 40) t),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) t),
+        |lab AS (
+        |  SELECT nodes.n AS node,
+        |    CAST(CASE WHEN core.n IS NOT NULL THEN 1 ELSE 0 END
+        |      AS BIGINT) AS comm
+        |  FROM nodes LEFT JOIN core ON nodes.n = core.n),
+        |wc AS (
+        |  SELECT la.comm AS ca, lb.comm AS cb
+        |  FROM e JOIN lab la ON e.a = la.node
+        |         JOIN lab lb ON e.b = lb.node),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |intra AS (SELECT ca AS comm, CAST(count(*) AS BIGINT)
+        |            AS intra_edges FROM wc WHERE ca = cb GROUP BY 1),
+        |ds AS (SELECT comm, CAST(count(*) AS BIGINT) AS deg_sum FROM
+        |  (SELECT ca AS comm FROM wc UNION ALL SELECT cb FROM wc) t
+        |  GROUP BY 1),
+        |nn AS (SELECT comm, CAST(count(*) AS BIGINT) AS n_nodes
+        |       FROM lab GROUP BY 1)
+        |SELECT nn.comm, n_nodes,
+        |  CAST(coalesce(intra_edges, 0) AS BIGINT) AS intra_edges,
+        |  CAST(coalesce(ds.deg_sum, 0) AS BIGINT) AS deg_sum,
+        |  CAST((4 * (SELECT m FROM mm) * coalesce(intra_edges, 0)
+        |        - coalesce(ds.deg_sum, 0) * coalesce(ds.deg_sum, 0))
+        |       * 1000 // (4 * (SELECT m FROM mm) * (SELECT m FROM mm))
+        |    AS BIGINT) AS q_contrib_milli
+        |FROM nn LEFT JOIN intra ON nn.comm = intra.comm
+        |        LEFT JOIN ds ON nn.comm = ds.comm
+        |ORDER BY nn.comm""".stripMargin,
 
     // the personalized recurrence unrolled: per round, every node's
     // rank = its seed base + damped inflow (coalesced to 0 — rank

@@ -253,11 +253,13 @@ class PlanShapeSpec extends SparkSpec {
     //    the rule projection (n x 1) — same class as a7/dq_audit
     //  - dq_drift: two 1-row crosses (the midpoint scalar, the totals
     //    row) — same class
+    //  - g_modularity: the 1-row edge-count frame crossed into the
+    //    per-community Q projection — same class
     //  - s_kmeans: the k-row (k=4) broadcast centroid frame crossed
     //    against the corpus for assignment — n x k with k a small
     //    constant, the canonical Lloyd's broadcast shape
     val allow = Set(
-      "a12_basket_rules", "s_kmeans", "dq_drift",
+      "a12_basket_rules", "s_kmeans", "dq_drift", "g_modularity",
       "s_knn_brute", "s_knn_mips", "s_knn_filtered", "d_embed_cos",
       "s_hybrid_rrf",
       "s_knn_lsh", "s_knn_ivf", "s_knn_pq", "s_quantize", "s_label_centroid",
