@@ -99,6 +99,35 @@ object LayoutPack extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // HILBERT clustering — the same layout report as ly_zorder on the
+    // same (x, y) bucketing, through the Hilbert space-filling curve
+    // instead of the Morton interleave (Delta liquid clustering's
+    // curve). Aligned 4^k code blocks are exact 2^k x 2^k tiles for
+    // BOTH curves — so this row carries the identical per-bucket
+    // span-bound guarantee — but Hilbert's consecutive codes are
+    // always-adjacent cells (HilbertSpec pins it), so the UNALIGNED
+    // ranges real file boundaries cut stay connected instead of
+    // jumping across quadrant seams. The curve walk runs as one
+    // codegen'd expression (expr/HilbertIndex.scala — a 10-iteration
+    // long-register loop per row, no plan blowup); the rest of the
+    // plan is the zorder shape: narrow projection + one hash agg on
+    // the 6-bit bucket key. At 100 TB: repartitionByRange(h) + write,
+    // exactly as zorder.
+    "ly_hilbert" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(1024)).as("x"),
+          pmod(col("l_suppkey"), lit(1024)).as("y"))
+        .withColumn("h",
+          graft.expr.HilbertIndex(col("x").cast("long"),
+            col("y").cast("long"), Bits))
+        .withColumn("bucket", expr("h div 16384"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy(col("bucket"))
+    }),
+
     // Small-file compaction planner — Delta/Iceberg `OPTIMIZE`'s
     // bin-packing half (ly_zorder is the clustering half). A 100 TB
     // table accretes thousands of small files per partition from
@@ -166,6 +195,26 @@ object LayoutPack extends QueryPack {
     s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))"
   }.mkString(" | ")
 
+  /** The Hilbert oracle unrolls the same xy2d walk as a generated CTE
+    * chain (one step per level, top bit first) so both sides share one
+    * definition of the curve. Each step's three outputs read the
+    * PREVIOUS step's (hx, hy, d) — SQL's all-at-once SELECT gives the
+    * simultaneous-assignment the rotation needs for free. */
+  private val hilbertSteps: String = (0 until Bits).map { k =>
+    val s = 1L << (Bits - 1 - k)
+    s"""h${k + 1} AS (SELECT x, y,
+       |  CASE WHEN (hy & $s) = 0
+       |    THEN CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END
+       |    ELSE hx END AS hx,
+       |  CASE WHEN (hy & $s) = 0
+       |    THEN CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hx ELSE hx END
+       |    ELSE hy END AS hy,
+       |  d + ${s * s} * xor(
+       |    3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+       |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) AS d
+       |FROM h$k)""".stripMargin
+  }.mkString(",\n")
+
   /** One hive-partitioned copy of `events` per (session, sfDir). The
     * partition count is #event_types (bounded, low-cardinality — the
     * partitionBy contract; partitioning on a high-cardinality key
@@ -229,6 +278,19 @@ object LayoutPack extends QueryPack {
          |  min(x) AS x_min, max(x) AS x_max,
          |  min(y) AS y_min, max(y) AS y_max
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ly_hilbert" ->
+      s"""WITH h0 AS (
+         |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y,
+         |    l_partkey % 1024 AS hx, l_suppkey % 1024 AS hy,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM lineitem),
+         |$hilbertSteps
+         |SELECT CAST(d // 16384 AS BIGINT) AS bucket,
+         |  count(*) AS n,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM h$Bits GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ly_compaction" ->
       """WITH f AS (

@@ -55,7 +55,9 @@ class CodegenNoFallbackSpec extends SparkSpec {
         MinHashSig(ShingleHashes(col("text"), 3), 64, 20260812L).as("mh"),
         SimHashSig(ShingleHashes(col("text"), 3)).as("simh"),
         SignBitsSig(col("va"), 16, 3, 7L).as("sign"),
-        DotProduct(col("va"), col("vb")).as("dot"))
+        DotProduct(col("va"), col("vb")).as("dot"),
+        HilbertIndex((length(col("text")) % 32).cast("long"),
+          (length(col("text")) * 7 % 32).cast("long"), 5).as("hil"))
       val plan = q.queryExecution.executedPlan.toString
       // executedPlan.toString marks whole-stage-codegen stages with a
       // "*(n)" prefix; the custom-expression Project must carry one
