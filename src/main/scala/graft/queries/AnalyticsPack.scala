@@ -514,6 +514,45 @@ object AnalyticsPack extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // LINK PREDICTION by common neighbors + Jaccard — "parts likely
+    // to be co-purchased next" on the same co_n >= 2 graph: for every
+    // NON-edge (u, v) at distance 2, count shared neighbors and emit
+    // the top 20 by (cn, u, v). Candidate generation is the standard
+    // CN recipe: expand ordered pairs inside each node's neighbor
+    // list (one HOF expansion per wedge center, the coPairs basket
+    // shape — never an adjacency self-join), with wedge centers
+    // capped at degree 64: hubs contribute O(deg²) wedges and only
+    // noise candidates (everything is 2 hops via a hub), so
+    // production CN/Adamic-Adar pipelines cap or downweight them —
+    // here the cap is part of the operator's contract and the oracle
+    // applies the identical rule. Jaccard in integer milli-units
+    // (cn·1000 div (du + dv − cn)) so the row hashes bit-stably.
+    // Scale: wedge work is Σ_{d(w)≤64} d(w)² ≤ 64m; candidate frame
+    // exchanges 24-byte rows; final ranking is TakeOrderedAndProject.
+    "g_linkpred" -> ((s, dir) => {
+      val e = coPairs(s, dir).filter(col("co_n") >= 2)
+        .select(col("pa").as("a"), col("pb").as("b"))
+      val adj = e.select(col("a").as("w"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("w"), col("a").as("v")))
+      val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("d"))
+      val neigh = adj.groupBy(col("w"))
+        .agg(sort_array(collect_set(col("v"))).as("ns"))
+        .filter(size(col("ns")) <= 64)
+      val pairs = flatten(transform(col("ns"), (x, i) =>
+        transform(slice(col("ns"), i + lit(2), size(col("ns"))),
+          y => struct(x.as("u"), y.as("v")))))
+      val cn = neigh.select(explode(pairs).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      cn.join(e, cn("u") === e("a") && cn("v") === e("b"), "left_anti")
+        .join(deg.select(col("w").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("w").as("v"), col("d").as("dv")), Seq("v"))
+        .select(col("u"), col("v"), col("cn"), col("du"), col("dv"))
+        .withColumn("jac_milli", expr("cn * 1000 div (du + dv - cn)"))
+        .orderBy(col("cn").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+
     // k-CORE decomposition (scale/KCore.scala): peel the co_n >= 2
     // co-occurrence graph to its 3-core and emit every core node with
     // its within-core degree. The oracle replays the peel as a DuckDB
@@ -1274,6 +1313,40 @@ object AnalyticsPack extends QueryPack {
         |    AS coeff_bp
         |FROM deg LEFT JOIN tc ON deg.v = tc.n
         |WHERE d >= 2 ORDER BY node""".stripMargin,
+
+    // same graph, same degree-64 wedge-center cap, NOT EXISTS for the
+    // non-edge filter; ordering (cn DESC, u, v) is total so LIMIT 20
+    // is deterministic
+    "g_linkpred" ->
+      """WITH bk AS (
+        |  SELECT l_orderkey, list(DISTINCT l_partkey) AS ps
+        |  FROM lineitem GROUP BY 1),
+        |pr AS (SELECT unnest(ps) AS pa, l_orderkey FROM bk),
+        |pp AS (SELECT x.pa AS a, y.pa AS b FROM pr x JOIN pr y
+        |       ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa),
+        |e AS (SELECT a, b FROM
+        |        (SELECT a, b, count(*) AS n FROM pp GROUP BY 1, 2)
+        |      WHERE n >= 2),
+        |adj AS (SELECT a AS w, b AS v FROM e
+        |        UNION ALL SELECT b AS w, a AS v FROM e),
+        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d
+        |        FROM adj GROUP BY 1),
+        |cn AS (
+        |  SELECT x.v AS u, y.v AS v, CAST(count(*) AS BIGINT) AS cn
+        |  FROM adj x
+        |  JOIN adj y ON x.w = y.w AND x.v < y.v
+        |  JOIN deg ON deg.w = x.w
+        |  WHERE deg.d <= 64
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT u, v, cn FROM cn
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.u AND e.b = cn.v))
+        |SELECT u, v, cn, du.d AS du, dv.d AS dv,
+        |  CAST(cn * 1000 // (du.d + dv.d - cn) AS BIGINT) AS jac_milli
+        |FROM cand
+        |JOIN deg du ON du.w = cand.u
+        |JOIN deg dv ON dv.w = cand.v
+        |ORDER BY cn DESC, u, v LIMIT 20""".stripMargin,
 
     // the peel as a recursive CTE: each level keeps edges whose BOTH
     // endpoints have degree >= 3 in the PREVIOUS level's survivor set;
