@@ -69,6 +69,15 @@ object StreamingPack extends QueryPack {
     "st_dedup_stream_exec" -> ((s, dir) =>
       graft.streaming.StreamExec.dedupViaStream(s, dir)),
 
+    // Watermark late-data contract through a real StreamExecution:
+    // append-mode hourly aggregate over staging that injects BOTH an
+    // hours-stale replay (poisoned ids — must be dropped by the
+    // watermark filter) and a within-delay out-of-order slice (must
+    // be counted). Equality with the clean-corpus census gates both
+    // directions at once (StreamExec.lateDropViaStream).
+    "st_late_drop_stream_exec" -> ((s, dir) =>
+      graft.streaming.StreamExec.lateDropViaStream(s, dir)),
+
     // Stream-STREAM join through a real StreamExecution: matches
     // across micro-batch boundaries come out of watermarked join
     // state; final match set must equal the batch self-join oracle.
@@ -460,6 +469,15 @@ object StreamingPack extends QueryPack {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the clean-corpus hourly census: the staged replays (negated
+    // ids) must be absent, the held-back in-delay rows present — any
+    // watermark-contract violation corrupts cnt or id_sum
+    "st_late_drop_stream_exec" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the batch twin of correlatedPairs: same-user event pairs with r
     // inside [l.ts, l.ts + 10 min], inclusive BETWEEN on both ends

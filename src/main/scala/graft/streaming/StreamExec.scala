@@ -266,6 +266,124 @@ object StreamExec {
       .orderBy(col("event_type"))
   }
 
+  /** Staged dirs for the LATE-DROP stream: the watermark's two-sided
+    * contract needs both kinds of late arrival in one run. Batches,
+    * in mtime order:
+    *  - b0: slice 0 up to 1 h before the hold point;
+    *  - b1: the next 50 minutes of slice 0 — the ADVANCER batch.
+    *    Since SPARK-40925 the late-event filter of batch N uses the
+    *    watermark as of batch N−1 (one batch BEHIND the eviction
+    *    watermark), so the faults must arrive two batch boundaries
+    *    after the data that establishes their watermark — without
+    *    this batch the replay below lands with late-filter watermark
+    *    still at 0 and is silently counted (observed, not
+    *    hypothetical: cnt=2 / poisoned id_sum on the first-hour
+    *    windows);
+    *  - b2: slice 1, PLUS the held-back last 10 minutes of slice 0
+    *    (late but within the 1-hour watermark delay — MUST be
+    *    counted), PLUS a replay of the corpus's first 30 minutes with
+    *    negated event_ids (hours-stale — MUST be dropped by the
+    *    late-event filter; the negated ids make any survivor corrupt
+    *    id_sum, so it cannot hide);
+    *  - b3/b4: far-future sentinels advancing the watermark so append
+    *    mode emits every real window before AvailableNow terminates.
+    * Requires the corpus to span > 6 h so the replay is decisively
+    * below batch 2's LAGGED late-filter watermark (= max(b0) − 1 h);
+    * the driver events span weeks. */
+  private val lateStagedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Path]()
+
+  private[streaming] def lateStagedDir(s: SparkSession, sfDir: String): Path = {
+    lateStagedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    lateStagedCache.computeIfAbsent((s, sfDir), _ => {
+      val ev = Tables.events(s, sfDir)
+      val Row(minTs: java.sql.Timestamp, maxTs: java.sql.Timestamp) =
+        ev.agg(min(col("ts")), max(col("ts"))).head()
+      def us(t: java.sql.Timestamp) =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      val midUs = (us(minTs) + us(maxTs)) / 2
+      require(midUs - us(minTs) > 6L * 3600 * 1000000,
+        s"events span too narrow for late-drop staging ($sfDir)")
+      val streamDir = Files.createTempDirectory("graft_late_src_")
+      val stage = Files.createTempDirectory("graft_late_stage_")
+      def writeSlice(df: DataFrame, k: Int): Unit = {
+        val tmp = stage.resolve(s"w$k")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet written under $tmp"))
+        val dst = streamDir.resolve(f"b$k%03d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(1600000000000L + k * 60000L))
+      }
+      val tsUs = unix_micros(col("ts"))
+      val holdUs = midUs - 10L * 60 * 1000000
+      val advUs = holdUs - 60L * 60 * 1000000
+      writeSlice(ev.filter(tsUs < advUs), 0)
+      writeSlice(ev.filter(tsUs >= advUs && tsUs < holdUs), 1)
+      val mover = ev.filter(tsUs >= holdUs && tsUs < midUs)
+      val replay = ev.filter(tsUs < us(minTs) + 30L * 60 * 1000000)
+        .withColumn("event_id", -col("event_id") - lit(1000000L))
+      writeSlice(ev.filter(tsUs >= midUs).unionAll(mover).unionAll(replay), 2)
+      def sentinel(k: Int, days: Int): Unit = writeSlice(
+        ev.limit(1)
+          .withColumn("ts", lit(maxTs) + expr(s"INTERVAL $days DAYS"))
+          .withColumn("user_id", lit(SentinelUser))
+          .withColumn("event_id", lit(-k.toLong)), k)
+      sentinel(3, 365)
+      sentinel(4, 730)
+      streamDir
+    })
+  }
+
+  /** Watermark LATE-DATA semantics computed BY A STREAM: an hourly
+    * tumbling aggregate in APPEND mode (1-hour watermark) over the
+    * fault-staged batches of [[lateStagedDir]]. The gated claim is the
+    * watermark contract itself, both sides at once: rows later than
+    * the delay are DISCARDED before the aggregate (the stale replay,
+    * with poisoned ids), rows out-of-order but within the delay are
+    * COUNTED into their still-open windows (the held-back 10 minutes),
+    * and every window is emitted exactly once — so the emitted
+    * censuses must land exactly on the clean-corpus oracle, count AND
+    * id_sum per (window, type). Sentinel windows sit past maxTs and
+    * are filtered by the window bound, never by peeking at payload. */
+  /** Watermark-drop telemetry of the LAST lateDropViaStream run:
+    * (rows dropped by the watermark, micro-batches executed). Spec
+    * hook — proves the staged faults were really discarded by the
+    * operator, not absent from the input. */
+  @volatile private[streaming] var lastLateDropMetrics: (Long, Long) = (0L, 0L)
+
+  def lateDropViaStream(s: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(s, sfDir)
+    val Row(maxTs: java.sql.Timestamp) = ev.agg(max(col("ts"))).head()
+    val stream = stagedStream(s, lateStagedDir(s, sfDir))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("id_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"), col("id_sum"))
+    val qn = "st_late_drop_exec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastLateDropMetrics = (
+      q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark))
+        .sum,
+      q.recentProgress.count(_.numInputRows > 0).toLong)
+    val out = s.table(qn)
+    val rows = out.collect() // bounded: #hours x #event_types
+    val schema = out.schema
+    s.catalog.dropTempView(qn)
+    s.createDataFrame(rows.toList.asJava, schema)
+      .filter(col("window_start") <= lit(maxTs))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Stream-STREAM join computed BY A STREAM: correlatedPairs (same
     * user, r within 10 minutes after l, watermarks both sides) over
     * TWO file-source instances of the staged slices — each trigger
