@@ -406,11 +406,16 @@ object AnalyticsPack extends QueryPack {
     // oracle replays the 5 rounds bit-identically; top-20 via
     // TakeOrderedAndProject.
     "g_ppr" -> ((s, dir) => {
+      // pairs is read TWICE (edge build + seed derivation) — pin it so
+      // the orders x lineitem join runs once, released via the
+      // registry after the query's action like every graph pin
       val pairs = Tables(s, dir, "orders")
         .join(Tables(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.scale.CacheRegistry.track(pairs)
       val cNode = col("c") * 2L
       val sNode = col("sp") * 2L + 1L
       val edges = pairs.select(explode(array(
@@ -419,10 +424,12 @@ object AnalyticsPack extends QueryPack {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       // seeds: customer nodes (even parity) with custkey < 25 —
       // deterministic, present at every SF
-      val seeds = edges.select(col("src").as("node"))
-        .filter(col("node") % 2 === 0 && col("node") < 50)
+      val seeds = pairs.select((col("c") * 2L).as("node"))
+        .filter(col("node") < 50)
+      // distinct pairs x 2 disjoint directions = already-distinct edges
       val (ranks, handles) =
-        graft.scale.PageRank.runPersonalizedTracked(edges, seeds, 5)
+        graft.scale.PageRank.runPersonalizedTracked(edges, seeds, 5,
+          assumeDistinct = true)
       graft.scale.CacheRegistry.track(handles)
       ranks
         .select(col("node"), col("rank"),

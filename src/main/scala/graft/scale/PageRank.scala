@@ -158,26 +158,26 @@ object PageRank {
     *
     * Same scale mechanics as the uniform loop. Two extra bounded
     * actions up front (|V| and |S| counts — node-sized aggregates);
-    * the per-round shape gains one node-keyed left join against the
-    * pinned base frame (nodes without inflow exist in personalized
-    * walks even on symmetric graphs once rank concentrates, hence the
-    * coalesce(flow, 0) — mass conservation is the recurrence's, not
-    * the join's, job).
+    * the per-round shape gains only a BROADCAST left join against the
+    * seed-base frame (base is zero off-seed, and the symmetrized
+    * input guarantees every node a flow row, so no full-node base
+    * frame is ever shuffled).
     *
     * Contract: `seeds` ⊆ the graph's source-node set; graph
     * symmetrized like [[runTracked]]'s `symmetric = true` input.
     */
   def runPersonalizedTracked(edges: DataFrame, seeds: DataFrame, iters: Int,
-                             src: String = "src", dst: String = "dst")
+                             src: String = "src", dst: String = "dst",
+                             assumeDistinct: Boolean = false)
       : (DataFrame, CacheHandles) = {
     val persisted = Seq.newBuilder[DataFrame]
     def pin(df: DataFrame): DataFrame = {
       persisted += df
       df.persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val e = edges
+    val e0 = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .distinct()
+    val e = if (assumeDistinct) e0 else e0.distinct()
     val eo = pin(e.withColumn("od",
       count(lit(1)).over(Window.partitionBy(col("src")))))
     val nodes = pin(eo.select(col("src").as("node")).distinct())
@@ -186,20 +186,25 @@ object PageRank {
     val nSeeds = sd.count()
     require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
     val perSeed = 150000L * nNodes / nSeeds
-    val baseDf = pin(
-      nodes.join(sd, Seq("node"), "left_semi")
-        .withColumn("base", lit(perSeed))
-        .unionByName(nodes.join(sd, Seq("node"), "left_anti")
-          .withColumn("base", lit(0L))))
+    // base(v) is nonzero ONLY on seeds, and on a symmetrized graph
+    // (the documented input contract) every node receives flow every
+    // round — so rank = coalesce(seed base, 0) + damped flow needs a
+    // BROADCAST left join against the seed set, not the round-4 shape
+    // (a full node-keyed base frame left-joined per round: 5 extra
+    // node-cardinality shuffle joins that profiling flagged as the
+    // round's cost driver). PPR seed sets are small by definition —
+    // that is what makes the walk "personalized"; a caller with a
+    // dimension-sized seed set still works, it just broadcasts more.
+    val seedBase = broadcast(sd.withColumn("base", lit(perSeed)))
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
-      val flow = eo.join(ranks.withColumnRenamed("node", "src"), "src")
+      ranks = eo.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div od").as("c"))
         .groupBy(col("node"))
         .agg(expr("(850 * sum(c)) div 1000").as("fl"))
-      ranks = baseDf.join(flow, Seq("node"), "left")
+        .join(seedBase, Seq("node"), "left")
         .select(col("node"),
-          (col("base") + coalesce(col("fl"), lit(0L))).as("rank"))
+          (coalesce(col("base"), lit(0L)) + col("fl")).as("rank"))
     }
     (ranks, new CacheHandles(persisted.result()))
   }
