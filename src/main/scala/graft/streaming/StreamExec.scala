@@ -109,6 +109,28 @@ object StreamExec {
   private def ckpt(): String =
     Files.createTempDirectory("graft_ckpt_").toString
 
+  /** Every micro-batch pays per-partition state-store overhead (store
+    * open/commit × #partitions × #batches), and the gated fixtures
+    * are small — so each StreamExecution runs in a CLONED session
+    * pinned to 8 shuffle partitions. State partitioning is a
+    * deployment knob (fixed by the first checkpoint), not operator
+    * semantics: a 100 TB deployment sets it to its key cardinality;
+    * results are identical either way. Cloning (not `conf.set` on the
+    * caller) because Verify plans OTHER queries concurrently on the
+    * shared session — mutating its conf mid-flight would race their
+    * physical planning. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    // newSession starts from the static SparkConf — re-apply the
+    // runtime confs the harness contract depends on, in case the
+    // parent set them at runtime rather than through the builder
+    for (k <- Seq("spark.sql.session.timeZone",
+                  "spark.sql.legacy.parquet.nanosAsLong"))
+      s.conf.getOption(k).foreach(ss.conf.set(k, _))
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** Hourly tumbling counts computed BY A STREAM: the unified
     * hourlyTypeCounts transform under complete-mode incremental
     * aggregation across 4 micro-batches, final state snapshotted from
@@ -116,7 +138,8 @@ object StreamExec {
     * of the finite fixture; the production append+watermark shape is
     * pinned by StreamingSpec. */
   def tumblingViaStream(s: SparkSession, sfDir: String): DataFrame = {
-    val stream = stagedStream(s, stagedDir(s, sfDir))
+    val ss = streamSession(s)
+    val stream = stagedStream(ss, stagedDir(s, sfDir))
     // sentinels never enter the aggregate (no watermark needed in
     // complete mode; they exist for the session query's timeouts)
     val agg = EventStreams.hourlyTypeCounts(
@@ -129,10 +152,10 @@ object StreamExec {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val out = s.table(qn)
+    val out = ss.table(qn)
     val rows = out.collect() // bounded: #hours x #event_types
     val schema = out.schema
-    s.catalog.dropTempView(qn)
+    ss.catalog.dropTempView(qn)
     s.createDataFrame(rows.toList.asJava, schema)
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -147,7 +170,8 @@ object StreamExec {
     * what a Delta/JDBC MERGE sink does. Bounded: O(#users) entries.
     * Gated against the SAME oracle as the batch j13_cdc_apply. */
   def cdcViaStream(s: SparkSession, sfDir: String): DataFrame = {
-    val stream = stagedStream(s, stagedDir(s, sfDir))
+    val ss = streamSession(s)
+    val stream = stagedStream(ss, stagedDir(s, sfDir))
     val updates = EventStreams.cdcFinalState(s, stream)
     val state = new java.util.concurrent.ConcurrentHashMap[
       java.lang.Long, (Long, Boolean, Double)]()
@@ -240,7 +264,8 @@ object StreamExec {
     * StreamDedupSpec pins that WITHOUT the operator the same staged
     * input over-counts (the faults are real). */
   def dedupViaStream(s: SparkSession, sfDir: String): DataFrame = {
-    val stream = stagedStream(s, dedupStagedDir(s, sfDir))
+    val ss = streamSession(s)
+    val stream = stagedStream(ss, dedupStagedDir(s, sfDir))
     val deduped = EventStreams.dedupedEvents(stream)
     val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
     val q = deduped.writeStream
@@ -354,9 +379,10 @@ object StreamExec {
   @volatile private[streaming] var lastLateDropMetrics: (Long, Long) = (0L, 0L)
 
   def lateDropViaStream(s: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(s)
     val ev = Tables.events(s, sfDir)
     val Row(maxTs: java.sql.Timestamp) = ev.agg(max(col("ts"))).head()
-    val stream = stagedStream(s, lateStagedDir(s, sfDir))
+    val stream = stagedStream(ss, lateStagedDir(s, sfDir))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -375,10 +401,10 @@ object StreamExec {
       q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark))
         .sum,
       q.recentProgress.count(_.numInputRows > 0).toLong)
-    val out = s.table(qn)
+    val out = ss.table(qn)
     val rows = out.collect() // bounded: #hours x #event_types
     val schema = out.schema
-    s.catalog.dropTempView(qn)
+    ss.catalog.dropTempView(qn)
     s.createDataFrame(rows.toList.asJava, schema)
       .filter(col("window_start") <= lit(maxTs))
       .orderBy(col("window_start"), col("event_type"))
@@ -396,9 +422,10 @@ object StreamExec {
     * sentinel batches advance the watermark at end-of-stream (their
     * far-apart rows can never pair). */
   def joinViaStream(s: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(s)
     val dir = stagedDir(s, sfDir)
     val pairs = EventStreams.correlatedPairs(
-      stagedStream(s, dir), stagedStream(s, dir))
+      stagedStream(ss, dir), stagedStream(ss, dir))
     val qn = "st_join_exec_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val q = pairs.writeStream.format("memory").queryName(qn)
@@ -407,10 +434,10 @@ object StreamExec {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val out = s.table(qn)
+    val out = ss.table(qn)
     val rows = out.collect() // bounded: matched pairs (oracle-sized)
     val schema = out.schema
-    s.catalog.dropTempView(qn)
+    ss.catalog.dropTempView(qn)
     s.createDataFrame(rows.toList.asJava, schema)
       .filter(col("user_id") =!= SentinelUser)
       .orderBy(col("eid_a"), col("eid_b"))
@@ -423,7 +450,8 @@ object StreamExec {
     * batches advancing the watermark, and foreachBatch drains each
     * batch's exactly-once emissions. */
   def sessionsViaStream(s: SparkSession, sfDir: String): DataFrame = {
-    val stream = stagedStream(s, stagedDir(s, sfDir))
+    val ss = streamSession(s)
+    val stream = stagedStream(ss, stagedDir(s, sfDir))
     val sessions = EventStreams.closedUserSessions(s, stream)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
     val schema = sessions.toDF.schema
