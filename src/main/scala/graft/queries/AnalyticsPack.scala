@@ -359,6 +359,42 @@ object AnalyticsPack extends QueryPack {
     // check that community pipelines gate on; composes two existing
     // operators (KCore membership + one edge census) with zero new
     // iteration. All exchanges are node/edge-keyed hash aggs.
+    // LABEL-PROPAGATION communities — the linear-time community
+    // detector (Raghavan et al. 2007), made deterministic for the
+    // oracle gate: 3 SYNCHRONOUS rounds where every node adopts its
+    // neighbors' most frequent label, ties broken by smallest label
+    // (async/random-order LPA is irreproducible by design; the sync
+    // variant is what a distributed engine runs anyway — one
+    // node-keyed argmax per round). Labels start as node ids, so the
+    // whole recurrence is integer-exact and the DuckDB oracle replays
+    // the 3 rounds bit-identically. Per round: one edge-keyed join
+    // (labels onto the shared co_n >= 2 adjacency) + one (node,
+    // label) hash agg + one max_by argmax — 2 bounded exchanges, no
+    // windows. Emitted per community: size and id-span, ordered by
+    // size — the shape a curation pipeline consumes ("which clusters
+    // to cap/sample").
+    "g_label_prop" -> ((s, dir) => {
+      val e = coPairs(s, dir).filter(col("co_n") >= 2)
+        .select(col("pa").as("a"), col("pb").as("b"))
+      val adj = e.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+      var labels = adj.select(col("v").as("node"))
+        .distinct().withColumn("lbl", col("node"))
+      for (_ <- 1 to 3) {
+        labels = adj
+          .join(labels.withColumnRenamed("node", "n"), "n")
+          .groupBy(col("v"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("v").as("node"))
+          .agg(max_by(col("lbl"),
+            struct(col("cnt"), -col("lbl"))).as("lbl"))
+      }
+      labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+        .orderBy(desc("n_members"), col("community"))
+    }),
+
     "g_modularity" -> ((s, dir) => {
       val e = coPairs(s, dir).filter(col("co_n") >= 2)
         .select(col("pa").as("a"), col("pb").as("b"))
@@ -847,7 +883,39 @@ object AnalyticsPack extends QueryPack {
     })
   )
 
+  /** The LPA oracle unrolls the same 3 synchronous rounds (generated,
+    * not hand-typed — one definition of the argmax tie-break shared
+    * with the Spark side's max_by(lbl, struct(cnt, -lbl))). */
+  private val lpaRounds: String = (1 to 3).map { k =>
+    s"""l$k AS (
+       |  SELECT v AS node, lbl FROM (
+       |    SELECT v, lbl,
+       |      row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+       |    FROM (SELECT adj.v, l.lbl, count(*) AS cnt
+       |          FROM adj JOIN l${k - 1} l ON l.node = adj.n
+       |          GROUP BY 1, 2) c)
+       |  WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
   override def oracleSql: Map[String, String] = Map(
+    "g_label_prop" ->
+      s"""WITH bk AS (
+         |  SELECT l_orderkey, list(DISTINCT l_partkey) AS ps
+         |  FROM lineitem GROUP BY 1),
+         |pr AS (SELECT unnest(ps) AS pa, l_orderkey FROM bk),
+         |pp AS (SELECT x.pa AS a, y.pa AS b FROM pr x JOIN pr y
+         |       ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa),
+         |e AS (SELECT a, b FROM
+         |        (SELECT a, b, count(*) AS n FROM pp GROUP BY 1, 2)
+         |      WHERE n >= 2),
+         |adj AS (SELECT a AS v, b AS n FROM e
+         |        UNION ALL SELECT b AS v, a AS n FROM e),
+         |l0 AS (SELECT DISTINCT v AS node, v AS lbl FROM adj),
+         |$lpaRounds
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+         |  min(node) AS min_node, max(node) AS max_node
+         |FROM l3 GROUP BY 1
+         |ORDER BY n_members DESC, community""".stripMargin,
     "g_rollup" ->
       """SELECT year(o_orderdate) AS y, o_orderpriority AS prio,
         |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
