@@ -382,6 +382,51 @@ object TextPack extends QueryPack {
     // Pure projection + one hash agg on lang; at 100 TB the quota map
     // comes from a corpus-level language census (a_* aggregations) and
     // the plan is unchanged.
+    // EXACT stratified sampling — the curation step t_sample's
+    // Bernoulli rates cannot give: a hard total budget (N = 200 docs)
+    // split across language strata by proportional largest-remainder
+    // allocation (floor quotas, then +1 to the largest remainders
+    // until the budget is exact — the apportionment method that
+    // cannot overshoot), each stratum filled by deterministic hash
+    // rank so reruns select the same docs. Every step is integer.
+    // Scale: the allocation frame is #strata rows (tiny; remainder
+    // rank via self-join count, no unpartitioned window); selection
+    // ranks within lang partitions — quota << stratum, so a 100 TB
+    // deployment swaps the per-stratum window for the quota-bounded
+    // TopK aggregator (w6) without touching the allocation.
+    "t_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 200
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          pmod(graft.expr.CharFingerprint(col("text")), lit(1000000)).as("fp"))
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+      val alloc = counts
+        .crossJoin(broadcast(counts.agg(sum(col("n_s")).as("tot"))))
+        .withColumn("fq", expr(s"($budget * n_s) div tot"))
+        .withColumn("rem", expr(s"($budget * n_s) % tot"))
+      val other = alloc.select(col("lang").as("l2"), col("rem").as("rem2"))
+      val ranked = alloc.join(other,
+          col("rem2") > col("rem") ||
+            (col("rem2") === col("rem") && col("l2") < col("lang")), "left")
+        .groupBy(col("lang"), col("n_s"), col("fq"))
+        .agg(count(col("l2")).as("rk"))
+      val leftover = alloc.agg((lit(budget.toLong) - sum(col("fq")))
+        .as("leftover"))
+      val quotas = ranked.crossJoin(broadcast(leftover))
+        .withColumn("quota",
+          col("fq") + when(col("rk") < col("leftover"), 1L).otherwise(0L))
+        .select(col("lang"), col("n_s"), col("quota"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("fp"), col("doc_id"))
+      docs.withColumn("rn", row_number().over(w))
+        .join(broadcast(quotas), "lang")
+        .filter(col("rn") <= col("quota"))
+        .groupBy(col("lang"), col("n_s").as("n_total"), col("quota"))
+        .agg(count(lit(1)).as("n_sel"),
+          sum(col("doc_id")).as("sel_id_checksum"))
+        .orderBy(col("lang"))
+    }),
+
     "t_sample" -> ((s, dir) => {
       val fp = pmod(graft.expr.CharFingerprint(col("text")), lit(100))
       val quota = when(col("lang") === "en", lit(20)).otherwise(lit(80))
@@ -857,6 +902,40 @@ object TextPack extends QueryPack {
         |FROM d, LATERAL unnest(range(0, greatest(n, 1), 48)) AS s(i)
         |WHERE n - s.i > 0
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // same fp, same largest-remainder arithmetic, remainder rank as a
+    // correlated count — allocation and selection both integer-exact
+    "t_stratified" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    list_sum([unicode(text[i]) * i for i in range(1, length(text) + 1)])
+        |      % 1000000007 % 1000000 AS fp
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS n_s FROM f GROUP BY 1),
+        |t AS (SELECT sum(n_s) AS tot FROM c),
+        |alloc AS (
+        |  SELECT lang, n_s, (200 * n_s) // tot AS fq, (200 * n_s) % tot AS rem
+        |  FROM c, t),
+        |rk AS (
+        |  SELECT a.lang, a.n_s, a.fq, a.rem,
+        |    (SELECT count(*) FROM alloc b
+        |     WHERE b.rem > a.rem OR (b.rem = a.rem AND b.lang < a.lang)) AS rk
+        |  FROM alloc a),
+        |lv AS (SELECT 200 - sum(fq) AS leftover FROM alloc),
+        |q AS (
+        |  SELECT lang, n_s,
+        |    fq + CASE WHEN rk < leftover THEN 1 ELSE 0 END AS quota
+        |  FROM rk, lv),
+        |sel AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rn
+        |  FROM f)
+        |SELECT q.lang, CAST(q.n_s AS BIGINT) AS n_total,
+        |  CAST(q.quota AS BIGINT) AS quota,
+        |  CAST(count(*) AS BIGINT) AS n_sel,
+        |  CAST(sum(s.doc_id) AS BIGINT) AS sel_id_checksum
+        |FROM q JOIN sel s ON s.lang = q.lang AND s.rn <= q.quota
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     "t_sample" ->
       """WITH f AS (
