@@ -169,6 +169,27 @@ object FunctionsPack extends QueryPack {
     // comparison (IEEE-exact, identical across engines), so unlike a
     // ROWS frame there is no tie-order dependence to pin. Same
     // one-shuffle-on-partition-key plan shape as every other window.
+    // RELATIVE-rank window family — percent_rank / cume_dist / ntile
+    // over nation-partitioned suppliers: the normalized-position
+    // functions (percentile features, equal-size fold assignment)
+    // that complement the absolute ranks in w2/fn_window_distinct.
+    // Both engines compute percent_rank as (rank-1)/(n-1) and
+    // cume_dist as rows<=current / n — small-integer divisions, but
+    // round(4) anyway per the float-stability rule. One partitioned
+    // window, no global sort.
+    "fn_window_pctrank" -> ((s, dir) => {
+      Tables(s, dir, "supplier").createOrReplaceTempView("supplier_pr")
+      s.sql(
+        """SELECT s_nationkey, s_suppkey,
+          |  round(percent_rank() OVER w, 4) AS pct_rank,
+          |  round(cume_dist() OVER w, 4) AS cume,
+          |  ntile(4) OVER w AS quartile
+          |FROM supplier_pr
+          |WINDOW w AS (PARTITION BY s_nationkey
+          |  ORDER BY s_acctbal, s_suppkey)
+          |ORDER BY s_nationkey, s_suppkey""".stripMargin)
+    }),
+
     "fn_window_range" -> ((s, dir) => {
       Tables(s, dir, "supplier").createOrReplaceTempView("supplier_wr")
       s.sql(
@@ -325,6 +346,15 @@ object FunctionsPack extends QueryPack {
         |    AND UNBOUNDED FOLLOWING) AS richest
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "fn_window_pctrank" ->
+      """SELECT s_nationkey, s_suppkey,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
 
     "fn_window_range" ->
