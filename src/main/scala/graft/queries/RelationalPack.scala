@@ -650,6 +650,42 @@ object RelationalPack extends QueryPack {
         .orderBy(col("custkey"))
     }),
 
+    // INCREMENTAL materialized-view maintenance — the warehouse IVM
+    // contract (Materialize / Delta Live / incremental dbt): given a
+    // precomputed aggregate MV and a CDC delta batch, the new MV is
+    // computed from MV + SIGNED delta rows (update = retract old +
+    // insert new, delete = retract, insert = insert) — O(|delta|)
+    // work — and must equal a full recompute over the post-change
+    // table, which is exactly what the oracle runs. The delta here is
+    // deterministic arithmetic on order keys (k%97 updated +$10,
+    // k%89 deleted, k%83 cloned as new inserts at +$25), money in
+    // integer cents so retraction is exact. Scale: the delta frame is
+    // delta-sized, the merge is one hash agg over (MV ∪ delta) —
+    // never a rescan of the base table; groups emptied by deletes
+    // drop via the n > 0 filter, matching the recompute's absence.
+    "j15_mv_maintain" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("y"), col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+      val mvOld = base.groupBy(col("y"))
+        .agg(count(lit(1)).as("dn"), sum(col("c")).as("dc"))
+        .select(col("y"), col("dn"), col("dc"))
+      val upd = base.filter(col("k") % 97 === 0)
+      val del = base.filter(col("k") % 89 === 0 && col("k") % 97 =!= 0)
+      val ins = base.filter(col("k") % 83 === 0)
+      val delta = upd.select(col("y"), lit(-1L).as("dn"), (-col("c")).as("dc"))
+        .unionAll(upd.select(col("y"), lit(1L).as("dn"),
+          (col("c") + 1000L).as("dc")))
+        .unionAll(del.select(col("y"), lit(-1L).as("dn"), (-col("c")).as("dc")))
+        .unionAll(ins.select(col("y"), lit(1L).as("dn"),
+          (col("c") + 2500L).as("dc")))
+      mvOld.unionAll(delta)
+        .groupBy(col("y"))
+        .agg(sum(col("dn")).as("n_orders"), sum(col("dc")).as("cents"))
+        .filter(col("n_orders") > 0)
+        .orderBy(col("y"))
+    }),
+
     "j13_cdc_apply" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(col("user_id"),
@@ -986,6 +1022,23 @@ object RelationalPack extends QueryPack {
         |  c_nationkey, n_orders, total
         |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+
+    // the FULL RECOMPUTE over the post-change table — the incremental
+    // path must land on it exactly (the IVM correctness property)
+    "j15_mv_maintain" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate) AS y, o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |after AS (
+        |  SELECT y, k, c + 1000 AS c FROM base WHERE k % 97 = 0
+        |  UNION ALL
+        |  SELECT y, k, c FROM base WHERE k % 97 <> 0 AND k % 89 <> 0
+        |  UNION ALL
+        |  SELECT y, k + 1000000000, c + 2500 FROM base WHERE k % 83 = 0)
+        |SELECT y, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(c) AS BIGINT) AS cents
+        |FROM after GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "j13_cdc_apply" ->
       """WITH log AS (
