@@ -389,34 +389,38 @@ object TextPack extends QueryPack {
     // until the budget is exact — the apportionment method that
     // cannot overshoot), each stratum filled by deterministic hash
     // rank so reruns select the same docs. Every step is integer.
-    // Scale: the allocation frame is #strata rows (tiny; remainder
-    // rank via self-join count, no unpartitioned window); selection
-    // ranks within lang partitions — quota << stratum, so a 100 TB
-    // deployment swaps the per-stratum window for the quota-bounded
-    // TopK aggregator (w6) without touching the allocation.
+    // Scale: the whole allocation runs as higher-order-function
+    // arithmetic over ONE collected per-stratum array (#strata is
+    // bounded — it is the stratification key's domain) — no join of
+    // any kind, so the repo-wide no-nested-loop plan invariant holds
+    // by construction; selection ranks within lang partitions —
+    // quota << stratum, so a 100 TB deployment swaps the per-stratum
+    // window for the quota-bounded TopK aggregator (w6) without
+    // touching the allocation.
     "t_stratified" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 200
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           pmod(graft.expr.CharFingerprint(col("text")), lit(1000000)).as("fp"))
-      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
-      val alloc = counts
-        .crossJoin(broadcast(counts.agg(sum(col("n_s")).as("tot"))))
-        .withColumn("fq", expr(s"($budget * n_s) div tot"))
-        .withColumn("rem", expr(s"($budget * n_s) % tot"))
-      val other = alloc.select(col("lang").as("l2"), col("rem").as("rem2"))
-      val ranked = alloc.join(other,
-          col("rem2") > col("rem") ||
-            (col("rem2") === col("rem") && col("l2") < col("lang")), "left")
-        .groupBy(col("lang"), col("n_s"), col("fq"))
-        .agg(count(col("l2")).as("rk"))
-      val leftover = alloc.agg((lit(budget.toLong) - sum(col("fq")))
-        .as("leftover"))
-      val quotas = ranked.crossJoin(broadcast(leftover))
-        .withColumn("quota",
-          col("fq") + when(col("rk") < col("leftover"), 1L).otherwise(0L))
-        .select(col("lang"), col("n_s"), col("quota"))
+      val quotas = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+        .agg(collect_list(struct(col("lang"), col("n_s"))).as("cs"))
+        .withColumn("tot", expr("aggregate(cs, 0L, (a, x) -> a + x.n_s)"))
+        .withColumn("als", expr(
+          s"""transform(cs, x -> named_struct(
+             |  'lang', x.lang, 'n_s', x.n_s,
+             |  'fq', ($budget * x.n_s) div tot,
+             |  'rem', ($budget * x.n_s) % tot))""".stripMargin))
+        .withColumn("leftover",
+          expr(s"$budget - aggregate(als, 0L, (a, x) -> a + x.fq)"))
+        .select(explode(expr(
+          """transform(als, x -> named_struct(
+            |  'lang', x.lang, 'n_s', x.n_s,
+            |  'quota', x.fq + if(size(filter(als, y -> y.rem > x.rem
+            |      or (y.rem = x.rem and y.lang < x.lang))) < leftover,
+            |    1L, 0L)))""".stripMargin)).as("q"))
+        .select(col("q.lang").as("lang"), col("q.n_s").as("n_s"),
+          col("q.quota").as("quota"))
       val w = Window.partitionBy(col("lang")).orderBy(col("fp"), col("doc_id"))
       docs.withColumn("rn", row_number().over(w))
         .join(broadcast(quotas), "lang")
