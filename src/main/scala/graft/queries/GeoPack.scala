@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.io.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geospatial operators — the grid-bucketed distance-join family
+  * (Sedona/PostGIS's core primitive, re-expressed as pure Spark
+  * equi-joins). The reference has no spatial concept; at cluster
+  * scale, proximity joins are the canonical "quadratic unless you
+  * bin" workload, the 2-D sibling of scale/RangeJoin's 1-D interval
+  * binning.
+  *
+  * Points live on an integer 100k x 100k grid, derived
+  * deterministically from customer/supplier keys (prime
+  * multipliers — uniform scatter, reproducible in ANSI SQL, no
+  * floats anywhere). Distances are SQUARED-euclidean integers, so
+  * the radius predicate never sits on a float rounding boundary.
+  *
+  * The join recipe: cell = coord div R. A candidate pair must share
+  * a 3x3 cell neighborhood, so the probe side (customers) explodes
+  * to its 9 neighbor cells and equi-joins the build side (suppliers,
+  * each point registered in its ONE home cell) on the cell key —
+  * every true pair is found exactly once (no distinct, no dedup
+  * pass) because the build point has one home cell and the probe's 9
+  * offsets are distinct. The exact d² <= R² filter runs inside the
+  * joined cell — work is sharded by cell occupancy, never a
+  * cross-product stage. Skewed cells (a downtown) are ordinary hot
+  * equi-join keys: AQE splits them, j9's salting is the manual
+  * fallback — the same toolbox as every other join in the engine.
+  */
+object GeoPack extends QueryPack {
+
+  private val R = 500L // radius; also the cell width
+
+  /** Deterministic integer scatter of a key column onto the grid. */
+  private def pts(df: DataFrame, key: String, id: String): DataFrame =
+    df.select(col(key).cast("long").as(id),
+      (col(key) * 7919L % 100000L).as("x"),
+      (col(key) * 104729L % 100000L).as("y"))
+
+  private def customers(s: SparkSession, dir: String): DataFrame =
+    pts(Tables(s, dir, "customer"), "c_custkey", "aid")
+
+  private def suppliers(s: SparkSession, dir: String): DataFrame =
+    pts(Tables(s, dir, "supplier"), "s_suppkey", "bid")
+
+  /** Candidate pairs via the 9-cell probe, with exact d² attached. */
+  private def candidates(s: SparkSession, dir: String): DataFrame = {
+    val a = customers(s, dir)
+      .withColumn("dc", explode(expr(
+        s"""flatten(transform(sequence(-1, 1), i ->
+           |  transform(sequence(-1, 1), j ->
+           |    named_struct('cx', x div $R + i, 'cy', y div $R + j))))"""
+          .stripMargin)))
+      .select(col("aid"), col("x").as("ax"), col("y").as("ay"),
+        col("dc.cx").as("cx"), col("dc.cy").as("cy"))
+    val b = suppliers(s, dir)
+      .select(col("bid"), col("x").as("bx"), col("y").as("by"),
+        expr(s"x div $R").as("cx"), expr(s"y div $R").as("cy"))
+    a.join(b, Seq("cx", "cy"))
+      .withColumn("d2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("d2") <= R * R)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DISTANCE JOIN: all (customer, supplier) point pairs within R.
+    // The oracle runs the honest quadratic join — equality proves the
+    // 9-cell cover loses nothing and emits nothing twice.
+    "geo_dist_join" -> ((s, dir) =>
+      candidates(s, dir)
+        .select(col("aid"), col("bid"), col("d2"))
+        .orderBy(col("aid"), col("bid"))),
+
+    // NEAREST NEIGHBOR WITHIN R: per customer, the closest supplier
+    // inside the radius (deterministic (d², bid) tie-break) — the
+    // bounded-radius NN that gridding answers exactly (unbounded NN
+    // needs expanding-ring search; the radius IS the contract here,
+    // as in "nearest store within 5 km"). One min_by hash agg over
+    // the candidate set.
+    "geo_nn" -> ((s, dir) =>
+      candidates(s, dir)
+        .groupBy(col("aid"))
+        .agg(min_by(col("bid"), struct(col("d2"), col("bid"))).as("nn_bid"),
+          min(struct(col("d2"), col("bid"))).getField("d2").as("nn_d2"),
+          count(lit(1)).as("n_in_radius"))
+        .orderBy(col("aid"))),
+
+    // DENSITY HEATMAP: point counts per coarse 10x10 macro-cell for
+    // both point sets — the aggregation a tile renderer or a
+    // partitioner-designer reads. One hash agg per set, unioned.
+    "geo_heatmap" -> ((s, dir) => {
+      def grid(df: DataFrame, id: String, kind: String) =
+        df.groupBy(expr("x div 10000").as("gx"), expr("y div 10000").as("gy"))
+          .agg(count(lit(1)).as("n"), sum(col(id)).as("id_sum"))
+          .withColumn("kind", lit(kind))
+      grid(customers(s, dir), "aid", "customer")
+        .unionByName(grid(suppliers(s, dir), "bid", "supplier"))
+        .select(col("kind"), col("gx"), col("gy"), col("n"), col("id_sum"))
+        .orderBy(col("kind"), col("gx"), col("gy"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    // the honest quadratic formulation — the grid join must equal it
+    "geo_dist_join" ->
+      s"""WITH a AS (
+         |  SELECT c_custkey AS aid, c_custkey * 7919 % 100000 AS x,
+         |    c_custkey * 104729 % 100000 AS y
+         |  FROM customer),
+         |b AS (
+         |  SELECT s_suppkey AS bid, s_suppkey * 7919 % 100000 AS x,
+         |    s_suppkey * 104729 % 100000 AS y
+         |  FROM supplier)
+         |SELECT aid, bid,
+         |  CAST((a.x - b.x) * (a.x - b.x)
+         |     + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+         |FROM a, b
+         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |      <= ${R * R}
+         |ORDER BY aid, bid""".stripMargin,
+
+    "geo_nn" ->
+      s"""WITH a AS (
+         |  SELECT c_custkey AS aid, c_custkey * 7919 % 100000 AS x,
+         |    c_custkey * 104729 % 100000 AS y
+         |  FROM customer),
+         |b AS (
+         |  SELECT s_suppkey AS bid, s_suppkey * 7919 % 100000 AS x,
+         |    s_suppkey * 104729 % 100000 AS y
+         |  FROM supplier),
+         |p AS (
+         |  SELECT aid, bid,
+         |    CAST((a.x - b.x) * (a.x - b.x)
+         |       + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+         |  FROM a, b
+         |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |        <= ${R * R}),
+         |r AS (
+         |  SELECT aid, bid, d2,
+         |    row_number() OVER (PARTITION BY aid ORDER BY d2, bid) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY aid) AS BIGINT)
+         |      AS n_in_radius
+         |  FROM p)
+         |SELECT aid, bid AS nn_bid, d2 AS nn_d2, n_in_radius
+         |FROM r WHERE rn = 1 ORDER BY aid""".stripMargin,
+
+    "geo_heatmap" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS id, c_custkey * 7919 % 100000 AS x,
+        |    c_custkey * 104729 % 100000 AS y
+        |  FROM customer),
+        |b AS (
+        |  SELECT s_suppkey AS id, s_suppkey * 7919 % 100000 AS x,
+        |    s_suppkey * 104729 % 100000 AS y
+        |  FROM supplier),
+        |u AS (
+        |  SELECT 'customer' AS kind, x // 10000 AS gx, y // 10000 AS gy, id
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'supplier', x // 10000, y // 10000, id FROM b)
+        |SELECT kind, gx, gy, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(id) AS BIGINT) AS id_sum
+        |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  )
+}
