@@ -69,6 +69,28 @@ object StreamingPack extends QueryPack {
     "st_dedup_stream_exec" -> ((s, dir) =>
       graft.streaming.StreamExec.dedupViaStream(s, dir)),
 
+    // LOCF imputation (last observation carried forward) — the
+    // time-series gap-repair twin of st_gap_fill's zero-fill:
+    // readings are "missing" on sensor-dropout rows (event_type =
+    // 'error', a deterministic rule both engines share) and each gap
+    // inherits the user's latest earlier reading. One user-partitioned
+    // running window (never global); leading gaps stay null — LOCF
+    // must not invent data before the first observation.
+    "st_locf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("reading",
+          when(col("event_type") =!= "error", col("value")))
+        .select(col("event_id"), col("user_id"),
+          col("reading").isNull.as("was_missing"),
+          round(last(col("reading"), ignoreNulls = true).over(w), 2)
+            .as("filled"))
+        .orderBy(col("event_id"))
+    }),
+
     // Watermark late-data contract through a real StreamExecution:
     // append-mode hourly aggregate over staging that injects BOTH an
     // hours-stale replay (poisoned ids — must be dropped by the
@@ -469,6 +491,18 @@ object StreamingPack extends QueryPack {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same LOCF semantics: IGNORE NULLS running last_value, identical
+    // full-precision ordering, leading gaps null
+    "st_locf" ->
+      """SELECT event_id, user_id,
+        |  (event_type = 'error') AS was_missing,
+        |  round(last_value(CASE WHEN event_type <> 'error' THEN value END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS filled
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // the clean-corpus hourly census: the staged replays (negated
     // ids) must be absent, the held-back in-delay rows present — any
