@@ -95,6 +95,72 @@ object SimilarityPack extends QueryPack {
     // planted-neighbor fixture. Scale: same broadcast-queries x
     // corpus-scan shape as s_knn_brute, one qid exchange for all
     // three windows.
+    // MMR diversified re-ranking (Carbonell & Goldstein) — the
+    // redundancy cut retrieval/curation pipelines run AFTER top-k:
+    // greedily pick 5 of the brute top-10 maximizing
+    // 0.7·rel(d) − 0.3·max_{s∈S} sim(d, s). Inherently sequential in
+    // k, so both engines unroll the SAME 5 argmax rounds (first pick
+    // = pure relevance); every score is the identical IEEE operation
+    // sequence on bit-identical cosines, so the greedy path cannot
+    // diverge. Scale: candidate and pair-sim frames are k-bounded per
+    // query (10 rows / 90 sims) and pinned once; each round is a
+    // k-bounded join + argmax — the cost profile of MMR is set by the
+    // top-k stage that feeds it, not by k² on bounded k.
+    "s_mmr_rerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("nid").asc)
+      val cand = broadcast(q).crossJoin(e)
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"), col("v"), col("nrm"),
+          (dot / (col("qn") * col("nrm"))).as("rel"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("nid"), col("v"), col("nrm"), col("rel"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sims = cand.select(col("qid"), col("nid").as("na"),
+          col("v").as("va"), col("nrm").as("nna"))
+        .join(cand.select(col("qid"), col("nid").as("nb"),
+          col("v").as("vb"), col("nrm").as("nnb")), Seq("qid"))
+        .filter(col("na") =!= col("nb"))
+        .select(col("qid"), col("na"), col("nb"),
+          (dotCols("va", "vb") / (col("nna") * col("nnb"))).as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.scale.CacheRegistry.track(cand, sims)
+      var sel = cand.groupBy(col("qid"))
+        .agg(max_by(struct(col("nid"), (lit(0.7) * col("rel")).as("score")),
+          struct(col("rel"), -col("nid"))).as("p"))
+        .select(col("qid"), col("p.nid").as("nid"), lit(1).as("ord"),
+          col("p.score").as("score"))
+      for (r <- 2 to 5) {
+        val pick = cand
+          .join(sel.select(col("qid"), col("nid")), Seq("qid", "nid"),
+            "left_anti")
+          .join(sims.select(col("qid"), col("na").as("nid"), col("nb"),
+              col("sim"))
+            .join(sel.select(col("qid"), col("nid").as("nb")),
+              Seq("qid", "nb")),
+            Seq("qid", "nid"), "left")
+          .groupBy(col("qid"), col("nid"), col("rel"))
+          .agg(max(col("sim")).as("ms"))
+          .withColumn("score",
+            lit(0.7) * col("rel") - lit(0.3) * coalesce(col("ms"), lit(0.0)))
+          .groupBy(col("qid"))
+          .agg(max_by(struct(col("nid"), col("score")),
+            struct(col("score"), -col("nid"))).as("p"))
+          .select(col("qid"), col("p.nid").as("nid"), lit(r).as("ord"),
+            col("p.score").as("score"))
+        sel = sel.unionByName(pick)
+      }
+      sel.select(col("qid"), col("ord"), col("nid"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("ord"))
+    }),
+
     "s_hybrid_rrf" -> ((s, dir) => {
       val e = vecs(s, dir)
       val q = e.filter(col("vec_id") < 10)
@@ -570,7 +636,55 @@ object SimilarityPack extends QueryPack {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** The MMR oracle unrolls the same greedy rounds 2..5 (generated —
+    * one definition of the score and tie-break shared with the Spark
+    * side's max_by). a{k} accumulates the selected set. */
+  private val mmrRounds: String = (2 to 5).map { k =>
+    s"""s$k AS (
+       |  SELECT qid, nid, $k AS ord, score FROM (
+       |    SELECT x.qid, x.nid, x.score,
+       |      row_number() OVER (PARTITION BY x.qid
+       |        ORDER BY x.score DESC, x.nid) AS rn
+       |    FROM (
+       |      SELECT c.qid, c.nid,
+       |        0.7 * c.rel - 0.3 * coalesce((
+       |          SELECT max(s.sim) FROM sims s JOIN a${k - 1} t
+       |            ON t.qid = s.qid AND t.nid = s.nb
+       |          WHERE s.qid = c.qid AND s.na = c.nid), 0.0) AS score
+       |      FROM cand c
+       |      WHERE NOT EXISTS (SELECT 1 FROM a${k - 1} t
+       |        WHERE t.qid = c.qid AND t.nid = c.nid)) x) WHERE rn = 1),
+       |a$k AS (SELECT * FROM a${k - 1} UNION ALL SELECT * FROM s$k)"""
+      .stripMargin
+  }.mkString(",\n")
+
   override def oracleSql: Map[String, String] = Map(
+    "s_mmr_rerank" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn
+         |      FROM n WHERE vec_id < 10),
+         |p AS (
+         |  SELECT qid, n.vec_id AS nid,
+         |    list_dot_product(qv, n.v) / (qn * n.nrm) AS rel,
+         |    n.v AS v, n.nrm AS nrm
+         |  FROM q, n WHERE n.vec_id <> qid),
+         |cand AS (SELECT qid, nid, rel, v, nrm FROM (
+         |  SELECT p.*, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rel DESC, nid) AS rk FROM p) WHERE rk <= 10),
+         |sims AS (
+         |  SELECT a.qid, a.nid AS na, b.nid AS nb,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+         |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid),
+         |s1 AS (SELECT qid, nid, 1 AS ord, 0.7 * rel AS score FROM (
+         |  SELECT qid, nid, rel, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rel DESC, nid) AS rn FROM cand) WHERE rn = 1),
+         |a1 AS (SELECT * FROM s1),
+         |$mmrRounds
+         |SELECT qid, CAST(ord AS INT) AS ord, nid,
+         |  round(score, 4) AS score
+         |FROM a5 ORDER BY qid, ord""".stripMargin,
     "s_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
