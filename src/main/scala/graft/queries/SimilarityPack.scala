@@ -121,6 +121,10 @@ object SimilarityPack extends QueryPack {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
         .select(col("qid"), col("nid"), col("v"), col("nrm"), col("rel"))
+        // k-bounded (10 rows x 10 queries): one partition, so the 4
+        // greedy rounds run single-task stages instead of paying the
+        // full shuffle-partition fan-out ~16 times on 100-row frames
+        .coalesce(1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sims = cand.select(col("qid"), col("nid").as("na"),
           col("v").as("va"), col("nrm").as("nna"))
@@ -154,7 +158,12 @@ object SimilarityPack extends QueryPack {
             struct(col("score"), -col("nid"))).as("p"))
           .select(col("qid"), col("p.nid").as("nid"), lit(r).as("ord"),
             col("p.score").as("score"))
-        sel = sel.unionByName(pick)
+        // sel feeds BOTH next-round inputs (anti-join + sim probe), so
+        // an unbroken lineage doubles per round — 16 copies of the
+        // round-1 subtree by round 5. The eager localCheckpoint
+        // truncates it: each round's selected set (<= 50 rows) is
+        // materialized once and the plan stays linear in rounds.
+        sel = sel.unionByName(pick).localCheckpoint()
       }
       sel.select(col("qid"), col("ord"), col("nid"),
           round(col("score"), 4).as("score"))
