@@ -359,6 +359,31 @@ object AnalyticsPack extends QueryPack {
     // check that community pipelines gate on; composes two existing
     // operators (KCore membership + one edge census) with zero new
     // iteration. All exchanges are node/edge-keyed hash aggs.
+    // A/B EXPERIMENT READOUT — Welch's two-sample t from
+    // integer-exact moments: ONE conditional-aggregation pass
+    // computes both groups' (n, Σd, Σd²) as int64 (metric in whole
+    // dollars so Σd² stays far inside int64 at this scale; a 1e9-row
+    // deployment lifts the moments to DECIMAL(38) internally and
+    // still emits the same row), then the t statistic is derived from
+    // those six integers by an expression string SHARED VERBATIM with
+    // the oracle — identical IEEE sequence, so even the float rounds
+    // identically. The standard experimentation gate, one scan, no
+    // shuffle beyond the global aggregate.
+    "a13_abtest" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select((col("o_orderkey") % 2 === 0).as("grp"),
+          round(col("o_totalprice")).cast("long").as("d"))
+        .agg(
+          count(when(col("grp"), 1)).as("n_a"),
+          count(when(!col("grp"), 1)).as("n_b"),
+          sum(when(col("grp"), col("d")).otherwise(0L)).as("sum_a"),
+          sum(when(!col("grp"), col("d")).otherwise(0L)).as("sum_b"),
+          sum(when(col("grp"), col("d") * col("d")).otherwise(0L)).as("ss_a"),
+          sum(when(!col("grp"), col("d") * col("d")).otherwise(0L)).as("ss_b"))
+        .withColumn("welch_t", expr(AbTestTExpr))
+        .withColumn("significant", expr("abs(welch_t) > 1.96"))
+    }),
+
     // LABEL-PROPAGATION communities — the linear-time community
     // detector (Raghavan et al. 2007), made deterministic for the
     // oracle gate: 3 SYNCHRONOUS rounds where every node adopts its
@@ -883,6 +908,18 @@ object AnalyticsPack extends QueryPack {
     })
   )
 
+  /** Welch's t from the six integer moments — ONE definition, spliced
+    * verbatim into both the Spark plan and the DuckDB oracle so the
+    * float arithmetic is the identical IEEE sequence (sums cast to
+    * double BEFORE squaring: Σd is ~1e10 at sf0.1, and a bigint
+    * square would overflow int64 — and DuckDB would silently promote
+    * to HUGEINT, the round-5 decimal-hash lesson). */
+  private val AbTestTExpr: String =
+    """round((sum_a / n_a - sum_b / n_b) / sqrt(
+      |  ((ss_a - CAST(sum_a AS DOUBLE) * sum_a / n_a) / (n_a - 1)) / n_a +
+      |  ((ss_b - CAST(sum_b AS DOUBLE) * sum_b / n_b) / (n_b - 1)) / n_b),
+      |  4)""".stripMargin
+
   /** The LPA oracle unrolls the same 3 synchronous rounds (generated,
     * not hand-typed — one definition of the argmax tie-break shared
     * with the Spark side's max_by(lbl, struct(cnt, -lbl))). */
@@ -898,6 +935,31 @@ object AnalyticsPack extends QueryPack {
   }.mkString(",\n")
 
   override def oracleSql: Map[String, String] = Map(
+    "a13_abtest" ->
+      s"""WITH m AS (
+         |  SELECT
+         |    count(*) FILTER (o_orderkey % 2 = 0) AS n_a,
+         |    count(*) FILTER (o_orderkey % 2 <> 0) AS n_b,
+         |    CAST(sum(CASE WHEN o_orderkey % 2 = 0
+         |      THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS sum_a,
+         |    CAST(sum(CASE WHEN o_orderkey % 2 <> 0
+         |      THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS sum_b,
+         |    CAST(sum(CASE WHEN o_orderkey % 2 = 0
+         |      THEN CAST(round(o_totalprice) AS BIGINT)
+         |           * CAST(round(o_totalprice) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS ss_a,
+         |    CAST(sum(CASE WHEN o_orderkey % 2 <> 0
+         |      THEN CAST(round(o_totalprice) AS BIGINT)
+         |           * CAST(round(o_totalprice) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS ss_b
+         |  FROM orders)
+         |SELECT n_a, n_b, sum_a, sum_b, ss_a, ss_b,
+         |  $AbTestTExpr AS welch_t,
+         |  abs($AbTestTExpr) > 1.96 AS significant
+         |FROM m""".stripMargin,
+
     "g_label_prop" ->
       s"""WITH bk AS (
          |  SELECT l_orderkey, list(DISTINCT l_partkey) AS ps

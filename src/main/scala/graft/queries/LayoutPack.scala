@@ -99,6 +99,25 @@ object LayoutPack extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // LINEAR-SORT layout — the CONTROL for the two curve rows: the
+    // same per-bucket span report under a plain single-column sort
+    // (bucket = top 6 bits of x). x-spans are perfect (<= 15) but
+    // y-spans stay ~full-range per bucket, so a filter on y prunes
+    // nothing — the one-dimensional failure mode ZORDER/HILBERT exist
+    // to fix, made measurable in the same format. Same plan shape:
+    // narrow projection + one hash agg.
+    "ly_linear_sort" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(1024)).as("x"),
+          pmod(col("l_suppkey"), lit(1024)).as("y"))
+        .withColumn("bucket", expr("x div 16"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy(col("bucket"))
+    }),
+
     // HILBERT clustering — the same layout report as ly_zorder on the
     // same (x, y) bucketing, through the Hilbert space-filling curve
     // instead of the Morton interleave (Delta liquid clustering's
@@ -269,6 +288,14 @@ object LayoutPack extends QueryPack {
         |  CAST(sum(p_size) AS BIGINT) AS sz,
         |  min(p_name) AS first_name
         |FROM part WHERE p_size > 25 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ly_linear_sort" ->
+      """WITH b AS (
+        |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem)
+        |SELECT x // 16 AS bucket, count(*) AS n,
+        |  min(x) AS x_min, max(x) AS x_max,
+        |  min(y) AS y_min, max(y) AS y_max
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ly_zorder" ->
       s"""WITH b AS (
