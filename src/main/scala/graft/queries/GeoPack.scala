@@ -32,19 +32,28 @@ import org.apache.spark.sql.functions._
   */
 object GeoPack extends QueryPack {
 
-  private val R = 500L // radius; also the cell width
+  private val R = 800L // radius; also the cell width
 
-  /** Deterministic integer scatter of a key column onto the grid. */
-  private def pts(df: DataFrame, key: String, id: String): DataFrame =
+  /** Deterministic integer scatter of a key column onto the grid.
+    * QUADRATIC mixing, not linear: a linear congruential scatter puts
+    * consecutive keys on a difference LATTICE (dx depends only on the
+    * key delta), which at these densities has NO near pairs at all —
+    * and two sets sharing the multipliers collide exactly on shared
+    * key values. key²-mixing breaks the difference structure and the
+    * per-set offsets de-align the sets. */
+  private def pts(df: DataFrame, key: String, id: String,
+                  ox: Long, oy: Long): DataFrame =
     df.select(col(key).cast("long").as(id),
-      (col(key) * 7919L % 100000L).as("x"),
-      (col(key) * 104729L % 100000L).as("y"))
+      ((col(key) * col(key) * 7919L + col(key) * 104729L + ox) % 100000L)
+        .as("x"),
+      ((col(key) * col(key) * 104729L + col(key) * 7919L + oy) % 100000L)
+        .as("y"))
 
   private def customers(s: SparkSession, dir: String): DataFrame =
-    pts(Tables(s, dir, "customer"), "c_custkey", "aid")
+    pts(Tables(s, dir, "customer"), "c_custkey", "aid", 0L, 0L)
 
   private def suppliers(s: SparkSession, dir: String): DataFrame =
-    pts(Tables(s, dir, "supplier"), "s_suppkey", "bid")
+    pts(Tables(s, dir, "supplier"), "s_suppkey", "bid", 31337L, 71993L)
 
   /** Candidate pairs via the 9-cell probe, with exact d² attached. */
   private def candidates(s: SparkSession, dir: String): DataFrame = {
@@ -89,6 +98,42 @@ object GeoPack extends QueryPack {
           count(lit(1)).as("n_in_radius"))
         .orderBy(col("aid"))),
 
+    // R-CONNECTIVITY CLUSTERING (DBSCAN with minPts = 1): customer
+    // points whose pairwise distance <= R chain into clusters —
+    // spatial edges from a grid SELF-join (probe side explodes 9
+    // cells, build side home cell, aid < bid keeps each pair exactly
+    // once since only one ordering passes the filter), then the same
+    // min-label ConnectedComponents the dedup family runs. Composes
+    // two existing primitives with zero new iteration; singletons
+    // (no neighbor within R) are out of scope, as in d_cluster.
+    "geo_cluster" -> ((s, dir) => {
+      val pts = customers(s, dir)
+      val probe = pts
+        .withColumn("dc", explode(expr(
+          s"""flatten(transform(sequence(-1, 1), i ->
+             |  transform(sequence(-1, 1), j ->
+             |    named_struct('cx', x div $R + i, 'cy', y div $R + j))))"""
+            .stripMargin)))
+        .select(col("aid"), col("x").as("ax"), col("y").as("ay"),
+          col("dc.cx").as("cx"), col("dc.cy").as("cy"))
+      val build = pts.select(col("aid").as("bid"), col("x").as("bx"),
+        col("y").as("by"), expr(s"x div $R").as("cx"),
+        expr(s"y div $R").as("cy"))
+      val edges = probe.join(build, Seq("cx", "cy"))
+        .filter(col("aid") < col("bid"))
+        .filter(
+          (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+            (col("ay") - col("by")) * (col("ay") - col("by")) <= R * R)
+        .select(col("aid").as("src"), col("bid").as("dst"))
+      val cc = graft.scale.ConnectedComponents.run(edges)
+      val sizes = cc.groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "component")
+        .select(col("node").as("aid"), col("component"),
+          col("cluster_size"))
+        .orderBy(col("aid"))
+    }),
+
     // DENSITY HEATMAP: point counts per coarse 10x10 macro-cell for
     // both point sets — the aggregation a tile renderer or a
     // partitioner-designer reads. One hash agg per set, unioned.
@@ -108,12 +153,18 @@ object GeoPack extends QueryPack {
     // the honest quadratic formulation — the grid join must equal it
     "geo_dist_join" ->
       s"""WITH a AS (
-         |  SELECT c_custkey AS aid, c_custkey * 7919 % 100000 AS x,
-         |    c_custkey * 104729 % 100000 AS y
+         |  SELECT c_custkey AS aid,
+         |    (c_custkey * c_custkey * 7919 + c_custkey * 104729)
+         |      % 100000 AS x,
+         |    (c_custkey * c_custkey * 104729 + c_custkey * 7919)
+         |      % 100000 AS y
          |  FROM customer),
          |b AS (
-         |  SELECT s_suppkey AS bid, s_suppkey * 7919 % 100000 AS x,
-         |    s_suppkey * 104729 % 100000 AS y
+         |  SELECT s_suppkey AS bid,
+         |    (s_suppkey * s_suppkey * 7919 + s_suppkey * 104729 + 31337)
+         |      % 100000 AS x,
+         |    (s_suppkey * s_suppkey * 104729 + s_suppkey * 7919 + 71993)
+         |      % 100000 AS y
          |  FROM supplier)
          |SELECT aid, bid,
          |  CAST((a.x - b.x) * (a.x - b.x)
@@ -125,12 +176,18 @@ object GeoPack extends QueryPack {
 
     "geo_nn" ->
       s"""WITH a AS (
-         |  SELECT c_custkey AS aid, c_custkey * 7919 % 100000 AS x,
-         |    c_custkey * 104729 % 100000 AS y
+         |  SELECT c_custkey AS aid,
+         |    (c_custkey * c_custkey * 7919 + c_custkey * 104729)
+         |      % 100000 AS x,
+         |    (c_custkey * c_custkey * 104729 + c_custkey * 7919)
+         |      % 100000 AS y
          |  FROM customer),
          |b AS (
-         |  SELECT s_suppkey AS bid, s_suppkey * 7919 % 100000 AS x,
-         |    s_suppkey * 104729 % 100000 AS y
+         |  SELECT s_suppkey AS bid,
+         |    (s_suppkey * s_suppkey * 7919 + s_suppkey * 104729 + 31337)
+         |      % 100000 AS x,
+         |    (s_suppkey * s_suppkey * 104729 + s_suppkey * 7919 + 71993)
+         |      % 100000 AS y
          |  FROM supplier),
          |p AS (
          |  SELECT aid, bid,
@@ -148,14 +205,48 @@ object GeoPack extends QueryPack {
          |SELECT aid, bid AS nn_bid, d2 AS nn_d2, n_in_radius
          |FROM r WHERE rn = 1 ORDER BY aid""".stripMargin,
 
+    // quadratic pair edges + the dedup family's recursive-walk CC
+    "geo_cluster" ->
+      s"""WITH RECURSIVE a AS (
+         |  SELECT c_custkey AS aid,
+         |    (c_custkey * c_custkey * 7919 + c_custkey * 104729)
+         |      % 100000 AS x,
+         |    (c_custkey * c_custkey * 104729 + c_custkey * 7919)
+         |      % 100000 AS y
+         |  FROM customer),
+         |p AS (
+         |  SELECT l.aid AS s, r.aid AS d
+         |  FROM a l JOIN a r ON l.aid < r.aid
+         |  WHERE (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)
+         |        <= ${R * R}),
+         |edges AS (
+         |  SELECT s, d FROM p UNION SELECT d, s FROM p),
+         |walk(node, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT walk.node, e.d FROM walk JOIN edges e ON e.s = walk.r),
+         |comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node),
+         |sizes AS (SELECT component, CAST(count(*) AS BIGINT)
+         |            AS cluster_size
+         |          FROM comp GROUP BY component)
+         |SELECT comp.node AS aid, comp.component, sizes.cluster_size
+         |FROM comp JOIN sizes USING (component)
+         |ORDER BY aid""".stripMargin,
+
     "geo_heatmap" ->
       """WITH a AS (
-        |  SELECT c_custkey AS id, c_custkey * 7919 % 100000 AS x,
-        |    c_custkey * 104729 % 100000 AS y
+        |  SELECT c_custkey AS id,
+        |    (c_custkey * c_custkey * 7919 + c_custkey * 104729)
+        |      % 100000 AS x,
+        |    (c_custkey * c_custkey * 104729 + c_custkey * 7919)
+        |      % 100000 AS y
         |  FROM customer),
         |b AS (
-        |  SELECT s_suppkey AS id, s_suppkey * 7919 % 100000 AS x,
-        |    s_suppkey * 104729 % 100000 AS y
+        |  SELECT s_suppkey AS id,
+        |    (s_suppkey * s_suppkey * 7919 + s_suppkey * 104729 + 31337)
+        |      % 100000 AS x,
+        |    (s_suppkey * s_suppkey * 104729 + s_suppkey * 7919 + 71993)
+        |      % 100000 AS y
         |  FROM supplier),
         |u AS (
         |  SELECT 'customer' AS kind, x // 10000 AS gx, y // 10000 AS gy, id
