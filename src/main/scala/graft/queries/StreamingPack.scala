@@ -69,6 +69,36 @@ object StreamingPack extends QueryPack {
     "st_dedup_stream_exec" -> ((s, dir) =>
       graft.streaming.StreamExec.dedupViaStream(s, dir)),
 
+    // CLICKSTREAM PATH MINING — the top session-opening event-type
+    // sequences (first 3 events per session, '>'-joined): the
+    // "common navigation paths" census product analytics runs after
+    // sessionization. Sessions via the gaps-and-islands formulation
+    // (full-precision (ts, event_id) ordering on BOTH sides so ties
+    // cannot flap the path string); per-session assembly is a
+    // user-partitioned window + one (user, sid) hash agg — the
+    // session frame never exceeds a user's own events; path census
+    // is a second tiny agg + TakeOrdered.
+    "e_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+        .withColumn("new_s", when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) >
+            30L * 60 * 1000000, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(sort_array(collect_list(struct(
+          col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .select(concat_ws(">",
+          expr("transform(slice(evs, 1, 3), e -> e.event_type)")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("path"))
+        .limit(20)
+    }),
+
     // LOCF imputation (last observation carried forward) — the
     // time-series gap-repair twin of st_gap_fill's zero-fill:
     // readings are "missing" on sensor-dropout rows (event_type =
@@ -491,6 +521,30 @@ object StreamingPack extends QueryPack {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same islands, same (ts, event_id) total order, same strict
+    // 30-minute gap
+    "e_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |p AS (
+        |  SELECT array_to_string(
+        |    list_slice(list(event_type ORDER BY ts, event_id), 1, 3), '>')
+        |    AS path
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"""
+        .stripMargin,
 
     // same LOCF semantics: IGNORE NULLS running last_value, identical
     // full-precision ordering, leading gaps null
