@@ -107,23 +107,32 @@ object GeoPack extends QueryPack {
     // two existing primitives with zero new iteration; singletons
     // (no neighbor within R) are out of scope, as in d_cluster.
     "geo_cluster" -> ((s, dir) => {
+      // clustering uses a TIGHTER radius than the dist-join: at R=800
+      // the sf0.1 point field sits near the percolation threshold —
+      // one giant ~diameter-45 component whose min-label CC needs ~45
+      // sequential rounds (measured; a pointer-jump variant was tried
+      // and rejected: barely fewer rounds, pathological join cost).
+      // Rc=400 is also the semantically honest choice: cluster radius
+      // < candidate radius, the usual DBSCAN-eps-under-join-radius
+      // setup.
+      val Rc = 400L
       val pts = customers(s, dir)
       val probe = pts
         .withColumn("dc", explode(expr(
           s"""flatten(transform(sequence(-1, 1), i ->
              |  transform(sequence(-1, 1), j ->
-             |    named_struct('cx', x div $R + i, 'cy', y div $R + j))))"""
+             |    named_struct('cx', x div $Rc + i, 'cy', y div $Rc + j))))"""
             .stripMargin)))
         .select(col("aid"), col("x").as("ax"), col("y").as("ay"),
           col("dc.cx").as("cx"), col("dc.cy").as("cy"))
       val build = pts.select(col("aid").as("bid"), col("x").as("bx"),
-        col("y").as("by"), expr(s"x div $R").as("cx"),
-        expr(s"y div $R").as("cy"))
+        col("y").as("by"), expr(s"x div $Rc").as("cx"),
+        expr(s"y div $Rc").as("cy"))
       val edges = probe.join(build, Seq("cx", "cy"))
         .filter(col("aid") < col("bid"))
         .filter(
           (col("ax") - col("bx")) * (col("ax") - col("bx")) +
-            (col("ay") - col("by")) * (col("ay") - col("by")) <= R * R)
+            (col("ay") - col("by")) * (col("ay") - col("by")) <= Rc * Rc)
         .select(col("aid").as("src"), col("bid").as("dst"))
       val cc = graft.scale.ConnectedComponents.run(edges)
       val sizes = cc.groupBy(col("component"))
@@ -218,7 +227,7 @@ object GeoPack extends QueryPack {
          |  SELECT l.aid AS s, r.aid AS d
          |  FROM a l JOIN a r ON l.aid < r.aid
          |  WHERE (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)
-         |        <= ${R * R}),
+         |        <= 160000),
          |edges AS (
          |  SELECT s, d FROM p UNION SELECT d, s FROM p),
          |walk(node, r) AS (
