@@ -650,6 +650,66 @@ object RelationalPack extends QueryPack {
         .orderBy(col("custkey"))
     }),
 
+    // CLASSIFICATION EVAL METRICS — the confusion matrix + derived
+    // scores every model harness emits (M9 computes accuracy inside
+    // MLlib; this is the engine-level operator on arbitrary
+    // prediction/label columns, here a deterministic rule classifier
+    // so the oracle replays it exactly): one conditional-aggregation
+    // pass -> TP/FP/FN/TN, then precision/recall/F1/accuracy in
+    // integer basis points (div — no float threshold flapping).
+    // F1 is derived from the bp-rounded precision/recall on BOTH
+    // sides, so the arithmetic is engine-portable by construction.
+    "m10_eval_metrics" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select((col("l_quantity") > 25).as("pred"),
+          (col("l_returnflag") === "R").as("actual"))
+        .agg(
+          sum(when(col("pred") && col("actual"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("actual"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("actual"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("pred") && !col("actual"), 1L).otherwise(0L)).as("tn"))
+        .withColumn("precision_bp", expr("tp * 10000 div (tp + fp)"))
+        .withColumn("recall_bp", expr("tp * 10000 div (tp + fn)"))
+        .withColumn("f1_bp", expr(
+          "2 * precision_bp * recall_bp div (precision_bp + recall_bp)"))
+        .withColumn("accuracy_bp", expr(
+          "(tp + tn) * 10000 div (tp + fp + fn + tn)"))
+    }),
+
+    // TABLE-VERSION DIFF — data reconciliation between two versions
+    // of a table (the check run after every backfill/migration):
+    // j15's deterministic change rules produce the "after" version,
+    // a single full-outer join on the key classifies every row as
+    // added / removed / changed / unchanged, and the census carries
+    // both counts and the net value delta per class (integer cents).
+    // At 100 TB both sides shuffle once on the key — same cost as
+    // the merge that produced the new version; checksum columns make
+    // a silent row swap visible.
+    "dq_table_diff" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+      val after = base.filter(col("k") % 97 === 0)
+        .select(col("k"), (col("c") + 1000L).as("c2"))
+        .unionAll(base.filter(col("k") % 97 =!= 0 && col("k") % 89 =!= 0)
+          .select(col("k"), col("c").as("c2")))
+        .unionAll(base.filter(col("k") % 83 === 0)
+          .select((col("k") + 1000000000L).as("k"),
+            (col("c") + 2500L).as("c2")))
+      base.select(col("k"), col("c"))
+        .join(after, Seq("k"), "full_outer")
+        .select(
+          when(col("c").isNull, lit("added"))
+            .when(col("c2").isNull, lit("removed"))
+            .when(col("c") =!= col("c2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("change_type"),
+          coalesce(col("c2"), lit(0L)) - coalesce(col("c"), lit(0L)))
+        .toDF("change_type", "delta")
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("delta")).as("cents_delta"))
+        .orderBy(col("change_type"))
+    }),
+
     // INCREMENTAL materialized-view maintenance — the warehouse IVM
     // contract (Materialize / Delta Live / incremental dbt): given a
     // precomputed aggregate MV and a CDC delta batch, the new MV is
@@ -1022,6 +1082,51 @@ object RelationalPack extends QueryPack {
         |  c_nationkey, n_orders, total
         |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "m10_eval_metrics" ->
+      """WITH p AS (
+        |  SELECT l_quantity > 25 AS pred, l_returnflag = 'R' AS actual
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (pred AND actual) AS BIGINT) AS tp,
+        |    CAST(count(*) FILTER (pred AND NOT actual) AS BIGINT) AS fp,
+        |    CAST(count(*) FILTER (NOT pred AND actual) AS BIGINT) AS fn,
+        |    CAST(count(*) FILTER (NOT pred AND NOT actual) AS BIGINT) AS tn
+        |  FROM p),
+        |d AS (
+        |  SELECT *, tp * 10000 // (tp + fp) AS precision_bp,
+        |    tp * 10000 // (tp + fn) AS recall_bp
+        |  FROM m)
+        |SELECT tp, fp, fn, tn, precision_bp, recall_bp,
+        |  2 * precision_bp * recall_bp // (precision_bp + recall_bp)
+        |    AS f1_bp,
+        |  (tp + tn) * 10000 // (tp + fp + fn + tn) AS accuracy_bp
+        |FROM d""".stripMargin,
+
+    // same j15 change rules; the diff census is the reconciliation
+    // truth both sides must agree on
+    "dq_table_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |after AS (
+        |  SELECT k, c + 1000 AS c2 FROM base WHERE k % 97 = 0
+        |  UNION ALL
+        |  SELECT k, c FROM base WHERE k % 97 <> 0 AND k % 89 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000, c + 2500 FROM base WHERE k % 83 = 0),
+        |j AS (
+        |  SELECT CASE WHEN base.c IS NULL THEN 'added'
+        |              WHEN after.c2 IS NULL THEN 'removed'
+        |              WHEN base.c <> after.c2 THEN 'changed'
+        |              ELSE 'unchanged' END AS change_type,
+        |    coalesce(after.c2, 0) - coalesce(base.c, 0) AS delta
+        |  FROM base FULL OUTER JOIN after USING (k))
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(delta) AS BIGINT) AS cents_delta
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the FULL RECOMPUTE over the post-change table — the incremental
     // path must land on it exactly (the IVM correctness property)
