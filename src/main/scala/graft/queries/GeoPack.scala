@@ -75,6 +75,33 @@ object GeoPack extends QueryPack {
       .filter(col("d2") <= R * R)
   }
 
+  /** (9-cell candidate pairs BEFORE the exact filter, true pairs) —
+    * the growth-harness hook (tools/ScaleGrowth): a grid join is
+    * OUTPUT-SENSITIVE, so with 10x density on a fixed grid both
+    * counts grow ~100x and the measurable claim is their RATIO
+    * staying bounded (the probe examines a constant multiple of what
+    * it emits — never the n*m cross product). */
+  private[graft] def candidateStats(s: SparkSession, dir: String): (Long, Long) = {
+    val a = customers(s, dir)
+      .withColumn("dc", explode(expr(
+        s"""flatten(transform(sequence(-1, 1), i ->
+           |  transform(sequence(-1, 1), j ->
+           |    named_struct('cx', x div $R + i, 'cy', y div $R + j))))"""
+          .stripMargin)))
+      .select(col("aid"), col("x").as("ax"), col("y").as("ay"),
+        col("dc.cx").as("cx"), col("dc.cy").as("cy"))
+    val b = suppliers(s, dir)
+      .select(col("bid"), col("x").as("bx"), col("y").as("by"),
+        expr(s"x div $R").as("cx"), expr(s"y div $R").as("cy"))
+    val joined = a.join(b, Seq("cx", "cy"))
+      .withColumn("d2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+    val row = joined.agg(count(lit(1)),
+      count(when(col("d2") <= R * R, 1))).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DISTANCE JOIN: all (customer, supplier) point pairs within R.
     // The oracle runs the honest quadratic join — equality proves the

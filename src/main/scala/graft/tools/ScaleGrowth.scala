@@ -46,7 +46,7 @@ object ScaleGrowth {
 
     val queries = Seq("d_minhash_lsh", "d_simhash", "d_ngram_jaccard",
       "d_cluster", "s_knn_brute", "g_pagerank", "g_sssp_hops",
-      "g_triangle_count")
+      "g_triangle_count", "g_linkpred", "geo_dist_join", "geo_cluster")
 
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -80,6 +80,11 @@ object ScaleGrowth {
     val t10 = timeAll(bigDir)
     val c1 = candidates(oneDir)
     val c10 = candidates(bigDir)
+    // geo: candidates vs true pairs — the output-sensitivity ratio
+    // (both grow ~100x with 10x density on the fixed grid; the RATIO
+    // staying bounded is the claim)
+    val (gc1, gt1) = graft.queries.GeoPack.candidateStats(spark, oneDir)
+    val (gc10, gt10) = graft.queries.GeoPack.candidateStats(spark, bigDir)
 
     val per = queries.map { q =>
       val a = t1.find(_._1 == q).get
@@ -87,7 +92,7 @@ object ScaleGrowth {
       s""""$q":{"cold1":${ms(a._2)},"cold10":${ms(b._2)},"growth":${ms(b._2 / a._2)},"warm1":${ms(a._3)},"warm10":${ms(b._3)},"rows1":${a._4},"rows10":${b._4}}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scale_growth","cand_pairs_1x":$c1,"cand_pairs_10x":$c10,"cand_growth":${ms(c10.toDouble / c1)},"queries":$per}"""
+      s"""{"metric":"scale_growth","cand_pairs_1x":$c1,"cand_pairs_10x":$c10,"cand_growth":${ms(c10.toDouble / c1)},"geo_cand_1x":$gc1,"geo_true_1x":$gt1,"geo_cand_10x":$gc10,"geo_true_10x":$gt10,"queries":$per}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (line + "\n").getBytes("UTF-8"))
     println(line)

@@ -139,5 +139,14 @@ object SyntheticCorpus {
     e.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     o.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     l.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // key-only dimension tables: the geo family derives its point
+    // scatter purely from the keys, so these suffice for its growth
+    // measurement (10x keys = 10x point density on the fixed grid)
+    s.range(1, 15000L * scale + 1)
+      .select(org.apache.spark.sql.functions.col("id").as("c_custkey"))
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    s.range(1, 1000L * scale + 1)
+      .select(org.apache.spark.sql.functions.col("id").as("s_suppkey"))
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
   }
 }
