@@ -306,8 +306,10 @@ object AnalyticsPack extends QueryPack {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       // the bidirectional union makes every src also a dst, so the
       // no-inflow probe job is provably empty — assert it away
+      // node set = customers + suppliers: dimension-sized, so the
+      // broadcast-ranks round (zero per-round exchanges) applies
       val (ranks, handles) = graft.scale.PageRank.runTracked(edges, 5,
-        assumeDistinct = true, symmetric = true)
+        assumeDistinct = true, symmetric = true, broadcastRanks = true)
       // harness releases the pins after its action (CacheRegistry doc)
       graft.scale.CacheRegistry.track(handles)
       ranks
@@ -490,7 +492,7 @@ object AnalyticsPack extends QueryPack {
       // distinct pairs x 2 disjoint directions = already-distinct edges
       val (ranks, handles) =
         graft.scale.PageRank.runPersonalizedTracked(edges, seeds, 5,
-          assumeDistinct = true)
+          assumeDistinct = true, broadcastRanks = true)
       graft.scale.CacheRegistry.track(handles)
       ranks
         .select(col("node"), col("rank"),

@@ -89,7 +89,8 @@ object PageRank {
                  src: String = "src", dst: String = "dst",
                  checkpointInterval: Int = 0,
                  assumeDistinct: Boolean = false,
-                 symmetric: Boolean = false): (DataFrame, CacheHandles) = {
+                 symmetric: Boolean = false,
+                 broadcastRanks: Boolean = false): (DataFrame, CacheHandles) = {
     val persisted = Seq.newBuilder[DataFrame]
     def pin(df: DataFrame): DataFrame = {
       persisted += df
@@ -106,9 +107,20 @@ object PageRank {
     // all-rows-of-a-src-in-one-task placement adds no skew hazard the
     // per-round join didn't already have — the rank join shuffles by
     // src identically.
-    val eo = pin(e
-      .withColumn("od",
-        count(lit(1)).over(Window.partitionBy(col("src")))))
+    //
+    // broadcastRanks (GraphFrames' broadcast aggregateMessages mode):
+    // when the NODE SET is dimension-sized (true for the purchase
+    // graph's customers+suppliers; NOT for web-scale node sets — the
+    // default stays the shuffle path), the per-round rank frame can be
+    // broadcast instead of shuffled, and with the edge cache
+    // re-partitioned by dst up front, the per-round contribution
+    // aggregation lands on its own partitioning — ZERO exchanges per
+    // round (one extra one-time exchange at build). The recurrence and
+    // results are identical.
+    val eoBase = e.withColumn("od",
+      count(lit(1)).over(Window.partitionBy(col("src"))))
+    val eo = pin(
+      if (broadcastRanks) eoBase.repartition(col("dst")) else eoBase)
     // Node set read FROM the edge cache (partitioned by src, so the
     // distinct is exchange-free) — deriving it from the raw input
     // upstream of the cache re-ran the full scans once per action.
@@ -133,7 +145,9 @@ object PageRank {
     val hasNoInflow = !symmetric && noInflow.limit(1).count() > 0
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (i <- 1 to iters) {
-      val received = eo.join(ranks.withColumnRenamed("node", "src"), "src")
+      val rsrc = ranks.withColumnRenamed("node", "src")
+      val received = eo
+        .join(if (broadcastRanks) broadcast(rsrc) else rsrc, "src")
         .select(col("dst").as("node"), expr("rank div od").as("c"))
         .groupBy(col("node"))
         .agg((lit(150000L) + expr("(850 * sum(c)) div 1000")).as("rank"))
@@ -168,7 +182,8 @@ object PageRank {
     */
   def runPersonalizedTracked(edges: DataFrame, seeds: DataFrame, iters: Int,
                              src: String = "src", dst: String = "dst",
-                             assumeDistinct: Boolean = false)
+                             assumeDistinct: Boolean = false,
+                             broadcastRanks: Boolean = false)
       : (DataFrame, CacheHandles) = {
     val persisted = Seq.newBuilder[DataFrame]
     def pin(df: DataFrame): DataFrame = {
@@ -178,8 +193,10 @@ object PageRank {
     val e0 = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
     val e = if (assumeDistinct) e0 else e0.distinct()
-    val eo = pin(e.withColumn("od",
-      count(lit(1)).over(Window.partitionBy(col("src")))))
+    val eoBase = e.withColumn("od",
+      count(lit(1)).over(Window.partitionBy(col("src"))))
+    val eo = pin(
+      if (broadcastRanks) eoBase.repartition(col("dst")) else eoBase)
     val nodes = pin(eo.select(col("src").as("node")).distinct())
     val sd = pin(seeds.select(col("node").cast("long").as("node")).distinct())
     val nNodes = nodes.count()
@@ -198,7 +215,9 @@ object PageRank {
     val seedBase = broadcast(sd.withColumn("base", lit(perSeed)))
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
-      ranks = eo.join(ranks.withColumnRenamed("node", "src"), "src")
+      val rsrc = ranks.withColumnRenamed("node", "src")
+      ranks = eo
+        .join(if (broadcastRanks) broadcast(rsrc) else rsrc, "src")
         .select(col("dst").as("node"), expr("rank div od").as("c"))
         .groupBy(col("node"))
         .agg(expr("(850 * sum(c)) div 1000").as("fl"))
