@@ -111,16 +111,17 @@ object PageRank {
     // broadcastRanks (GraphFrames' broadcast aggregateMessages mode):
     // when the NODE SET is dimension-sized (true for the purchase
     // graph's customers+suppliers; NOT for web-scale node sets — the
-    // default stays the shuffle path), the per-round rank frame can be
-    // broadcast instead of shuffled, and with the edge cache
-    // re-partitioned by dst up front, the per-round contribution
-    // aggregation lands on its own partitioning — ZERO exchanges per
-    // round (one extra one-time exchange at build). The recurrence and
-    // results are identical.
-    val eoBase = e.withColumn("od",
-      count(lit(1)).over(Window.partitionBy(col("src"))))
-    val eo = pin(
-      if (broadcastRanks) eoBase.repartition(col("dst")) else eoBase)
+    // default stays the shuffle path), the per-round rank frame is
+    // BROADCAST instead of shuffled: the rank join becomes a
+    // broadcast hash join over the edge cache with no sort and no
+    // rank-side exchange. The per-round contribution aggregation
+    // still pays its ONE edge-keyed exchange — pre-partitioning the
+    // cache by dst cannot remove it, because an AQE-planned cached
+    // relation does not propagate its output partitioning
+    // (PageRankSpec pins the exactly-one-exchange-per-round shape).
+    // The recurrence and results are identical either way.
+    val eo = pin(e.withColumn("od",
+      count(lit(1)).over(Window.partitionBy(col("src")))))
     // Node set read FROM the edge cache (partitioned by src, so the
     // distinct is exchange-free) — deriving it from the raw input
     // upstream of the cache re-ran the full scans once per action.
@@ -193,10 +194,8 @@ object PageRank {
     val e0 = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
     val e = if (assumeDistinct) e0 else e0.distinct()
-    val eoBase = e.withColumn("od",
-      count(lit(1)).over(Window.partitionBy(col("src"))))
-    val eo = pin(
-      if (broadcastRanks) eoBase.repartition(col("dst")) else eoBase)
+    val eo = pin(e.withColumn("od",
+      count(lit(1)).over(Window.partitionBy(col("src")))))
     val nodes = pin(eo.select(col("src").as("node")).distinct())
     val sd = pin(seeds.select(col("node").cast("long").as("node")).distinct())
     val nNodes = nodes.count()

@@ -92,4 +92,39 @@ class PageRankSpec extends SparkSpec {
     // node 1 outranks node 2: it receives from both 0 and 2
     assert(got(1L) > got(2L))
   }
+
+  test("broadcastRanks == shuffle mode, and adds ZERO exchanges per round") {
+    import spark.implicits._
+    val edges = ((1L to 40L).map(i => (i, i % 40 + 1)) ++
+      (1L to 40L).map(i => (i % 40 + 1, i))).toDF("src", "dst")
+    val (a, ha) = PageRank.runTracked(edges, 4, symmetric = true)
+    val (b, hb) = PageRank.runTracked(edges, 4, symmetric = true,
+      broadcastRanks = true)
+    assert(a.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      b.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+    ha.release(); hb.release()
+    // the structural claim: in broadcast mode each extra round adds
+    // EXACTLY ONE shuffle exchange (the edge-keyed contribution agg)
+    // and nothing else — the rank side rides a broadcast, never a
+    // shuffle or sort. Distinct plan_ids, because the cached edge
+    // subtree's build-time exchanges are REPRINTED under every
+    // InMemoryTableScan reference. (Zero per round is not reachable:
+    // an AQE-planned cached relation does not propagate output
+    // partitioning, so pre-partitioning the cache cannot feed the
+    // aggregation's distribution requirement.)
+    def exchanges(iters: Int): Int = {
+      val (r, h) = PageRank.runTracked(edges, iters, symmetric = true,
+        broadcastRanks = true)
+      val n = r.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Exchange") && !l.contains("Broadcast"))
+        .flatMap(l => "plan_id=(\\d+)".r.findFirstMatchIn(l).map(_.group(1)))
+        .toSet.size
+      h.release()
+      n
+    }
+    val e2 = exchanges(2)
+    val e6 = exchanges(6)
+    assert(e6 - e2 == 4,
+      s"expected exactly one added exchange per round: $e2 at 2 iters vs $e6 at 6")
+  }
 }
