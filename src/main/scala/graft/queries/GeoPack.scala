@@ -40,14 +40,21 @@ object GeoPack extends QueryPack {
     * key delta), which at these densities has NO near pairs at all —
     * and two sets sharing the multipliers collide exactly on shared
     * key values. key²-mixing breaks the difference structure and the
-    * per-set offsets de-align the sets. */
+    * per-set offsets de-align the sets.
+    *
+    * Overflow bound: the key is reduced onto the grid (mod 100000)
+    * BEFORE squaring, so every intermediate stays <= ~1.05e15 — far
+    * inside int64 at ANY key scale. Squaring the raw key would wrap
+    * int64 past keys ~9.4e6 (~sf60) in non-ANSI Spark while DuckDB
+    * RAISES on BIGINT overflow, so engine and oracle would diverge
+    * exactly where the 100 TB story matters. */
   private def pts(df: DataFrame, key: String, id: String,
-                  ox: Long, oy: Long): DataFrame =
+                  ox: Long, oy: Long): DataFrame = {
+    val k = col(key) % 100000L
     df.select(col(key).cast("long").as(id),
-      ((col(key) * col(key) * 7919L + col(key) * 104729L + ox) % 100000L)
-        .as("x"),
-      ((col(key) * col(key) * 104729L + col(key) * 7919L + oy) % 100000L)
-        .as("y"))
+      ((k * k * 7919L + k * 104729L + ox) % 100000L).as("x"),
+      ((k * k * 104729L + k * 7919L + oy) % 100000L).as("y"))
+  }
 
   private def customers(s: SparkSession, dir: String): DataFrame =
     pts(Tables(s, dir, "customer"), "c_custkey", "aid", 0L, 0L)
@@ -55,8 +62,13 @@ object GeoPack extends QueryPack {
   private def suppliers(s: SparkSession, dir: String): DataFrame =
     pts(Tables(s, dir, "supplier"), "s_suppkey", "bid", 31337L, 71993L)
 
-  /** Candidate pairs via the 9-cell probe, with exact d² attached. */
-  private def candidates(s: SparkSession, dir: String): DataFrame = {
+  /** The shared 9-cell probe/build/d² frame (pre-radius-filter):
+    * probe side (customers) exploded to 9 neighbor cells, build side
+    * (suppliers) registered in its one home cell, equi-joined on the
+    * cell key with exact d² attached. `candidates` filters it,
+    * `candidateStats` aggregates over it — ONE construction so a
+    * future radius or scatter change cannot drift between them. */
+  private def joinedWithD2(s: SparkSession, dir: String): DataFrame = {
     val a = customers(s, dir)
       .withColumn("dc", explode(expr(
         s"""flatten(transform(sequence(-1, 1), i ->
@@ -72,8 +84,11 @@ object GeoPack extends QueryPack {
       .withColumn("d2",
         (col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")))
-      .filter(col("d2") <= R * R)
   }
+
+  /** Candidate pairs via the 9-cell probe, with exact d² attached. */
+  private def candidates(s: SparkSession, dir: String): DataFrame =
+    joinedWithD2(s, dir).filter(col("d2") <= R * R)
 
   /** (9-cell candidate pairs BEFORE the exact filter, true pairs) —
     * the growth-harness hook (tools/ScaleGrowth): a grid join is
@@ -82,22 +97,7 @@ object GeoPack extends QueryPack {
     * staying bounded (the probe examines a constant multiple of what
     * it emits — never the n*m cross product). */
   private[graft] def candidateStats(s: SparkSession, dir: String): (Long, Long) = {
-    val a = customers(s, dir)
-      .withColumn("dc", explode(expr(
-        s"""flatten(transform(sequence(-1, 1), i ->
-           |  transform(sequence(-1, 1), j ->
-           |    named_struct('cx', x div $R + i, 'cy', y div $R + j))))"""
-          .stripMargin)))
-      .select(col("aid"), col("x").as("ax"), col("y").as("ay"),
-        col("dc.cx").as("cx"), col("dc.cy").as("cy"))
-    val b = suppliers(s, dir)
-      .select(col("bid"), col("x").as("bx"), col("y").as("by"),
-        expr(s"x div $R").as("cx"), expr(s"y div $R").as("cy"))
-    val joined = a.join(b, Seq("cx", "cy"))
-      .withColumn("d2",
-        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
-          (col("ay") - col("by")) * (col("ay") - col("by")))
-    val row = joined.agg(count(lit(1)),
+    val row = joinedWithD2(s, dir).agg(count(lit(1)),
       count(when(col("d2") <= R * R, 1))).head()
     (row.getLong(0), row.getLong(1))
   }
@@ -189,19 +189,17 @@ object GeoPack extends QueryPack {
     // the honest quadratic formulation — the grid join must equal it
     "geo_dist_join" ->
       s"""WITH a AS (
-         |  SELECT c_custkey AS aid,
-         |    (c_custkey * c_custkey * 7919 + c_custkey * 104729)
-         |      % 100000 AS x,
-         |    (c_custkey * c_custkey * 104729 + c_custkey * 7919)
-         |      % 100000 AS y
-         |  FROM customer),
+         |  SELECT aid,
+         |    (k * k * 7919 + k * 104729) % 100000 AS x,
+         |    (k * k * 104729 + k * 7919) % 100000 AS y
+         |  FROM (SELECT c_custkey AS aid, c_custkey % 100000 AS k
+         |        FROM customer)),
          |b AS (
-         |  SELECT s_suppkey AS bid,
-         |    (s_suppkey * s_suppkey * 7919 + s_suppkey * 104729 + 31337)
-         |      % 100000 AS x,
-         |    (s_suppkey * s_suppkey * 104729 + s_suppkey * 7919 + 71993)
-         |      % 100000 AS y
-         |  FROM supplier)
+         |  SELECT bid,
+         |    (k * k * 7919 + k * 104729 + 31337) % 100000 AS x,
+         |    (k * k * 104729 + k * 7919 + 71993) % 100000 AS y
+         |  FROM (SELECT s_suppkey AS bid, s_suppkey % 100000 AS k
+         |        FROM supplier))
          |SELECT aid, bid,
          |  CAST((a.x - b.x) * (a.x - b.x)
          |     + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
@@ -212,19 +210,17 @@ object GeoPack extends QueryPack {
 
     "geo_nn" ->
       s"""WITH a AS (
-         |  SELECT c_custkey AS aid,
-         |    (c_custkey * c_custkey * 7919 + c_custkey * 104729)
-         |      % 100000 AS x,
-         |    (c_custkey * c_custkey * 104729 + c_custkey * 7919)
-         |      % 100000 AS y
-         |  FROM customer),
+         |  SELECT aid,
+         |    (k * k * 7919 + k * 104729) % 100000 AS x,
+         |    (k * k * 104729 + k * 7919) % 100000 AS y
+         |  FROM (SELECT c_custkey AS aid, c_custkey % 100000 AS k
+         |        FROM customer)),
          |b AS (
-         |  SELECT s_suppkey AS bid,
-         |    (s_suppkey * s_suppkey * 7919 + s_suppkey * 104729 + 31337)
-         |      % 100000 AS x,
-         |    (s_suppkey * s_suppkey * 104729 + s_suppkey * 7919 + 71993)
-         |      % 100000 AS y
-         |  FROM supplier),
+         |  SELECT bid,
+         |    (k * k * 7919 + k * 104729 + 31337) % 100000 AS x,
+         |    (k * k * 104729 + k * 7919 + 71993) % 100000 AS y
+         |  FROM (SELECT s_suppkey AS bid, s_suppkey % 100000 AS k
+         |        FROM supplier)),
          |p AS (
          |  SELECT aid, bid,
          |    CAST((a.x - b.x) * (a.x - b.x)
@@ -244,12 +240,11 @@ object GeoPack extends QueryPack {
     // quadratic pair edges + the dedup family's recursive-walk CC
     "geo_cluster" ->
       s"""WITH RECURSIVE a AS (
-         |  SELECT c_custkey AS aid,
-         |    (c_custkey * c_custkey * 7919 + c_custkey * 104729)
-         |      % 100000 AS x,
-         |    (c_custkey * c_custkey * 104729 + c_custkey * 7919)
-         |      % 100000 AS y
-         |  FROM customer),
+         |  SELECT aid,
+         |    (k * k * 7919 + k * 104729) % 100000 AS x,
+         |    (k * k * 104729 + k * 7919) % 100000 AS y
+         |  FROM (SELECT c_custkey AS aid, c_custkey % 100000 AS k
+         |        FROM customer)),
          |p AS (
          |  SELECT l.aid AS s, r.aid AS d
          |  FROM a l JOIN a r ON l.aid < r.aid
@@ -271,19 +266,17 @@ object GeoPack extends QueryPack {
 
     "geo_heatmap" ->
       """WITH a AS (
-        |  SELECT c_custkey AS id,
-        |    (c_custkey * c_custkey * 7919 + c_custkey * 104729)
-        |      % 100000 AS x,
-        |    (c_custkey * c_custkey * 104729 + c_custkey * 7919)
-        |      % 100000 AS y
-        |  FROM customer),
+        |  SELECT id,
+        |    (k * k * 7919 + k * 104729) % 100000 AS x,
+        |    (k * k * 104729 + k * 7919) % 100000 AS y
+        |  FROM (SELECT c_custkey AS id, c_custkey % 100000 AS k
+        |        FROM customer)),
         |b AS (
-        |  SELECT s_suppkey AS id,
-        |    (s_suppkey * s_suppkey * 7919 + s_suppkey * 104729 + 31337)
-        |      % 100000 AS x,
-        |    (s_suppkey * s_suppkey * 104729 + s_suppkey * 7919 + 71993)
-        |      % 100000 AS y
-        |  FROM supplier),
+        |  SELECT id,
+        |    (k * k * 7919 + k * 104729 + 31337) % 100000 AS x,
+        |    (k * k * 104729 + k * 7919 + 71993) % 100000 AS y
+        |  FROM (SELECT s_suppkey AS id, s_suppkey % 100000 AS k
+        |        FROM supplier)),
         |u AS (
         |  SELECT 'customer' AS kind, x // 10000 AS gx, y // 10000 AS gy, id
         |  FROM a

@@ -789,13 +789,19 @@ object RelationalPack extends QueryPack {
     // M1 as relational algebra: StringIndexer's frequencyDesc label→index
     // mapping (data_utils.py:267-298) — index = dense order by (count
     // desc, label asc), cast double exactly like MLlib's output column.
+    // The label vocabulary is ~5 rows here, but the rank still goes
+    // through scale/GlobalRank so the repo-wide no-unpartitioned-window
+    // invariant holds with an EMPTY allowlist (a high-cardinality
+    // categorical — user ids, URLs — would silently funnel one task
+    // otherwise).
     "m1_freq_index" -> ((s, dir) => {
-      val w = Window.orderBy(col("cnt").desc, col("c_mktsegment").asc)
-      t(s, dir, "customer")
+      val counts = t(s, dir, "customer")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"))
+      graft.scale.GlobalRank
+        .withGlobalRank(counts, -col("cnt"), col("c_mktsegment"), "rk")
         .select(col("c_mktsegment"),
-          (row_number().over(w) - 1).cast("double").as("segment_index"))
+          (col("rk") - 1).cast("double").as("segment_index"))
         .orderBy(col("segment_index"))
     })
   )

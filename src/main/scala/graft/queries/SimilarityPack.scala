@@ -316,7 +316,11 @@ object SimilarityPack extends QueryPack {
     // inertia, AND centroid vectors — a fully oracle-gated iterative
     // ML operator, not a stats-band check. Per round: one corpus scan
     // + broadcast centroid cross + min-agg; update shuffles only
-    // k x dims partial sums.
+    // k x dims partial sums. The output is SCALAR-ONLY (gate
+    // contract: the driver's comparer sorts every column and cannot
+    // hash array cells — round-6 lesson): the k centroid vectors are
+    // posexploded to (cluster_id, d, v) rows, k x dims = 256 rows
+    // total, each carrying the cluster's n_points/inertia alongside.
     "s_kmeans" -> ((s, dir) => {
       val q = vecs(s, dir).select(col("vec_id"),
         expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))").as("qv"))
@@ -324,12 +328,17 @@ object SimilarityPack extends QueryPack {
         graft.scale.KMeans.lloydQuantized(s, q, k = 4, iters = 3)
       import s.implicits._
       val cdf = cent.zipWithIndex.toSeq.toDF("centroid", "cluster_id")
+        .select(col("cluster_id").cast("long").as("cluster_id"),
+          posexplode(col("centroid")).as(Seq("d", "v")))
+        .select(col("cluster_id"), col("d").cast("long").as("d"), col("v"))
       assigned.groupBy(col("cid").as("cluster_id"))
         .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("inertia"))
-        .join(broadcast(cdf), "cluster_id")
         .select(col("cluster_id").cast("long").as("cluster_id"),
-          col("n_points"), col("inertia"), col("centroid"))
-        .orderBy(col("cluster_id"))
+          col("n_points"), col("inertia"))
+        .join(broadcast(cdf), "cluster_id")
+        .select(col("cluster_id"), col("n_points"), col("inertia"),
+          col("d"), col("v"))
+        .orderBy(col("cluster_id"), col("d"))
     }),
 
     // Per-label centroid: element-wise mean embedding per class — the
@@ -773,13 +782,11 @@ object SimilarityPack extends QueryPack {
         |  SELECT CAST(key % 4 AS BIGINT) AS cluster_id,
         |    CAST(count(*) AS BIGINT) AS n_points,
         |    CAST(sum(key // 4) AS BIGINT) AS inertia
-        |  FROM a3 GROUP BY 1),
-        |cent AS (
-        |  SELECT cid AS cluster_id, list(v ORDER BY d) AS centroid
-        |  FROM c3 GROUP BY 1)
-        |SELECT stats.cluster_id, n_points, inertia, centroid
-        |FROM stats JOIN cent ON stats.cluster_id = cent.cluster_id
-        |ORDER BY stats.cluster_id""".stripMargin,
+        |  FROM a3 GROUP BY 1)
+        |SELECT stats.cluster_id, n_points, inertia,
+        |  CAST(c3.d AS BIGINT) AS d, c3.v AS v
+        |FROM stats JOIN c3 ON stats.cluster_id = c3.cid
+        |ORDER BY stats.cluster_id, d""".stripMargin,
 
     // identical rankers, ranks, truncation, and integer RRF scale as
     // the Spark side; `//` keeps every term in int64

@@ -115,7 +115,10 @@ object StreamingPack extends QueryPack {
         .withColumn("reading",
           when(col("event_type") =!= "error", col("value")))
         .select(col("event_id"), col("user_id"),
-          col("reading").isNull.as("was_missing"),
+          // the dropout rule itself, NOT reading.isNull — the oracle
+          // spells event_type = 'error', and a non-error row with a
+          // NULL value would flip isNull on one side only
+          (col("event_type") === "error").as("was_missing"),
           round(last(col("reading"), ignoreNulls = true).over(w), 2)
             .as("filled"))
         .orderBy(col("event_id"))

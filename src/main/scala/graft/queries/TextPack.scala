@@ -580,20 +580,23 @@ object TextPack extends QueryPack {
     // min-frequency floor, the fit step of any word-level tokenizer
     // (and the shape of a BPE merge-table build: count, rank, assign
     // ids). The corpus-wide token count is one map-side-combinable
-    // hash agg; the global rank window runs AFTER the min-frequency
-    // filter, over the Heaps'-law-sublinear vocabulary (thousands of
-    // rows at 100 TB), never over the corpus — the one global window
-    // here is driver-bounded by construction.
+    // hash agg; the rank runs AFTER the min-frequency filter over the
+    // Heaps'-law-sublinear vocabulary — but even that vocabulary is
+    // hundreds of millions of tokens at 100 TB, so the rank goes
+    // through scale/GlobalRank's two-level scheme (splitter sketch →
+    // chunk-partitioned window → offset add), NEVER an unpartitioned
+    // window: no single task ever sees the whole vocabulary. Order is
+    // (freq DESC, token ASC); GlobalRank ranks ascending, so the sort
+    // key is -freq with the token as the total-order tie-break.
     "t_vocab" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val counts = Tables(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy(col("token")).agg(count(lit(1)).as("freq"))
         .filter(col("freq") >= 5)
-      val w = Window.orderBy(desc("freq"), asc("token"))
-      counts
-        .withColumn("id", row_number().over(w).cast("long") - 1)
+      graft.scale.GlobalRank
+        .withGlobalRank(counts, -col("freq"), col("token"), "id")
+        .withColumn("id", col("id") - 1)
         .orderBy(col("id")).limit(100)
     }),
 

@@ -297,13 +297,11 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     // Window.orderBy with no partition spec moves the operator's whole
     // input through ONE task — invisible to the value oracle, fatal at
-    // cluster scale. Every SparkEntry query plan is walked; the only
-    // allowed sites are bounded by construction:
-    //  - t_vocab: window runs post-freq-filter over the Heaps'-law
-    //    vocabulary (sublinear in corpus size), capped at 100 rows
-    //  - m1_freq_index: the indexer's label vocabulary (5 rows here;
-    //    bounded by distinct labels, not by fact volume)
-    val allow = Set("t_vocab", "m1_freq_index")
+    // cluster scale. Every SparkEntry query plan is walked; the
+    // allowlist is EMPTY since round 7 — the former members (t_vocab,
+    // m1_freq_index) now rank through scale/GlobalRank's two-level
+    // scheme, so no query funnels its window input through one task.
+    val allow = Set.empty[String]
     def windows(p: SparkPlan): Seq[WindowExec] = {
       val here = p match {
         case a: AdaptiveSparkPlanExec => windows(a.executedPlan)

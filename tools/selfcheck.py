@@ -65,6 +65,14 @@ def type_check(name, spark_tbl, duck):
                 return (f"DECIMAL_COLUMN {side}.{c} is {t} — cast it "
                         f"(oracle: CAST(... AS BIGINT/DOUBLE)); the "
                         f"driver hash is type-sensitive")
+            if fam.startswith("list<") or "list<" in fam:
+                # Round-6 lesson (s_kmeans): the driver's pandas
+                # comparer sort_values-es every column and dies on
+                # array cells. The gate contract is SCALAR COLUMNS
+                # ONLY — posexplode arrays to rows or emit a checksum.
+                return (f"LIST_COLUMN {side}.{c} is {t} — gate contract "
+                        f"is scalar-only (driver comparer cannot sort "
+                        f"arrays); posexplode to rows or checksum")
     for c in s_types:
         if c not in d_types:
             continue            # name mismatch reported separately
