@@ -237,19 +237,36 @@ object DedupPack extends QueryPack {
     // first n - ceil(t*n) + 1 of each document's shingles are indexed —
     // any pair with J >= t MUST collide inside these prefixes, so the
     // candidate set is exact while the inverted-index join shrinks
-    // ~25x at t=0.8. A length-ratio filter (min/max >= t, implied by
-    // J >= t) prunes further before the verification join computes the
-    // true Jaccard from the full sorted hash arrays.
+    // ~25x at t=0.8. Two further exact prunes run INSIDE the join
+    // condition, before any pair row survives to the distinct:
+    //  - length-ratio (min/max >= t, implied by J >= t);
+    //  - the PPJoin POSITIONAL filter (Xiao et al. 2008): a collision
+    //    at 0-based prefix positions (pa, pb) bounds the overlap by
+    //    1 + min(na-pa-1, nb-pb-1); J >= t needs overlap
+    //    >= ceil(t/(1+t)*(na+nb)) = ceil(4*(na+nb)/9) at t = 0.8, so
+    //    the filter is the INTEGER-exact 9*(1+min(...)) >= 4*(na+nb).
+    //    Common elements appear in the same relative order in both
+    //    sorted arrays, so a true pair's FIRST collision always
+    //    passes — no true pair is lost, only verification work.
+    // SCALE NOTE (measured, bench/scale_growth_r7.json): this exact
+    // path is the LABELED BOUNDED-CORPUS BASELINE, not the scale
+    // path. Over a closed vocabulary every shingle's document
+    // frequency grows linearly with the corpus, so the prefix-index
+    // join output grows ~quadratically no matter how it is filtered —
+    // d_minhash_lsh (measured flat at 10x) is the 100 TB default.
     "d_ngram_jaccard" -> ((s, dir) => {
       val t = 0.8
       val hs = hashArrays(s, dir)
       val pref = hs.select(col("doc_id"), col("n"),
-        explode(expr(s"slice(hs, 1, size(hs) - cast(ceil($t * size(hs)) as int) + 1)"))
-          .as("h"))
+        posexplode(expr(s"slice(hs, 1, size(hs) - cast(ceil($t * size(hs)) as int) + 1)"))
+          .as(Seq("p", "h")))
       val cand = pref.as("a")
         .join(pref.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-            least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * t)
+            least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * t &&
+            (lit(1) + least(col("a.n") - col("a.p") - 1,
+              col("b.n") - col("b.p") - 1)) * 9 >=
+              (col("a.n") + col("b.n")) * 4)
         .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
         .distinct()
       verified(cand, hs)

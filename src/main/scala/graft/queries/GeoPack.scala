@@ -90,6 +90,32 @@ object GeoPack extends QueryPack {
   private def candidates(s: SparkSession, dir: String): DataFrame =
     joinedWithD2(s, dir).filter(col("d2") <= R * R)
 
+  /** geo_cluster's R-connectivity edge set (customer self-join at
+    * Rc = 400, each undirected pair exactly once via aid < bid) —
+    * shared with the scale harness's CC-mode comparison
+    * (tools/ScaleGrowth), so the measured graph IS the gated graph. */
+  private[graft] def clusterEdges(s: SparkSession, dir: String): DataFrame = {
+    val Rc = 400L
+    val pts = customers(s, dir)
+    val probe = pts
+      .withColumn("dc", explode(expr(
+        s"""flatten(transform(sequence(-1, 1), i ->
+           |  transform(sequence(-1, 1), j ->
+           |    named_struct('cx', x div $Rc + i, 'cy', y div $Rc + j))))"""
+          .stripMargin)))
+      .select(col("aid"), col("x").as("ax"), col("y").as("ay"),
+        col("dc.cx").as("cx"), col("dc.cy").as("cy"))
+    val build = pts.select(col("aid").as("bid"), col("x").as("bx"),
+      col("y").as("by"), expr(s"x div $Rc").as("cx"),
+      expr(s"y div $Rc").as("cy"))
+    probe.join(build, Seq("cx", "cy"))
+      .filter(col("aid") < col("bid"))
+      .filter(
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= Rc * Rc)
+      .select(col("aid").as("src"), col("bid").as("dst"))
+  }
+
   /** (9-cell candidate pairs BEFORE the exact filter, true pairs) —
     * the growth-harness hook (tools/ScaleGrowth): a grid join is
     * OUTPUT-SENSITIVE, so with 10x density on a fixed grid both
@@ -141,27 +167,12 @@ object GeoPack extends QueryPack {
       // and rejected: barely fewer rounds, pathological join cost).
       // Rc=400 is also the semantically honest choice: cluster radius
       // < candidate radius, the usual DBSCAN-eps-under-join-radius
-      // setup.
-      val Rc = 400L
-      val pts = customers(s, dir)
-      val probe = pts
-        .withColumn("dc", explode(expr(
-          s"""flatten(transform(sequence(-1, 1), i ->
-             |  transform(sequence(-1, 1), j ->
-             |    named_struct('cx', x div $Rc + i, 'cy', y div $Rc + j))))"""
-            .stripMargin)))
-        .select(col("aid"), col("x").as("ax"), col("y").as("ay"),
-          col("dc.cx").as("cx"), col("dc.cy").as("cy"))
-      val build = pts.select(col("aid").as("bid"), col("x").as("bx"),
-        col("y").as("by"), expr(s"x div $Rc").as("cx"),
-        expr(s"y div $Rc").as("cy"))
-      val edges = probe.join(build, Seq("cx", "cy"))
-        .filter(col("aid") < col("bid"))
-        .filter(
-          (col("ax") - col("bx")) * (col("ax") - col("bx")) +
-            (col("ay") - col("by")) * (col("ay") - col("by")) <= Rc * Rc)
-        .select(col("aid").as("src"), col("bid").as("dst"))
-      val cc = graft.scale.ConnectedComponents.run(edges)
+      // setup. The CC runs in STAR-CONTRACTION mode (runStars,
+      // O(log d) rounds): a spatial field's diameter grows with
+      // density and min-label pays it linearly — the dense-regime
+      // numbers are in SCALE.md's r7 section. Dup-clique graphs
+      // (d_cluster) keep min-label: diameter ~1 by construction.
+      val cc = graft.scale.ConnectedComponents.runStars(clusterEdges(s, dir))
       val sizes = cc.groupBy(col("component"))
         .agg(count(lit(1)).as("cluster_size"))
       cc.join(sizes, "component")

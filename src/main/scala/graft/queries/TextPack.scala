@@ -83,6 +83,64 @@ object TextPack extends QueryPack {
           .as("contaminated"))
   }
 
+  /** The curation funnel's intermediate frames — ONE construction
+    * shared by t_pipeline's census and t_pipeline_write's materialized
+    * artifact, so a stage tweak cannot desynchronize the audit path
+    * from the write path. Stages (production order): Gopher-repetition
+    * quality gate (shared gopherStats) -> eval-trigram decontamination
+    * (shared decontamStats) -> exact dedup among survivors (min
+    * doc_id) -> per-source token budget in content-fingerprint order
+    * (t_budget's rule). `kept` carries (doc_id, source, n_tokens, fp,
+    * cum). */
+  private case class CurationFunnel(docsRaw: DataFrame, train: DataFrame,
+                                    qual: DataFrame, clean: DataFrame,
+                                    unique: DataFrame, kept: DataFrame)
+
+  private def curationFunnel(s: SparkSession, dir: String): CurationFunnel = {
+    import org.apache.spark.sql.expressions.Window
+    val docsRaw = Tables(s, dir, "documents")
+    val isEval = col("doc_id") % 10 === 0
+    val train = docsRaw.filter(!isEval)
+    val qual = gopherStats(train).filter(col("keep")).select(col("doc_id"))
+    val contaminated = decontamStats(docsRaw, isEval)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val clean = qual.join(contaminated, Seq("doc_id"), "left_anti")
+    val cleanDocs = train.join(clean, "doc_id")
+    val unique = cleanDocs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val fp = pmod(graft.expr.CharFingerprint(col("text")), lit(1000000))
+    val bw = Window.partitionBy(col("source"))
+      .orderBy(col("fp"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = cleanDocs.join(unique, "doc_id")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        fp.as("fp"))
+      .withColumn("cum", sum(col("n_tokens")).over(bw))
+      .filter(col("cum") - col("n_tokens") < 2000)
+    CurationFunnel(docsRaw, train, qual, clean, unique, kept)
+  }
+
+  /** One materialized curated corpus per (session, sfDir): the
+    * funnel's surviving documents written as full-row parquet (the
+    * artifact a trainer would consume), memoized like LayoutPack's
+    * round-trip copies so Bench repeats reuse one write. */
+  private val curatedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[queries] def curatedCorpusPath(s: SparkSession, dir: String): String = {
+    curatedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    curatedCache.computeIfAbsent((s, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_curated_").toString
+      Tables(s, dir, "documents")
+        .join(curationFunnel(s, dir).kept.select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+  }
+
   /** (doc_id, q_rank) — t_quality's bucket as an integer rank
     * (low=0, medium=1, high=2), the election key for quality-aware
     * duplicate-representative selection (DedupPack.d_rep_quality).
@@ -454,41 +512,58 @@ object TextPack extends QueryPack {
     // no exact dups here; d_exact demonstrates the content-hash-
     // grouped scale shape the production stage would use).
     "t_pipeline" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docsRaw = Tables(s, dir, "documents")
-      val isEval = col("doc_id") % 10 === 0
-      val train = docsRaw.filter(!isEval)
-      // stage 1: Gopher repetition quality gate — SAME definition as
-      // the standalone operator (shared gopherStats builder)
-      val qual = gopherStats(train).filter(col("keep")).select(col("doc_id"))
-      // stage 2: eval-set trigram decontamination — shared
-      // decontamStats builder (shingle-free docs can't be contaminated)
-      val contaminated = decontamStats(docsRaw, isEval)
-        .filter(col("contaminated")).select(col("doc_id"))
-      val clean = qual.join(contaminated, Seq("doc_id"), "left_anti")
-      // stage 3: exact dedup among survivors (keep min doc_id)
-      val cleanDocs = train.join(clean, "doc_id")
-      val unique = cleanDocs.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-      // stage 4: per-source token budget in fingerprint order (t_budget)
-      val fp = pmod(graft.expr.CharFingerprint(col("text")), lit(1000000))
-      val bw = Window.partitionBy(col("source"))
-        .orderBy(col("fp"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val kept = cleanDocs.join(unique, "doc_id")
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          fp.as("fp"))
-        .withColumn("cum", sum(col("n_tokens")).over(bw))
-        .filter(col("cum") - col("n_tokens") < 2000)
-      docsRaw.agg(count(lit(1)).as("n_input"))
-        .crossJoin(train.agg(count(lit(1)).as("n_train")))
-        .crossJoin(qual.agg(count(lit(1)).as("n_quality")))
-        .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
-        .crossJoin(unique.agg(count(lit(1)).as("n_unique")))
-        .crossJoin(kept.agg(count(lit(1)).as("n_final"),
+      val f = curationFunnel(s, dir)
+      f.docsRaw.agg(count(lit(1)).as("n_input"))
+        .crossJoin(f.train.agg(count(lit(1)).as("n_train")))
+        .crossJoin(f.qual.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(f.clean.agg(count(lit(1)).as("n_clean")))
+        .crossJoin(f.unique.agg(count(lit(1)).as("n_unique")))
+        .crossJoin(f.kept.agg(count(lit(1)).as("n_final"),
           sum(col("n_tokens")).as("tok_final"),
           sum(col("doc_id")).as("kept_id_checksum")))
+    }),
+
+    // MATERIALIZED curation run — the WRITE-PATH twin of t_pipeline's
+    // census (the ly_*_roundtrip discipline applied to the funnel):
+    // the surviving corpus is actually WRITTEN to parquet
+    // (curatedCorpusPath — quality -> decontam -> exact-dedup ->
+    // budget, full rows), re-read through a fresh scan, and the
+    // re-read artifact is packed into 256-token context windows
+    // (t_pack's chunk shape) with per-chunk token totals and a
+    // position-weighted TEXT fingerprint checksum. The oracle
+    // recomputes the identical funnel + pack from the ORIGINAL table,
+    // so equality gates (a) the funnel selected exactly the right
+    // documents, (b) every surviving row round-tripped the write
+    // byte-exactly (the fp checksum re-hashes the re-read text), and
+    // (c) the composition works off the audit path — a downstream
+    // trainer could read this artifact as-is. Scale shape: the write
+    // is one partitioned parquet sink, the re-read pack is one
+    // source-keyed window — nothing new beyond the gated stages.
+    // NOTE: at sf0.1 the gated answer is legitimately EMPTY — the
+    // fixture's closed 31-word vocabulary saturates the eval trigram
+    // space at 5k docs, so the (long-green) t_pipeline census itself
+    // reports n_clean = 0 there; sf0.01's 22 packed chunks carry the
+    // value evidence. A real corpus (open vocabulary) never saturates.
+    "t_pipeline_write" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val win = 256
+      val art = s.read.parquet(curatedCorpusPath(s, dir))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      art.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          pmod(graft.expr.CharFingerprint(col("text")), lit(1000000))
+            .as("fp"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("chunk_id",
+          floor((col("cum") - col("n_tokens")) / lit(win.toDouble)))
+        .groupBy(col("source"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(col("fp")).as("fp_checksum"))
+        .orderBy(col("source"), col("chunk_id"))
     }),
 
     // Token-budget subsampling — cap each source at a token budget,
@@ -1021,6 +1096,83 @@ object TextPack extends QueryPack {
         |  CAST(sum(n_tokens) AS BIGINT) AS tok_final,
         |  CAST(sum(doc_id) AS BIGINT) AS kept_id_checksum
         |FROM kept""".stripMargin,
+
+    // the identical funnel recomputed from the ORIGINAL table, then
+    // t_pack's 256-token chunking in doc_id order — the Spark side
+    // reads only the WRITTEN artifact, so equality proves the
+    // materialization selected the right rows and round-tripped the
+    // text byte-exactly (fp_checksum re-hashes the re-read text)
+    "t_pipeline_write" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        |q AS (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+        |base AS (
+        |  SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nu FROM q),
+        |tc AS (
+        |  SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM q) GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM tc GROUP BY 1),
+        |bgc AS (
+        |  SELECT doc_id, b, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+        |        FROM q) GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, max(c) AS bmx, sum(c) AS btot FROM bgc GROUP BY 1),
+        |qual AS (
+        |  SELECT base.doc_id
+        |  FROM base JOIN tt USING (doc_id) JOIN bt USING (doc_id)
+        |  WHERE round(1 - nu * 1.0 / n, 4) <= 0.6
+        |    AND round(mx * 1.0 / tot, 4) <= 0.12
+        |    AND round(bmx * 1.0 / btot, 4) <= 0.06),
+        |wall AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                         for i in range(1, greatest(len(w) - 1, 1))]) AS s
+        |  FROM wall)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        |ovl AS (
+        |  SELECT sh.doc_id, count(*) AS n_sh, count(ev.s) AS n_ov
+        |  FROM sh LEFT JOIN ev ON sh.s = ev.s
+        |  WHERE sh.doc_id % 10 <> 0 GROUP BY 1),
+        |contam AS (
+        |  SELECT doc_id FROM ovl
+        |  WHERE n_ov >= 5 OR n_ov * 10000 // n_sh >= 2000),
+        |clean AS (
+        |  SELECT doc_id FROM qual
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |cleandocs AS (SELECT t.* FROM train t JOIN clean USING (doc_id)),
+        |uniq AS (SELECT min(doc_id) AS doc_id FROM cleandocs GROUP BY text),
+        |f AS (
+        |  SELECT c.doc_id, c.source,
+        |    len(string_split(c.text, ' ')) AS n_tokens,
+        |    list_sum([unicode(c.text[i]) * i
+        |              for i in range(1, length(c.text) + 1)])
+        |      % 1000000007 % 1000000 AS fp
+        |  FROM cleandocs c JOIN uniq USING (doc_id)),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY fp, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM f),
+        |kept AS (SELECT doc_id FROM cum WHERE cum - n_tokens < 2000),
+        |art AS (
+        |  SELECT d.doc_id, d.source,
+        |    len(string_split(d.text, ' ')) AS n_tokens,
+        |    list_sum([unicode(d.text[i]) * i
+        |              for i in range(1, length(d.text) + 1)])
+        |      % 1000000007 % 1000000 AS fp
+        |  FROM documents d JOIN kept USING (doc_id)),
+        |pk AS (
+        |  SELECT doc_id, source, n_tokens, fp,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM art)
+        |SELECT source,
+        |  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS chunk_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(sum(fp) AS BIGINT) AS fp_checksum
+        |FROM pk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t_budget" ->
       """WITH f AS (

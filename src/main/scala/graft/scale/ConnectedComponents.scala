@@ -10,18 +10,24 @@ import org.apache.spark.storage.StorageLevel
   * representative (min doc_id). The reference has no graph operators at
   * all; this is part of the training-data-pipeline extension surface.
   *
-  * Algorithm: iterative min-label propagation on DataFrames.
+  * Two selectable modes, one output contract:
+  *
+  * [[run]] — iterative min-label propagation.
   *   labels(v) <- min(labels(v), min over neighbors u of labels(u))
   * repeated to fixpoint. Each round is one shuffle-on-node-id hash agg
   * (map-side combinable `min`); rounds = graph DIAMETER. Near-dup
   * graphs are dense clique-ish clusters with tiny diameters (a doc is a
   * near-dup of most other docs in its cluster), so propagation
-  * converges in a handful of rounds — this is why label propagation,
-  * not the O(log n)-round alternating large-star/small-star algorithm
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond"), is
-  * the right default for dedup. For adversarial diameters (long chains)
-  * swap the loop body for the star operations; the driver loop and
-  * convergence test stay identical.
+  * converges in a handful of rounds — the right default for dedup.
+  *
+  * [[runStars]] — alternating large-star/small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * 2014): each round rewires edges toward local minima instead of
+  * propagating labels one hop, so convergence is O(log d) rounds in
+  * the component diameter d rather than d itself. The right mode past
+  * the percolation threshold, where one giant high-diameter component
+  * makes min-label pay tens of sequential rounds (measured on the 10x
+  * geo fixture: diameter ~45 → min-label 45 rounds; see SCALE.md).
   *
   * Scale mechanics:
   *  - state per round is one (node, label) row per vertex — 16 bytes;
@@ -79,8 +85,84 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    lastRounds.set(iter)
     labels
   }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.
+    * 2014). Same input/output contract as [[run]]; O(log d) rounds in
+    * the component diameter instead of d. Each round:
+    *
+    *  - LARGE-STAR: every node u links each STRICTLY LARGER neighbor
+    *    v > u to m(u) = min(Γ(u) ∪ {u}) — long chains fold toward
+    *    local minima, potentially ADDING edges but never breaking
+    *    connectivity;
+    *  - SMALL-STAR: every node u links its smaller neighbors (and
+    *    itself) to their minimum — stars flatten.
+    *
+    * Both are one groupBy(node) min-agg + one edge join — the same
+    * map-side-combinable exchange shape as a min-label round, two per
+    * round. Fixpoint: the edge set is a union of depth-1 stars
+    * (node -> component min), detected by an order-insensitive
+    * (count, sum xxhash64(hi, lo)) set checksum riding the round's
+    * checkpoint action as an observe() metric. Nodes whose only edges
+    * are self-loops still appear in the output (joined back at the
+    * end), matching [[run]]'s every-incident-node contract.
+    */
+  def runStars(edges: DataFrame, src: String = "src", dst: String = "dst",
+               maxIter: Int = 50): DataFrame = {
+    val e0 = edges.select(col(src).cast("long").as("s"),
+      col(dst).cast("long").as("d"))
+    val nodes = e0.select(col("s").as("node"))
+      .union(e0.select(col("d").as("node"))).distinct()
+    // canonical (hi, lo), hi > lo; self-loops carry no connectivity
+    var e = e0.filter(col("s") =!= col("d"))
+      .select(greatest(col("s"), col("d")).as("hi"),
+        least(col("s"), col("d")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+    var prevSum = Long.MinValue
+    var prevCnt = -1L
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetrized view: neighbor lists (a, b)
+      val sym = e.select(col("hi").as("a"), col("lo").as("b"))
+        .union(e.select(col("lo").as("a"), col("hi").as("b")))
+      val lmin = sym.groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("m"))
+      // emit (b, m(a)) for b > a: each edge contributes exactly once,
+      // under its smaller endpoint's star; b > a >= m, so canonical
+      val large = sym.join(lmin, "a").filter(col("b") > col("a"))
+        .select(col("b").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star over canonical edges: every hi's smaller neighbors
+      // (all its lo rows) and hi itself link to their min
+      val smin = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val (next, cnt, sm) = checkpointWithSetSum(
+        large.join(smin, "hi").filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .unionByName(smin.select(col("hi"), col("m").as("lo")))
+          .distinct())
+      converged = cnt == prevCnt && sm == prevSum
+      prevCnt = cnt
+      prevSum = sm
+      e = next
+      iter += 1
+    }
+    lastRounds.set(iter)
+    // at fixpoint every non-root points at its component min; roots
+    // and self-loop-only nodes re-enter via the node list
+    nodes.join(e.select(col("hi").as("node"), col("lo").as("cmp")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("cmp"), col("node")).as("component"))
+  }
+
+  /** Rounds the last run/runStars on THIS thread took to converge —
+    * measurement hook for the scale harness (queries execute their
+    * driver loop on the calling thread). */
+  private[graft] val lastRounds: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
 
   // Monotone-label checksum, collected DURING the checkpoint
   // materialization (labels only decrease, so the sum is strictly
@@ -92,5 +174,21 @@ object ConnectedComponents {
     val out = df.observe(obs, sum(col("component")).as("cs"))
       .localCheckpoint() // eager: materializes + truncates lineage
     (out, obs.get("cs").asInstanceOf[Long])
+  }
+
+  // Order-insensitive edge-SET checksum (count + sum of per-edge
+  // hashes) riding the checkpoint action — star rounds rewire rather
+  // than monotonically shrink, so fixpoint = identical set two rounds
+  // running, not a monotone scalar stalling
+  private def checkpointWithSetSum(df: DataFrame): (DataFrame, Long, Long) = {
+    val obs = new org.apache.spark.sql.Observation(
+      s"cc_star_${obsId.incrementAndGet()}")
+    // per-edge hash reduced mod a ~2^30 prime BEFORE summing: the sum
+    // stays inside int64 to ~8.6e9 edges (raw xxhash64 sums overflow
+    // under ANSI at two rows)
+    val out = df.observe(obs, count(lit(1)).as("n"),
+        sum(pmod(xxhash64(col("hi"), col("lo")), lit(1073741789L))).as("hs"))
+      .localCheckpoint()
+    (out, obs.get("n").asInstanceOf[Long], obs.get("hs").asInstanceOf[Long])
   }
 }

@@ -86,13 +86,58 @@ object ScaleGrowth {
     val (gc1, gt1) = graft.queries.GeoPack.candidateStats(spark, oneDir)
     val (gc10, gt10) = graft.queries.GeoPack.candidateStats(spark, bigDir)
 
+    // CC-mode comparison on the DENSE 10x point field (the regime
+    // where geo_cluster's min-label paid diameter rounds, SCALE.md r6):
+    // identical edge set, min-label vs star contraction, wall + rounds
+    def ccMode(mode: String): (Double, Int, Long) = {
+      val edges = graft.queries.GeoPack.clusterEdges(spark, bigDir)
+      val t0 = System.nanoTime()
+      val n =
+        (if (mode == "stars") graft.scale.ConnectedComponents.runStars(edges)
+         else graft.scale.ConnectedComponents.run(edges)).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      val rounds = graft.scale.ConnectedComponents.lastRounds.get().intValue()
+      System.err.println(f"[scale] cc_$mode%-10s ${ms(t)}%8s s $rounds rounds ($n nodes)")
+      (t, rounds, n)
+    }
+    val (mlT, mlR, mlN) = ccMode("minlabel")
+    val (stT, stR, stN) = ccMode("stars")
+    require(mlN == stN, s"CC modes disagree on node count: $mlN vs $stN")
+
+    // 100x HEADROOM tier (VERDICT r6 task 6) for the operators whose
+    // 10x numbers were flat — one cold+warm run each (a 500k-doc
+    // corpus; cold dominates and the claim is growth class, not ms)
+    val hundredDir = "/tmp/graft_scale100x"
+    System.err.println(s"[scale] generating 100x corpus under $hundredDir ...")
+    SyntheticCorpus.writeCorpus(spark, refDir, hundredDir, scale = 100)
+    val headroomQs = Seq("d_minhash_lsh", "d_cluster", "s_knn_brute",
+      "g_pagerank")
+    val t100 = headroomQs.map { name =>
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(name)(spark, hundredDir).count()
+      val cold = (System.nanoTime() - t0) / 1e9
+      graft.scale.CacheRegistry.drain()
+      val t1w = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, hundredDir).count()
+      val warm = (System.nanoTime() - t1w) / 1e9
+      graft.scale.CacheRegistry.drain()
+      System.err.println(f"[scale] 100x $name%-18s cold ${ms(cold)}%8s s warm ${ms(warm)}%8s s ($rows rows)")
+      (name, cold, warm, rows)
+    }
+    val c100 = candidates(hundredDir)
+
     val per = queries.map { q =>
       val a = t1.find(_._1 == q).get
       val b = t10.find(_._1 == q).get
       s""""$q":{"cold1":${ms(a._2)},"cold10":${ms(b._2)},"growth":${ms(b._2 / a._2)},"warm1":${ms(a._3)},"warm10":${ms(b._3)},"rows1":${a._4},"rows10":${b._4}}"""
     }.mkString("{", ",", "}")
+    val per100 = t100.map { case (q, cold, warm, rows) =>
+      val a = t1.find(_._1 == q).get
+      s""""$q":{"cold100":${ms(cold)},"warm100":${ms(warm)},"rows100":$rows,"growth_vs_1x":${ms(cold / a._2)}}"""
+    }.mkString("{", ",", "}")
+    val cc = s"""{"minlabel":{"sec":${ms(mlT)},"rounds":$mlR},"stars":{"sec":${ms(stT)},"rounds":$stR},"nodes":$mlN}"""
     val line =
-      s"""{"metric":"scale_growth","cand_pairs_1x":$c1,"cand_pairs_10x":$c10,"cand_growth":${ms(c10.toDouble / c1)},"geo_cand_1x":$gc1,"geo_true_1x":$gt1,"geo_cand_10x":$gc10,"geo_true_10x":$gt10,"queries":$per}"""
+      s"""{"metric":"scale_growth","cand_pairs_1x":$c1,"cand_pairs_10x":$c10,"cand_pairs_100x":$c100,"cand_growth":${ms(c10.toDouble / c1)},"geo_cand_1x":$gc1,"geo_true_1x":$gt1,"geo_cand_10x":$gc10,"geo_true_10x":$gt10,"cc_dense_10x":$cc,"queries":$per,"headroom_100x":$per100}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (line + "\n").getBytes("UTF-8"))
     println(line)

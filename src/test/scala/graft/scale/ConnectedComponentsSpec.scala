@@ -68,4 +68,44 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(comp(p.getLong(0)) == comp(p.getLong(1)))
     }
   }
+
+  // --- star-contraction mode: identical contract, O(log d) rounds ---
+
+  private def ccStars(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.runStars(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("runStars matches run on components, chain, cycle, self-loops") {
+    val fixtures = Seq(
+      Seq((3L, 1L), (1L, 2L), (10L, 11L)),
+      (1L to 8L).map(i => (i + 1, i)),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (2L, 2L)),
+      Seq((5L, 5L), (7L, 8L))) // self-loop-only node must still appear
+    fixtures.foreach { edges =>
+      assert(ccStars(edges) == cc(edges), s"diverged on $edges")
+    }
+  }
+
+  test("runStars matches run on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    assert(ccStars(edges) == cc(edges))
+  }
+
+  test("runStars converges in O(log d) rounds on a long chain") {
+    // a 64-hop path: min-label pays the full diameter (~64 rounds,
+    // capped by maxIter); star contraction must fold it fast
+    val edges = (1L to 64L).map(i => (i + 1, i))
+    val got = ccStars(edges)
+    val starRounds = ConnectedComponents.lastRounds.get().intValue()
+    assert(got == (1L to 65L).map(_ -> 1L).toMap)
+    assert(starRounds <= 12,
+      s"star contraction took $starRounds rounds on a 64-chain")
+    cc(edges)
+    val labelRounds = ConnectedComponents.lastRounds.get().intValue()
+    assert(starRounds < labelRounds,
+      s"star ($starRounds) did not beat min-label ($labelRounds) on the chain")
+  }
 }
