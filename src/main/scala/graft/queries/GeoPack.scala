@@ -167,12 +167,17 @@ object GeoPack extends QueryPack {
       // and rejected: barely fewer rounds, pathological join cost).
       // Rc=400 is also the semantically honest choice: cluster radius
       // < candidate radius, the usual DBSCAN-eps-under-join-radius
-      // setup. The CC runs in STAR-CONTRACTION mode (runStars,
-      // O(log d) rounds): a spatial field's diameter grows with
-      // density and min-label pays it linearly — the dense-regime
-      // numbers are in SCALE.md's r7 section. Dup-clique graphs
-      // (d_cluster) keep min-label: diameter ~1 by construction.
-      val cc = graft.scale.ConnectedComponents.runStars(clusterEdges(s, dir))
+      // setup. The CC runs in ADAPTIVE mode (runAdaptive): a cheap
+      // min-label probe converges outright on the sub-percolation
+      // gated fixtures (paying nothing beyond the old default), and
+      // past percolation — where a spatial field's diameter grows
+      // with density and min-label pays it linearly — the probe's
+      // partial labels contract the graph and star contraction
+      // finishes in O(log d) rounds on the shrunken remainder. The
+      // dense-regime numbers are in SCALE.md's r7 section. Dup-clique
+      // graphs (d_cluster) keep plain min-label: diameter ~1 by
+      // construction.
+      val cc = graft.scale.ConnectedComponents.runAdaptive(clusterEdges(s, dir))
       val sizes = cc.groupBy(col("component"))
         .agg(count(lit(1)).as("cluster_size"))
       cc.join(sizes, "component")

@@ -85,6 +85,7 @@ object Bfs {
     var frontier = pin(source.select(col("node").cast("long").as("node"))
       .withColumn("dist", lit(0)))
     var dist = frontier
+    var prevCkpt: DataFrame = null
     for (i <- 1 to iters) {
       val candidates = frontier
         .join(e, frontier("node") === e("src"))
@@ -96,8 +97,13 @@ object Bfs {
         .filter(col("dist") === i))
       dist = dist.unionByName(fresh)
       frontier = fresh
-      if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iters)
+      if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iters) {
         dist = dist.localCheckpoint()
+        // the PRIOR interval's checkpoint blocks are dead now that a
+        // newer one is materialized (Checkpoints scaladoc)
+        if (prevCkpt != null) Checkpoints.free(prevCkpt)
+        prevCkpt = dist
+      }
     }
     (dist, new PageRank.CacheHandles(persisted.result()))
   }

@@ -50,19 +50,41 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, src: String = "src", dst: String = "dst",
           maxIter: Int = 50): DataFrame = {
+    val sym = symmetrized(edges, src, dst)
+    val (labels, converged, rounds) = minLabelLoop(sym, maxIter)
+    sym.unpersist()
+    lastRounds.set(rounds)
+    if (!converged)
+      // a diameter > maxIter graph exits the loop with PARTIAL labels
+      // (discovered round 7: a 64-chain under the default cap) —
+      // min-label callers own graphs with known-small diameters;
+      // anything else should be on runAdaptive/runStars
+      System.err.println(s"[cc] WARNING: min-label hit the $maxIter-round" +
+        " cap without converging — labels are PARTIAL; use runAdaptive" +
+        " or runStars for high-diameter graphs")
+    labels
+  }
+
+  private def symmetrized(edges: DataFrame, src: String,
+                          dst: String): DataFrame = {
     val e = edges.select(col(src).cast("long").as("src"),
       col(dst).cast("long").as("dst"))
     // symmetrize once; propagation then only needs one join direction
-    val sym = e.union(e.select(col("dst"), col("src")))
+    e.union(e.select(col("dst"), col("src")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
-    // seed with min(node, min neighbor) — same one-shuffle cost as a
-    // plain distinct-node init, but already one propagation step ahead
-    // (saves a full join+agg round on shallow dup-cluster graphs).
-    // The convergence checksum rides each round's ONE action as an
-    // observe() metric — the eager localCheckpoint fires the
-    // observation listener, so no separate per-round checksum job.
+  /** The min-label propagation loop over a pre-symmetrized edge list:
+    * up to `maxRounds` rounds, returning (labels, converged, rounds).
+    * Seeded with min(node, min neighbor) — same one-shuffle cost as a
+    * plain distinct-node init, but already one propagation step ahead
+    * (saves a full join+agg round on shallow dup-cluster graphs).
+    * The convergence checksum rides each round's ONE action as an
+    * observe() metric — the eager localCheckpoint fires the
+    * observation listener, so no separate per-round checksum job. */
+  private def minLabelLoop(sym: DataFrame,
+                           maxRounds: Int): (DataFrame, Boolean, Int) = {
     val (labels0, sum0) = checkpointWithSum(
       sym.groupBy(col("src"))
         .agg(min(col("dst")).as("mn"))
@@ -72,21 +94,65 @@ object ConnectedComponents {
     var prevSum = sum0
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    while (!converged && iter < maxRounds) {
       val prop = sym.join(labels, sym("src") === labels("node"))
         .select(sym("dst").as("node"), col("component"))
       val (next, s) = checkpointWithSum(
         labels.unionByName(prop)
           .groupBy(col("node"))
           .agg(min(col("component")).as("component")))
+      Checkpoints.free(labels) // round N-1's blocks die once N is live
       converged = s == prevSum
       prevSum = s
       labels = next
       iter += 1
     }
-    sym.unpersist()
-    lastRounds.set(iter)
-    labels
+    (labels, converged, iter)
+  }
+
+  /** ADAPTIVE mode — the production default shape: probe with cheap
+    * min-label rounds (1 map-side-combinable exchange each; shallow
+    * dup-clique and sub-percolation graphs converge here and pay
+    * nothing extra), and if the probe does NOT converge, CONTRACT the
+    * graph by the partial labels (each label group is connected by
+    * construction — every member has a <= probeRounds-hop path to its
+    * group minimum) and finish with star contraction on the contracted
+    * graph. The contracted graph has one node per partial label — on a
+    * dense high-diameter field that is a small fraction of the input
+    * (every probe round shrinks it by a ball of that radius), so the
+    * O(log d) star phase runs on a much smaller graph than it would
+    * standalone. Composition: final(v) = starRoot(partialLabel(v)).
+    */
+  def runAdaptive(edges: DataFrame, src: String = "src",
+                  dst: String = "dst", probeRounds: Int = 4,
+                  maxIter: Int = 50): DataFrame = {
+    val sym = symmetrized(edges, src, dst)
+    val (labels, converged, probeUsed) = minLabelLoop(sym, probeRounds)
+    if (converged) {
+      sym.unpersist()
+      lastRounds.set(probeUsed)
+      labels
+    } else {
+      // label-contracted edge list: (label(u), label(v)) per edge,
+      // self-edges dropped, distinct — component-count-sized, 16-byte
+      // rows; the only full-edge joins of the whole phase
+      val contracted = sym
+        .join(labels.select(col("node").as("src"), col("component").as("c1")),
+          "src")
+        .join(labels.select(col("node").as("dst"), col("component").as("c2")),
+          "dst")
+        .select(col("c1").as("src"), col("c2").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      sym.unpersist()
+      val roots = runStars(contracted, maxIter = maxIter)
+      lastRounds.set(probeUsed + lastRounds.get().intValue())
+      labels
+        .join(roots.select(col("node").as("component"),
+          col("component").as("root")), Seq("component"), "left")
+        .select(col("node"),
+          coalesce(col("root"), col("component")).as("component"))
+    }
   }
 
   /** Alternating large-star/small-star contraction (Kiveris et al.
@@ -144,6 +210,7 @@ object ConnectedComponents {
           .select(col("lo").as("hi"), col("m").as("lo"))
           .unionByName(smin.select(col("hi"), col("m").as("lo")))
           .distinct())
+      Checkpoints.free(e) // round N-1's blocks die once N is live
       converged = cnt == prevCnt && sm == prevSum
       prevCnt = cnt
       prevSum = sm

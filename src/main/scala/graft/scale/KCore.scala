@@ -49,6 +49,7 @@ object KCore {
         .join(ok.select(col("v").as("b")), "b", "left_semi")
         .select(col("a"), col("b"))
       val (next, cnt) = checkpointWithCount(kept)
+      Checkpoints.free(cur) // round N-1's blocks die once N is live
       converged = cnt == prevCnt
       prevCnt = cnt
       cur = next

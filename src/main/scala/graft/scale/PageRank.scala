@@ -145,6 +145,7 @@ object PageRank {
         .withColumn("rank", lit(150000L)))
     val hasNoInflow = !symmetric && noInflow.limit(1).count() > 0
     var ranks = nodes.withColumn("rank", lit(1000000L))
+    var prevCkpt: DataFrame = null
     for (i <- 1 to iters) {
       val rsrc = ranks.withColumnRenamed("node", "src")
       val received = eo
@@ -153,8 +154,13 @@ object PageRank {
         .groupBy(col("node"))
         .agg((lit(150000L) + expr("(850 * sum(c)) div 1000")).as("rank"))
       ranks = if (hasNoInflow) received.unionByName(noInflow) else received
-      if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iters)
+      if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iters) {
         ranks = ranks.localCheckpoint() // eager: materializes + truncates
+        // the PRIOR interval's checkpoint blocks are dead now that a
+        // newer one is materialized (Checkpoints scaladoc)
+        if (prevCkpt != null) Checkpoints.free(prevCkpt)
+        prevCkpt = ranks
+      }
     }
     // NOTE: the pinned intermediates stay persisted until the caller's
     // action has run (an unpersist here would evict before the lazy

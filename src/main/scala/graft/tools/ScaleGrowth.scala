@@ -90,19 +90,24 @@ object ScaleGrowth {
     // where geo_cluster's min-label paid diameter rounds, SCALE.md r6):
     // identical edge set, min-label vs star contraction, wall + rounds
     def ccMode(mode: String): (Double, Int, Long) = {
+      import graft.scale.ConnectedComponents
       val edges = graft.queries.GeoPack.clusterEdges(spark, bigDir)
       val t0 = System.nanoTime()
-      val n =
-        (if (mode == "stars") graft.scale.ConnectedComponents.runStars(edges)
-         else graft.scale.ConnectedComponents.run(edges)).count()
+      val n = (mode match {
+        case "stars" => ConnectedComponents.runStars(edges)
+        case "adaptive" => ConnectedComponents.runAdaptive(edges)
+        case _ => ConnectedComponents.run(edges)
+      }).count()
       val t = (System.nanoTime() - t0) / 1e9
-      val rounds = graft.scale.ConnectedComponents.lastRounds.get().intValue()
+      val rounds = ConnectedComponents.lastRounds.get().intValue()
       System.err.println(f"[scale] cc_$mode%-10s ${ms(t)}%8s s $rounds rounds ($n nodes)")
       (t, rounds, n)
     }
     val (mlT, mlR, mlN) = ccMode("minlabel")
     val (stT, stR, stN) = ccMode("stars")
-    require(mlN == stN, s"CC modes disagree on node count: $mlN vs $stN")
+    val (adT, adR, adN) = ccMode("adaptive")
+    require(mlN == stN && mlN == adN,
+      s"CC modes disagree on node count: $mlN vs $stN vs $adN")
 
     // 100x HEADROOM tier (VERDICT r6 task 6) for the operators whose
     // 10x numbers were flat — one cold+warm run each (a 500k-doc
@@ -135,7 +140,7 @@ object ScaleGrowth {
       val a = t1.find(_._1 == q).get
       s""""$q":{"cold100":${ms(cold)},"warm100":${ms(warm)},"rows100":$rows,"growth_vs_1x":${ms(cold / a._2)}}"""
     }.mkString("{", ",", "}")
-    val cc = s"""{"minlabel":{"sec":${ms(mlT)},"rounds":$mlR},"stars":{"sec":${ms(stT)},"rounds":$stR},"nodes":$mlN}"""
+    val cc = s"""{"minlabel":{"sec":${ms(mlT)},"rounds":$mlR},"stars":{"sec":${ms(stT)},"rounds":$stR},"adaptive":{"sec":${ms(adT)},"rounds":$adR},"nodes":$mlN}"""
     val line =
       s"""{"metric":"scale_growth","cand_pairs_1x":$c1,"cand_pairs_10x":$c10,"cand_pairs_100x":$c100,"cand_growth":${ms(c10.toDouble / c1)},"geo_cand_1x":$gc1,"geo_true_1x":$gt1,"geo_cand_10x":$gc10,"geo_true_10x":$gt10,"cc_dense_10x":$cc,"queries":$per,"headroom_100x":$per100}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),

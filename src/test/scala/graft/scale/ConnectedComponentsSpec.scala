@@ -94,6 +94,52 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ccStars(edges) == cc(edges))
   }
 
+  private def ccAdaptive(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.runAdaptive(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("runAdaptive matches run whether the probe converges or not") {
+    val fixtures = Seq(
+      Seq((3L, 1L), (1L, 2L), (10L, 11L)),   // converges in the probe
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (2L, 2L)),
+      Seq((5L, 5L), (7L, 8L)))
+    fixtures.foreach { edges =>
+      assert(ccAdaptive(edges) == cc(edges), s"diverged on $edges")
+    }
+    val rnd = new scala.util.Random(11)
+    val rand = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    assert(ccAdaptive(rand) == cc(rand))
+  }
+
+  test("runAdaptive is CORRECT past min-label's round cap") {
+    // the round-7 discovery this mode exists for: a 64-hop chain has
+    // diameter > run()'s default 50-round cap, so min-label exits with
+    // PARTIAL labels (nodes 53+ keep non-minimal components) — the
+    // star phase must still produce the true answer
+    val chain = (1L to 64L).map(i => (i + 1, i))
+    assert(ccAdaptive(chain) == (1L to 65L).map(_ -> 1L).toMap)
+    assert(ccStars(chain) == (1L to 65L).map(_ -> 1L).toMap)
+    assert(cc(chain) != (1L to 65L).map(_ -> 1L).toMap,
+      "min-label unexpectedly converged past its cap — tighten this test")
+  }
+
+  test("runAdaptive pays only probe rounds on a shallow graph, " +
+      "probe + log-d star rounds on a deep one") {
+    // shallow: star/clique — must converge inside the 4-round probe
+    ccAdaptive(Seq((2L, 1L), (3L, 1L), (4L, 1L), (3L, 2L)))
+    val shallow = ConnectedComponents.lastRounds.get().intValue()
+    assert(shallow <= 4, s"shallow graph took $shallow rounds")
+    // deep: 128-hop chain — probe (4) + star rounds on the contracted
+    // graph, far under the 129-round diameter min-label would pay
+    val deep = (1L to 128L).map(i => (i + 1, i))
+    val got = ccAdaptive(deep)
+    val rounds = ConnectedComponents.lastRounds.get().intValue()
+    assert(got == (1L to 129L).map(_ -> 1L).toMap)
+    assert(rounds <= 16, s"adaptive took $rounds rounds on a 128-chain")
+  }
+
   test("runStars converges in O(log d) rounds on a long chain") {
     // a 64-hop path: min-label pays the full diameter (~64 rounds,
     // capped by maxIter); star contraction must fold it fast
