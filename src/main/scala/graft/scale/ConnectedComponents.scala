@@ -122,9 +122,16 @@ object ConnectedComponents {
     * (every probe round shrinks it by a ball of that radius), so the
     * O(log d) star phase runs on a much smaller graph than it would
     * standalone. Composition: final(v) = starRoot(partialLabel(v)).
+    *
+    * probeRounds = 8 by default: a wasted probe round costs ONE cheap
+    * map-side-combinable exchange, while a probe that stops one round
+    * short of convergence pays the whole contraction + star phase for
+    * nothing (measured on the gated sf0.1 geo field: diameter 7, so a
+    * 4-round probe made adaptive ~2x min-label wall; at 8 the probe
+    * converges and adaptive == min-label exactly).
     */
   def runAdaptive(edges: DataFrame, src: String = "src",
-                  dst: String = "dst", probeRounds: Int = 4,
+                  dst: String = "dst", probeRounds: Int = 8,
                   maxIter: Int = 50): DataFrame = {
     val sym = symmetrized(edges, src, dst)
     val (labels, converged, probeUsed) = minLabelLoop(sym, probeRounds)
