@@ -162,8 +162,12 @@ object SimilarityPack extends QueryPack {
         // an unbroken lineage doubles per round — 16 copies of the
         // round-1 subtree by round 5. The eager localCheckpoint
         // truncates it: each round's selected set (<= 50 rows) is
-        // materialized once and the plan stays linear in rounds.
+        // materialized once and the plan stays linear in rounds; the
+        // prior round's blocks die as soon as the new one is live
+        // (Checkpoints.free — the round-7 leak fix)
+        val prev = sel
         sel = sel.unionByName(pick).localCheckpoint()
+        graft.scale.Checkpoints.free(prev)
       }
       sel.select(col("qid"), col("ord"), col("nid"),
           round(col("score"), 4).as("score"))
