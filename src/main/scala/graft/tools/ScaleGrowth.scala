@@ -36,6 +36,16 @@ object ScaleGrowth {
         graft.plans.Top1WindowToMaxBy :+ graft.expr.CollapseAccentFold
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
+    // Headroom-only mode: 4th arg = CSV of query names. Times each
+    // named query at 1x and 100x only (cold + warm), reusing the
+    // corpora on disk when present — extends the 100x tier to more
+    // operator families without re-running the full 1x/10x suite.
+    if (args.length > 3) {
+      runHeadroomOnly(spark, refDir, outJson, args(3).split(',').toSeq)
+      spark.stop()
+      return
+    }
+
     val bigDir = "/tmp/graft_scale10x"
     System.err.println(s"[scale] generating 10x corpus under $bigDir ...")
     SyntheticCorpus.writeCorpus(spark, refDir, bigDir, scale = 10)
@@ -147,5 +157,51 @@ object ScaleGrowth {
       (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()
+  }
+
+  /** Extended 100x tier: cold+warm per query at 1x and 100x. Same
+    * methodology as the main harness's headroom block (the claim is
+    * growth CLASS, not ms); corpora are regenerated only if absent
+    * (the generator is deterministic, so reuse is exact). */
+  private def runHeadroomOnly(spark: SparkSession, refDir: String,
+      outJson: String, qs: Seq[String]): Unit = {
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ensure(dir: String, scale: Int): Unit =
+      if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dir, "documents.parquet"))) {
+        System.err.println(s"[scale] generating ${scale}x corpus under $dir ...")
+        SyntheticCorpus.writeCorpus(spark, refDir, dir, scale = scale)
+      }
+    val oneDir = "/tmp/graft_scale1x"
+    val hundredDir = "/tmp/graft_scale100x"
+    ensure(oneDir, 1); ensure(hundredDir, 100)
+    def coldWarm(dir: String, name: String): (Double, Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(name)(spark, dir).count()
+      val cold = (System.nanoTime() - t0) / 1e9
+      graft.scale.CacheRegistry.drain()
+      val t1 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      val warm = (System.nanoTime() - t1) / 1e9
+      graft.scale.CacheRegistry.drain()
+      (cold, warm, rows)
+    }
+    val per = qs.map { name =>
+      try {
+        val (c1, w1, r1) = coldWarm(oneDir, name)
+        val (c100, w100, r100) = coldWarm(hundredDir, name)
+        System.err.println(f"[scale] ext $name%-18s 1x cold ${ms(c1)}%8s/${ms(w1)}%s warm ($r1 rows); 100x cold ${ms(c100)}%8s/${ms(w100)}%s warm ($r100 rows) growth ${ms(c100 / c1)}%s")
+        s""""$name":{"cold1":${ms(c1)},"warm1":${ms(w1)},"rows1":$r1,"cold100":${ms(c100)},"warm100":${ms(w100)},"rows100":$r100,"growth_vs_1x":${ms(c100 / c1)}}"""
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[scale] ext $name FAILED: ${e.getMessage}")
+          s""""$name":{"error":"${e.getClass.getSimpleName}"}"""
+      }
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"headroom_100x_ext","queries":$per}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
   }
 }
