@@ -1,0 +1,86 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Integer squared L2 distance of two long arrays as a codegen'd
+  * Catalyst expression — the assignment hot loop of the quantized
+  * Lloyd's iteration (scale/KMeans).
+  *
+  * The `aggregate(zip_with(qv, cv, (a,b) -> (a-b)*(a-b)), ...)` fold
+  * it replaces allocates an intermediate array AND evaluates the
+  * lambda interpreted per element; at adaptive-k scale the assignment
+  * stage is n x k rows x dims terms (d_semdedup_scoped at the 100x
+  * corpus: 2.2e8 rows x 64 terms per Lloyd round), where the
+  * interpreted fold was measured at ~597 s vs ~60 s with this
+  * expression. Arithmetic is exact int64 (quantized coordinates are
+  * |q| <= ~10^4, so each term <= ~4e8 and 64-dim sums <= ~3e10 — far
+  * inside int64), identical to the fold and to the DuckDB oracle's
+  * BIGINT sum.
+  *
+  * Null ELEMENTS are not supported (quantized vectors are dense);
+  * null arrays propagate null. See DotProduct.scala for the
+  * double-array twin.
+  */
+case class IntSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_sqdist_i64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_sqdist_i64 requires two array<bigint> arguments, got $l and $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $sum += $d * $d;
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntSqDist {
+  /** Column-level entry point (no registry needed). */
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      IntSqDist(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+}

@@ -529,6 +529,64 @@ object DedupPack extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Cluster-SCOPED SemDeDup — the paper's actual shape (Abbas et al.
+    // 2023 §3: k-means the corpus, verify only within clusters) and
+    // the 100 TB path the sign-blocked exact census above is NOT
+    // (measured quadratic, SCALE.md r7 extended tier). Candidate
+    // space is Σ_c |c|² instead of n²: with k ~ n/512 clusters the
+    // verify stage is ~512·n pairs — linear in the corpus at fixed
+    // cluster size. Cross-cluster dup pairs are missed BY DESIGN
+    // (that is the approximation the paper accepts); the gate is
+    // exact anyway because the DuckDB oracle reproduces the identical
+    // integer-lattice Lloyd clusters (the s_kmeans recurrence) and
+    // therefore the identical misses — it gates REPRODUCIBILITY of
+    // the approximate algorithm, not recall vs all-pairs.
+    //
+    // Determinism chain, both engines: planted ids are remapped to a
+    // DENSE 0..n-1 id arithmetically (original ids are dense by the
+    // fixture contract s_kmeans already relies on; planted twin of
+    // orig o gets n0 + o/5) so Lloyd's stride seeding lands on rows
+    // that exist at ANY k; k = clamp(n/512, 4, 4096) from the same
+    // arithmetic n on both sides (require() guards the dense-id
+    // assumption against fixture drift); 2 Lloyd rounds on the
+    // floor(x*1000) lattice; assignment min-key ties fused as
+    // dist*k+cid. Scale shape: centroids broadcast (k×64 longs, ≤2 MB
+    // at the cap), one corpus scan per round, census self-join is an
+    // equi-join on cid (AQE-skew-safe). Past the k cap the production
+    // recipe is hierarchical (coarse 4096, then re-cluster within) —
+    // documented in SCALE.md, same rule as IVF's nlist.
+    "d_semdedup_scoped" -> ((s, dir) => {
+      val ev = plantedVecs(s, dir)
+      val n0 = Tables(s, dir, "embeddings").count() // bounded: scalar
+      val n = n0 + (n0 + 4) / 5
+      require(n == ev.count(),
+        s"embeddings vec_id is not dense 0..${n0 - 1}: planted count mismatch")
+      val k = math.min(4096L, math.max(4L, n / 512)).toInt
+      val dense = ev.withColumn("did",
+        expr(s"CASE WHEN vec_id < 100000 THEN vec_id " +
+          s"ELSE $n0 + (vec_id - 100000) div 5 END"))
+      val q = dense.select(col("did").as("vec_id"),
+        expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))").as("qv"))
+      val (assigned, _) = graft.scale.KMeans.lloydQuantized(s, q, k, iters = 2)
+      val pv = dense.join(
+          assigned.select(col("vec_id").as("did"), col("cid")), "did")
+        .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
+      val a = pv.select(col("cid"), col("vec_id").as("ida"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = pv.select(col("cid"), col("vec_id").as("idb"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("cid")).filter(col("ida") < col("idb"))
+        .filter(SimilarityPack.dotCols("va", "vb") / (col("na") * col("nb")) >= 0.95)
+        .select(col("ida").as("src"), col("idb").as("dst"))
+      val cc = ConnectedComponents.run(pairs) // dup cliques: diameter ~1
+      ev.select(col("vec_id"))
+        .join(cc, ev("vec_id") === cc("node"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("rep_id"))
+        .withColumn("is_kept", col("rep_id") === col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Embedding-cosine near-dup: norms precomputed once per vector,
     // pair filter on cosine >= 0.45. All-pairs is the correctness
     // baseline (the fixture has no planted vector dups; 0.45 keeps the
@@ -793,6 +851,82 @@ object DedupPack extends QueryPack {
         |  coalesce(comp.component, n.vec_id) = n.vec_id AS is_kept
         |FROM n LEFT JOIN comp ON comp.node = n.vec_id
         |ORDER BY n.vec_id""".stripMargin,
+
+    // The same planted census, but verified only WITHIN the clusters
+    // of a 2-round integer-lattice Lloyd's (the s_kmeans recurrence
+    // generalized to adaptive k = clamp(n/512, 4, 4096) and dense
+    // remapped ids) — reproduces the Spark side's clusters, and hence
+    // its (intentional) cross-cluster misses, exactly.
+    "d_semdedup_scoped" ->
+      """WITH RECURSIVE
+        |all_v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    [CAST(embedding[i] AS DOUBLE) + 0.01 * (((i - 1) % 7) - 3)
+        |     for i in range(1, len(embedding) + 1)]
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v),
+        |prm AS (
+        |  SELECT n0, n,
+        |    least(greatest(4, n // 512), 4096) AS k,
+        |    greatest(1, n // least(greatest(4, n // 512), 4096)) AS st
+        |  FROM (SELECT n0, n0 + (n0 + 4) // 5 AS n
+        |        FROM (SELECT count(*) AS n0 FROM embeddings))),
+        |den AS (
+        |  SELECT a.vec_id,
+        |    CASE WHEN a.vec_id < 100000 THEN a.vec_id
+        |         ELSE p.n0 + (a.vec_id - 100000) // 5 END AS did,
+        |    a.v, a.nrm
+        |  FROM nv a, prm p),
+        |q AS (
+        |  SELECT did,
+        |    list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+        |  FROM den),
+        |dims AS (SELECT did, t.d, qv[t.d + 1] AS v FROM q, range(64) t(d)),
+        |c0 AS (
+        |  SELECT did // p.st AS cid, d, v FROM dims, prm p
+        |  WHERE did % p.st = 0 AND did // p.st < p.k),
+        |a1 AS (
+        |  SELECT did, min(key) AS key FROM (
+        |    SELECT dims.did, c0.cid,
+        |      sum((dims.v - c0.v) * (dims.v - c0.v)) * p.k + c0.cid AS key
+        |    FROM dims JOIN c0 USING (d), prm p
+        |    GROUP BY dims.did, c0.cid, p.k) GROUP BY 1),
+        |c1n AS (
+        |  SELECT a1.key % p.k AS cid, dims.d,
+        |    CAST(floor(CAST(sum(dims.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM a1 JOIN dims USING (did), prm p GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c0.cid, c0.d, coalesce(c1n.v, c0.v) AS v
+        |  FROM c0 LEFT JOIN c1n ON c0.cid = c1n.cid AND c0.d = c1n.d),
+        |a2 AS (
+        |  SELECT did, min(key) AS key FROM (
+        |    SELECT dims.did, c1.cid,
+        |      sum((dims.v - c1.v) * (dims.v - c1.v)) * p.k + c1.cid AS key
+        |    FROM dims JOIN c1 USING (d), prm p
+        |    GROUP BY dims.did, c1.cid, p.k) GROUP BY 1),
+        |asg AS (SELECT a2.did, a2.key % p.k AS cid FROM a2, prm p),
+        |pv AS (
+        |  SELECT den.vec_id, asg.cid, den.v, den.nrm
+        |  FROM den JOIN asg USING (did)),
+        |p2 AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM pv a JOIN pv b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95),
+        |edges AS (
+        |  SELECT ida AS s, idb AS d FROM p2
+        |  UNION SELECT idb AS s, ida AS d FROM p2),
+        |walk(node, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT walk.node, e.d FROM walk JOIN edges e ON e.s = walk.r),
+        |comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node)
+        |SELECT nv.vec_id,
+        |  CAST(coalesce(comp.component, nv.vec_id) AS BIGINT) AS rep_id,
+        |  coalesce(comp.component, nv.vec_id) = nv.vec_id AS is_kept
+        |FROM nv LEFT JOIN comp ON comp.node = nv.vec_id
+        |ORDER BY nv.vec_id""".stripMargin,
 
     "d_embed_cos" ->
       """WITH e AS (

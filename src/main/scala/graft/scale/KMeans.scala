@@ -64,9 +64,11 @@ object KMeans {
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       val cdf = cent.zipWithIndex.toSeq.toDF("cv", "cid")
-      val dist = aggregate(
-        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      // codegen'd primitive loop (graft.expr.IntSqDist): the
+      // interpreted aggregate(zip_with(...)) fold it replaces was the
+      // 10x bottleneck of the whole adaptive-k assignment stage
+      // (d_semdedup_scoped at the 100x corpus: 597 s -> see SCALE.md)
+      val dist = graft.expr.IntSqDist(col("qv"), col("cv"))
       assigned = q.crossJoin(broadcast(cdf))
         .select(col("vec_id"), col("qv"),
           (dist * lit(k.toLong) + col("cid")).as("key"))

@@ -41,7 +41,9 @@ class CodegenNoFallbackSpec extends SparkSpec {
     concat(lit("the quick brown déstiny 2x fox jumps over doc "), col("id"))
       .as("text"),
     expr("transform(sequence(0, 2), i -> cast(i + id AS double))").as("va"),
-    expr("transform(sequence(0, 2), i -> cast(i * 2 + id AS double))").as("vb"))
+    expr("transform(sequence(0, 2), i -> cast(i * 2 + id AS double))").as("vb"),
+    expr("transform(sequence(0, 2), i -> cast(i + id AS bigint))").as("la"),
+    expr("transform(sequence(0, 2), i -> cast(i * 2 + id AS bigint))").as("lb"))
 
   test("all custom expressions survive fallback=false + CODEGEN_ONLY") {
     withStrictCodegen {
@@ -56,6 +58,7 @@ class CodegenNoFallbackSpec extends SparkSpec {
         SimHashSig(ShingleHashes(col("text"), 3)).as("simh"),
         SignBitsSig(col("va"), 16, 3, 7L).as("sign"),
         DotProduct(col("va"), col("vb")).as("dot"),
+        IntSqDist(col("la"), col("lb")).as("sqd"),
         HilbertIndex((length(col("text")) % 32).cast("long"),
           (length(col("text")) * 7 % 32).cast("long"), 5).as("hil"))
       val plan = q.queryExecution.executedPlan.toString
@@ -79,6 +82,8 @@ class CodegenNoFallbackSpec extends SparkSpec {
       val r0 = out.find(_.getAs[String]("text").endsWith("doc 0")).get
       // va=[0,1,2], vb=[0,2,4] -> dot = 0 + 2 + 8
       assert(r0.getAs[Double]("dot") == 10.0)
+      // sq dists: 0 + 1 + 4
+      assert(r0.getAs[Long]("sqd") == 5L)
     }
   }
 
