@@ -253,6 +253,53 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // Okapi BM25 retrieval scoring (Robertson et al., TREC-3) — the
+    // lexical ranking twin of t_tfidf and the text half of hybrid
+    // retrieval (s_hybrid_rrf fuses signals of exactly this shape).
+    // Query terms are CORPUS-DERIVED (top-3 vocabulary terms by
+    // document frequency, df-then-word tie-break) so the query is
+    // fixture-drift-proof; scoring is the standard
+    // idf * tf(k1+1) / (tf + k1(1-b+b*dlen/avgdl)) with k1=1.2,
+    // b=0.75 and the +1 idf variant (always positive). avgdl is
+    // total tokens / total docs — well-defined even for empty docs
+    // on both engines. Scale shape: tf/df/dlen are the t_tfidf
+    // aggregations (map-side combinable; posting lists never
+    // materialize as arrays); the 3-term query set, N and token
+    // total are k-row broadcasts; the per-term top-5 is a window
+    // PARTITIONED by query term (3 bounded partitions here — at a
+    // real query-log fan-out the partition count is the query count,
+    // and the per-term posting scan is the irreducible retrieval
+    // work; scale/TopK's map-side partial top-k is the drop-in when
+    // per-term lists outgrow a partition).
+    "t_bm25" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dlen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val tt = tok.agg(count(lit(1)).as("tt"))
+      val qws = dfreq.orderBy(col("df").desc, col("w").asc).limit(3)
+        .select(col("w").as("qw"), col("df"))
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy(col("qw"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      tf.join(broadcast(qws), col("w") === col("qw"))
+        .join(dlen, "doc_id")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(tt))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("score", round(
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dlen") / (col("tt").cast("double") / col("n")))),
+          4))
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 5)
+        .select(col("qw"), col("rk"), col("doc_id"), col("score"))
+        .orderBy(col("qw"), col("rk"))
+    }),
+
     // Gopher-style repetition signals (Rae et al. 2021, table A1,
     // adapted to the fixture's single-line docs): duplicate-token
     // fraction, most-common-token fraction, most-common-bigram
@@ -879,6 +926,31 @@ object TextPack extends QueryPack {
         |  FROM scored)
         |SELECT doc_id, rk, w, tfidf FROM r
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "t_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, count(*) AS dlen FROM tok GROUP BY 1),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |tt AS (SELECT count(*) AS tt FROM tok),
+        |qws AS (SELECT w AS qw, df FROM dfreq ORDER BY df DESC, w ASC LIMIT 3),
+        |scored AS (
+        |  SELECT qws.qw, tf.doc_id,
+        |    round(
+        |      ln(1.0 + (n.n - qws.df + 0.5) / (qws.df + 0.5)) * (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 +
+        |        0.75 * dlen.dlen / (CAST(tt.tt AS DOUBLE) / n.n))),
+        |      4) AS score
+        |  FROM tf JOIN qws ON tf.w = qws.qw
+        |  JOIN dlen USING (doc_id) CROSS JOIN n CROSS JOIN tt),
+        |r AS (
+        |  SELECT qw, doc_id, score, row_number() OVER (
+        |    PARTITION BY qw ORDER BY score DESC, doc_id ASC) AS rk
+        |  FROM scored)
+        |SELECT qw, rk, doc_id, score FROM r
+        |WHERE rk <= 5 ORDER BY qw, rk""".stripMargin,
 
     "t_gopher_repetition" ->
       """WITH q AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
