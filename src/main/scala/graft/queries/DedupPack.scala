@@ -658,6 +658,19 @@ object DedupPack extends QueryPack {
 
   private val exactJaccardSql = exactJaccardSubquery + "\nORDER BY ida, idb"
 
+  /** The planted-vector corpus CTE shared by the two d_semdedup
+    * oracles — ONE copy of the twin-derivation text (the oracle twin
+    * of the plantedVecs base), so the exact and scoped gates cannot
+    * silently drift apart (the GeoPack candidateStats lesson). */
+  private val plantedVecsCte =
+    """all_v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    [CAST(embedding[i] AS DOUBLE) + 0.01 * (((i - 1) % 7) - 3)
+      |     for i in range(1, len(embedding) + 1)]
+      |  FROM embeddings WHERE vec_id % 5 = 0)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "d_exact" ->
       """WITH all_docs AS (
@@ -825,15 +838,8 @@ object DedupPack extends QueryPack {
     // all-pairs exact cosine over the planted corpus + recursive-CTE
     // components — the brute-force twin of the banded Spark path
     "d_semdedup" ->
-      """WITH RECURSIVE
-        |all_v AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 100000,
-        |    [CAST(embedding[i] AS DOUBLE) + 0.01 * (((i - 1) % 7) - 3)
-        |     for i in range(1, len(embedding) + 1)]
-        |  FROM embeddings WHERE vec_id % 5 = 0),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v),
+      ("WITH RECURSIVE\n" + plantedVecsCte + ",\n" +
+      """n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v),
         |p AS (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
@@ -850,7 +856,7 @@ object DedupPack extends QueryPack {
         |  CAST(coalesce(comp.component, n.vec_id) AS BIGINT) AS rep_id,
         |  coalesce(comp.component, n.vec_id) = n.vec_id AS is_kept
         |FROM n LEFT JOIN comp ON comp.node = n.vec_id
-        |ORDER BY n.vec_id""".stripMargin,
+        |ORDER BY n.vec_id""".stripMargin),
 
     // The same planted census, but verified only WITHIN the clusters
     // of a 2-round integer-lattice Lloyd's (the s_kmeans recurrence
@@ -858,15 +864,8 @@ object DedupPack extends QueryPack {
     // remapped ids) — reproduces the Spark side's clusters, and hence
     // its (intentional) cross-cluster misses, exactly.
     "d_semdedup_scoped" ->
-      """WITH RECURSIVE
-        |all_v AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 100000,
-        |    [CAST(embedding[i] AS DOUBLE) + 0.01 * (((i - 1) % 7) - 3)
-        |     for i in range(1, len(embedding) + 1)]
-        |  FROM embeddings WHERE vec_id % 5 = 0),
-        |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v),
+      ("WITH RECURSIVE\n" + plantedVecsCte + ",\n" +
+      """nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v),
         |prm AS (
         |  SELECT n0, n,
         |    least(greatest(4, n // 512), 4096) AS k,
@@ -926,7 +925,7 @@ object DedupPack extends QueryPack {
         |  CAST(coalesce(comp.component, nv.vec_id) AS BIGINT) AS rep_id,
         |  coalesce(comp.component, nv.vec_id) = nv.vec_id AS is_kept
         |FROM nv LEFT JOIN comp ON comp.node = nv.vec_id
-        |ORDER BY nv.vec_id""".stripMargin,
+        |ORDER BY nv.vec_id""".stripMargin),
 
     "d_embed_cos" ->
       """WITH e AS (
