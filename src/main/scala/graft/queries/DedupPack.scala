@@ -83,7 +83,7 @@ object DedupPack extends QueryPack {
   }
 
   /** Embeddings with planted near-dup copies: every 5th vector gets a
-    * perturbed twin at id+100000 (element-wise nudge of magnitude
+    * perturbed twin at id+PlantedOffset (element-wise nudge of magnitude
     * <= 0.03 — cosine vs the original ~0.999, far above the 0.95
     * semantic-dup threshold; all other pairs sit below 0.5). The
     * perturbation is pure double arithmetic on plain literals so the
@@ -99,7 +99,7 @@ object DedupPack extends QueryPack {
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
       val planted = e.filter(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .select((col("vec_id") + PlantedOffset).as("vec_id"),
           expr("transform(v, (x, i) -> x + 0.01D * ((i % 7) - 3))").as("v"))
       e.union(planted)
         .withColumn("nrm", sqrt(SimilarityPack.dotCols("v", "v")))
@@ -131,7 +131,7 @@ object DedupPack extends QueryPack {
   private def withPlanted(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.union(docs.filter(col("doc_id") % 2 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .select((col("doc_id") + PlantedOffset).as("doc_id"), col("text")))
   }
 
   /** Exact dedup over the planted corpus: (keep_id, n_copies), one row
@@ -563,8 +563,8 @@ object DedupPack extends QueryPack {
         s"embeddings vec_id is not dense 0..${n0 - 1}: planted count mismatch")
       val k = math.min(4096L, math.max(4L, n / 512)).toInt
       val dense = ev.withColumn("did",
-        expr(s"CASE WHEN vec_id < 100000 THEN vec_id " +
-          s"ELSE $n0 + (vec_id - 100000) div 5 END"))
+        expr(s"CASE WHEN vec_id < $PlantedOffset THEN vec_id " +
+          s"ELSE $n0 + (vec_id - $PlantedOffset) div 5 END"))
       val q = dense.select(col("did").as("vec_id"),
         expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))").as("qv"))
       val (assigned, _) = graft.scale.KMeans.lloydQuantized(s, q, k, iters = 2)
@@ -658,25 +658,37 @@ object DedupPack extends QueryPack {
 
   private val exactJaccardSql = exactJaccardSubquery + "\nORDER BY ida, idb"
 
+  /** Planted-twin id offset: a planted copy of row `id` gets
+    * `id + PlantedOffset`. MUST exceed the largest real id in any
+    * corpus the planted ops run on, or planted ids COLLIDE with real
+    * rows and the dedup semantics silently corrupt — the round-7
+    * 100x corpus (500k docs / 200k embeddings) overflowed the
+    * original 100,000 offset exactly this way (caught in review; the
+    * tainted measurements were re-run). SyntheticCorpus.writeCorpus
+    * enforces the bound at generation time; d_semdedup_scoped
+    * re-checks it per run. 10M covers any single-box corpus; on a
+    * real cluster this becomes a per-dataset config. */
+  private[graft] val PlantedOffset = 10000000L
+
   /** The planted-vector corpus CTE shared by the two d_semdedup
     * oracles — ONE copy of the twin-derivation text (the oracle twin
     * of the plantedVecs base), so the exact and scoped gates cannot
     * silently drift apart (the GeoPack candidateStats lesson). */
   private val plantedVecsCte =
-    """all_v AS (
+    s"""all_v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 100000,
+      |  SELECT vec_id + $PlantedOffset,
       |    [CAST(embedding[i] AS DOUBLE) + 0.01 * (((i - 1) % 7) - 3)
       |     for i in range(1, len(embedding) + 1)]
       |  FROM embeddings WHERE vec_id % 5 = 0)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "d_exact" ->
-      """WITH all_docs AS (
+      s"""WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0)
+        |  SELECT doc_id + $PlantedOffset AS doc_id, text FROM documents WHERE doc_id % 2 = 0)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM all_docs GROUP BY text ORDER BY keep_id""".stripMargin,
 
@@ -685,7 +697,7 @@ object DedupPack extends QueryPack {
         |all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  SELECT doc_id + $PlantedOffset AS doc_id, text FROM documents
         |  WHERE doc_id % 2 = 0),
         |surv AS (SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY text),
         |p AS ($exactJaccardSubquery),
@@ -715,10 +727,10 @@ object DedupPack extends QueryPack {
     // distinct 12-word windows per doc as strings (the Spark side
     // hashes the same windows; counts agree absent xxhash64 collision)
     "d_substr" ->
-      """WITH all_docs AS (
+      s"""WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  SELECT doc_id + $PlantedOffset AS doc_id, text FROM documents
         |  WHERE doc_id % 2 = 0),
         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
         |sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -865,7 +877,7 @@ object DedupPack extends QueryPack {
     // its (intentional) cross-cluster misses, exactly.
     "d_semdedup_scoped" ->
       ("WITH RECURSIVE\n" + plantedVecsCte + ",\n" +
-      """nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v),
+      s"""nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v),
         |prm AS (
         |  SELECT n0, n,
         |    least(greatest(4, n // 512), 4096) AS k,
@@ -874,8 +886,8 @@ object DedupPack extends QueryPack {
         |        FROM (SELECT count(*) AS n0 FROM embeddings))),
         |den AS (
         |  SELECT a.vec_id,
-        |    CASE WHEN a.vec_id < 100000 THEN a.vec_id
-        |         ELSE p.n0 + (a.vec_id - 100000) // 5 END AS did,
+        |    CASE WHEN a.vec_id < $PlantedOffset THEN a.vec_id
+        |         ELSE p.n0 + (a.vec_id - $PlantedOffset) // 5 END AS did,
         |    a.v, a.nrm
         |  FROM nv a, prm p),
         |q AS (

@@ -167,9 +167,14 @@ object ScaleGrowth {
       outJson: String, qs: Seq[String]): Unit = {
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // regenerate unless EVERY table is present — supplier.parquet is
+    // written last, so a run that died mid-generation (the 100x OOM
+    // class) cannot leave a half-corpus that gets silently reused
+    val tables = Seq("documents", "embeddings", "orders", "lineitem",
+      "customer", "supplier")
     def ensure(dir: String, scale: Int): Unit =
-      if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(dir, "documents.parquet"))) {
+      if (!tables.forall(t => java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dir, s"$t.parquet")))) {
         System.err.println(s"[scale] generating ${scale}x corpus under $dir ...")
         SyntheticCorpus.writeCorpus(spark, refDir, dir, scale = scale)
       }
@@ -188,15 +193,30 @@ object ScaleGrowth {
       (cold, warm, rows)
     }
     val per = qs.map { name =>
-      try {
+      // the 1x baseline is measured first and survives a 100x failure
+      // (the d_ngram_jaccard spill-death case: its bounded-corpus
+      // number is exactly what the table still needs)
+      val base = try {
         val (c1, w1, r1) = coldWarm(oneDir, name)
-        val (c100, w100, r100) = coldWarm(hundredDir, name)
-        System.err.println(f"[scale] ext $name%-18s 1x cold ${ms(c1)}%8s/${ms(w1)}%s warm ($r1 rows); 100x cold ${ms(c100)}%8s/${ms(w100)}%s warm ($r100 rows) growth ${ms(c100 / c1)}%s")
-        s""""$name":{"cold1":${ms(c1)},"warm1":${ms(w1)},"rows1":$r1,"cold100":${ms(c100)},"warm100":${ms(w100)},"rows100":$r100,"growth_vs_1x":${ms(c100 / c1)}}"""
+        Some((c1, w1, r1))
       } catch {
         case e: Exception =>
-          System.err.println(s"[scale] ext $name FAILED: ${e.getMessage}")
-          s""""$name":{"error":"${e.getClass.getSimpleName}"}"""
+          System.err.println(s"[scale] ext $name FAILED at 1x: ${e.getMessage}")
+          None
+      }
+      base match {
+        case None =>
+          s""""$name":{"error":"failed_at_1x"}"""
+        case Some((c1, w1, r1)) =>
+          try {
+            val (c100, w100, r100) = coldWarm(hundredDir, name)
+            System.err.println(f"[scale] ext $name%-18s 1x cold ${ms(c1)}%8s/${ms(w1)}%s warm ($r1 rows); 100x cold ${ms(c100)}%8s/${ms(w100)}%s warm ($r100 rows) growth ${ms(c100 / c1)}%s")
+            s""""$name":{"cold1":${ms(c1)},"warm1":${ms(w1)},"rows1":$r1,"cold100":${ms(c100)},"warm100":${ms(w100)},"rows100":$r100,"growth_vs_1x":${ms(c100 / c1)}}"""
+          } catch {
+            case e: Exception =>
+              System.err.println(s"[scale] ext $name FAILED at 100x: ${e.getMessage}")
+              s""""$name":{"cold1":${ms(c1)},"warm1":${ms(w1)},"rows1":$r1,"error100":"${e.getClass.getSimpleName}"}"""
+          }
       }
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"headroom_100x_ext","queries":$per}"""

@@ -131,6 +131,14 @@ object SyntheticCorpus {
     * customers 15k at scale=1). */
   def writeCorpus(s: SparkSession, refDir: String, outDir: String,
                   scale: Int, seed: Long = 20260814L): Unit = {
+    // the planted-twin ops derive ids as id + PlantedOffset — a corpus
+    // whose real ids reach the offset silently corrupts their
+    // semantics (the round-7 100x overflow of the original 100k
+    // offset), so enforce the bound where the ids are minted
+    require(5000L * scale < graft.queries.DedupPack.PlantedOffset &&
+        2000L * scale < graft.queries.DedupPack.PlantedOffset,
+      s"corpus scale $scale mints ids past PlantedOffset " +
+        s"(${graft.queries.DedupPack.PlantedOffset}) — raise the offset first")
     val d = documents(s, refDir, 5000L * scale, seed)
     val e = embeddings(s, 2000L * scale, seed + 100)
     val (o, l) = ordersAndLineitem(s, 150000L * scale, 20000L * scale,

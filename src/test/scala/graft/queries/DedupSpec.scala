@@ -63,7 +63,7 @@ class DedupSpec extends SparkSpec {
     // 500 docs, even ids planted once more -> 250 groups of 2, 250 of 1
     assert(out.length == 500)
     assert(out.count(_.getLong(1) == 2L) == 250)
-    assert(out.forall(r => r.getLong(0) < 100000)) // kept id is the original
+    assert(out.forall(r => r.getLong(0) < DedupPack.PlantedOffset)) // kept id is the original
   }
 
   test("d_substr finds every planted copy pair with full window overlap") {
@@ -72,7 +72,7 @@ class DedupSpec extends SparkSpec {
     val out = SparkEntry.queries("d_substr")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // every even doc with >= 12 words shares ALL its windows with its
-    // planted copy at id+100000
+    // planted copy at id+PlantedOffset
     val wins = graft.io.Tables(spark, dir, "documents")
       .filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"),
@@ -81,8 +81,8 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1))
     assert(wins.nonEmpty)
     wins.foreach { case (id, nw) =>
-      assert(out.get((id, id + 100000)).contains(nw.toLong),
-        s"planted pair ($id, ${id + 100000}) missing or partial")
+      assert(out.get((id, id + DedupPack.PlantedOffset)).contains(nw.toLong),
+        s"planted pair ($id, ${id + DedupPack.PlantedOffset}) missing or partial")
     }
     // shared counts are positive and bounded by either side's windows
     assert(out.values.forall(_ >= 1))
@@ -118,16 +118,16 @@ class DedupSpec extends SparkSpec {
     val out = SparkEntry.queries("d_semdedup")(spark, sf("sf0.001"))
     val rows = out.collect()
     val n = graft.io.Tables(spark, sf("sf0.001"), "embeddings").count()
-    val planted = rows.count(_.getLong(0) >= 100000)
+    val planted = rows.count(_.getLong(0) >= DedupPack.PlantedOffset)
     assert(rows.length == n + planted)
     // every planted twin points at its original and is dropped
-    rows.filter(_.getLong(0) >= 100000).foreach { r =>
-      assert(r.getLong(1) == r.getLong(0) - 100000,
+    rows.filter(_.getLong(0) >= DedupPack.PlantedOffset).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - DedupPack.PlantedOffset,
         s"twin ${r.getLong(0)} rep ${r.getLong(1)}")
       assert(!r.getBoolean(2))
     }
     // originals (and all non-planted vectors) keep themselves
-    rows.filter(_.getLong(0) < 100000).foreach { r =>
+    rows.filter(_.getLong(0) < DedupPack.PlantedOffset).foreach { r =>
       assert(r.getLong(1) == r.getLong(0) && r.getBoolean(2))
     }
   }
