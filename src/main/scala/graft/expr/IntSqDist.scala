@@ -16,8 +16,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * lambda interpreted per element; at adaptive-k scale the assignment
   * stage is n x k rows x dims terms (d_semdedup_scoped at the 100x
   * corpus: 2.2e8 rows x 64 terms per Lloyd round), where the
-  * interpreted fold was measured at ~597 s vs ~60 s with this
-  * expression. Arithmetic is exact int64 (quantized coordinates are
+  * interpreted fold was measured at ~597 s vs ~35 s with this
+  * expression (SCALE.md round-7 sections). Arithmetic is exact int64 (quantized coordinates are
   * |q| <= ~10^4, so each term <= ~4e8 and 64-dim sums <= ~3e10 — far
   * inside int64), identical to the fold and to the DuckDB oracle's
   * BIGINT sum.
