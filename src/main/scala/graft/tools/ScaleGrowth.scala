@@ -18,6 +18,23 @@ import org.apache.spark.sql.SparkSession
   * records the table.
   */
 object ScaleGrowth {
+
+  /** ONE copy of the timing methodology shared by the main harness's
+    * headroom block and the headroom-only mode: cold first run, drain
+    * (released graph/base handles), warm second run, drain. */
+  private def coldWarm(spark: SparkSession, dir: String, name: String)
+      : (Double, Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = graft.SparkEntry.queries(name)(spark, dir).count()
+    val cold = (System.nanoTime() - t0) / 1e9
+    graft.scale.CacheRegistry.drain()
+    val t1 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, dir).count()
+    val warm = (System.nanoTime() - t1) / 1e9
+    graft.scale.CacheRegistry.drain()
+    (cold, warm, rows)
+  }
+
   def main(args: Array[String]): Unit = {
     val refDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outJson = if (args.length > 1) args(1) else "/tmp/graft_scale_growth.json"
@@ -128,14 +145,7 @@ object ScaleGrowth {
     val headroomQs = Seq("d_minhash_lsh", "d_cluster", "s_knn_brute",
       "g_pagerank")
     val t100 = headroomQs.map { name =>
-      val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.queries(name)(spark, hundredDir).count()
-      val cold = (System.nanoTime() - t0) / 1e9
-      graft.scale.CacheRegistry.drain()
-      val t1w = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, hundredDir).count()
-      val warm = (System.nanoTime() - t1w) / 1e9
-      graft.scale.CacheRegistry.drain()
+      val (cold, warm, rows) = coldWarm(spark, hundredDir, name)
       System.err.println(f"[scale] 100x $name%-18s cold ${ms(cold)}%8s s warm ${ms(warm)}%8s s ($rows rows)")
       (name, cold, warm, rows)
     }
@@ -181,23 +191,12 @@ object ScaleGrowth {
     val oneDir = "/tmp/graft_scale1x"
     val hundredDir = "/tmp/graft_scale100x"
     ensure(oneDir, 1); ensure(hundredDir, 100)
-    def coldWarm(dir: String, name: String): (Double, Double, Long) = {
-      val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.queries(name)(spark, dir).count()
-      val cold = (System.nanoTime() - t0) / 1e9
-      graft.scale.CacheRegistry.drain()
-      val t1 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir).count()
-      val warm = (System.nanoTime() - t1) / 1e9
-      graft.scale.CacheRegistry.drain()
-      (cold, warm, rows)
-    }
     val per = qs.map { name =>
       // the 1x baseline is measured first and survives a 100x failure
       // (the d_ngram_jaccard spill-death case: its bounded-corpus
       // number is exactly what the table still needs)
       val base = try {
-        val (c1, w1, r1) = coldWarm(oneDir, name)
+        val (c1, w1, r1) = coldWarm(spark, oneDir, name)
         Some((c1, w1, r1))
       } catch {
         case e: Exception =>
@@ -209,7 +208,7 @@ object ScaleGrowth {
           s""""$name":{"error":"failed_at_1x"}"""
         case Some((c1, w1, r1)) =>
           try {
-            val (c100, w100, r100) = coldWarm(hundredDir, name)
+            val (c100, w100, r100) = coldWarm(spark, hundredDir, name)
             System.err.println(f"[scale] ext $name%-18s 1x cold ${ms(c1)}%8s/${ms(w1)}%s warm ($r1 rows); 100x cold ${ms(c100)}%8s/${ms(w100)}%s warm ($r100 rows) growth ${ms(c100 / c1)}%s")
             s""""$name":{"cold1":${ms(c1)},"warm1":${ms(w1)},"rows1":$r1,"cold100":${ms(c100)},"warm100":${ms(w100)},"rows100":$r100,"growth_vs_1x":${ms(c100 / c1)}}"""
           } catch {
