@@ -355,6 +355,36 @@ object SimilarityPack extends QueryPack {
         // + 0.0 collapses IEEE negative zero so engines agree on "0.0"
         .agg((round(avg(col("x").cast("double")), 4) + lit(0.0)).as("v"))
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // Semantic eval-set decontamination — the embedding-space twin of
+    // TextPack's trigram t_decontam (the two run side by side in a
+    // real pre-training funnel: lexical catches verbatim leakage,
+    // cosine catches paraphrase leakage). Eval set = the bounded
+    // vec_id < 50 slice (eval benchmarks are small by nature); every
+    // train vector gets its max cosine against the whole eval set and
+    // a contamination flag at 0.5 (the gaussian fixture's organic
+    // near-miss band, so the flag partitions the output non-trivially;
+    // production would use ~0.9 on clustered real embeddings — the
+    // threshold is the only tunable). The flag compares the ROUNDED
+    // score on both engines, so boundary values cannot split on
+    // float-formatting.
+    //
+    // Scale shape: the eval side is broadcast (50 x 64 doubles); the
+    // train side is ONE corpus scan with a codegen DotProduct per
+    // (train, eval) pair and a map-side-combinable max — no shuffle
+    // carries a vector, and the output is one row per train vector.
+    "s_decontam_semantic" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val eval = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("eid"), col("v").as("ev"), col("nrm").as("en"))
+      val train = e.filter(col("vec_id") >= 50)
+      train.crossJoin(broadcast(eval))
+        .groupBy(col("vec_id"))
+        .agg(max(dotCols("v", "ev") / (col("nrm") * col("en"))).as("mc"))
+        .select(col("vec_id"), round(col("mc"), 4).as("max_eval_cos"))
+        .withColumn("is_contaminated", col("max_eval_cos") >= 0.5)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -883,6 +913,19 @@ object SimilarityPack extends QueryPack {
         |  round(avg(CAST(embedding[i.i] AS DOUBLE)), 4) + 0.0 AS v
         |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s_decontam_semantic" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |ev AS (SELECT vec_id AS eid, v AS evv, nrm AS en FROM n WHERE vec_id < 50),
+        |mc AS (
+        |  SELECT t.vec_id,
+        |    round(max(list_dot_product(t.v, ev.evv) / (t.nrm * ev.en)), 4)
+        |      AS max_eval_cos
+        |  FROM n t, ev WHERE t.vec_id >= 50 GROUP BY 1)
+        |SELECT vec_id, max_eval_cos, max_eval_cos >= 0.5 AS is_contaminated
+        |FROM mc ORDER BY vec_id""".stripMargin,
 
     // The ANN paths emit recall invariants (see queries): the Spark
     // side genuinely computes ANN-vs-exact recall@10; the oracle pins

@@ -263,6 +263,9 @@ class PlanShapeSpec extends SparkSpec {
       "s_knn_brute", "s_knn_mips", "s_knn_filtered", "d_embed_cos",
       "s_hybrid_rrf",
       "s_knn_lsh", "s_knn_ivf", "s_knn_pq", "s_quantize", "s_label_centroid",
+      // s_decontam_semantic: the 50-row eval frame broadcast against
+      // the train scan — the s_knn_brute bounded-query-side class
+      "s_decontam_semantic",
       "a8_winsorize", "a9_zscore", "dq_anomaly", "j12_bloom_join",
       "sql_q11_important", "sql_scalar_max_qty", "d_pipeline", "t_pipeline",
       "t_decontam", "t_budget", "t_split", "d_semdedup", "d_cluster",
