@@ -86,6 +86,27 @@ object LayoutPack extends QueryPack {
         .orderBy(col("p_brand"))
     }),
 
+    // BUCKETED-JOIN round-trip — write orders and customer
+    // bucketBy(8, custkey), read them back through the catalog, join
+    // on the bucket key and aggregate per market segment. Equality
+    // against the plain-parquet oracle gates write→read fidelity
+    // through the bucketed layout (hash assignment loses no rows,
+    // values survive); BucketedJoinSpec pins the SCALE property — the
+    // join itself plans with ZERO ShuffleExchange (both sides arrive
+    // pre-partitioned by hash(custkey) % 8 from the file layout), the
+    // co-located-join story the brief names for repeated 100 TB
+    // fact⨝dim joins. Money in integer cents (order-insensitive).
+    "ly_bucketed_join" -> ((s, dir) => {
+      val (to, tc) = bucketedOrdersCustomer(s, dir)
+      s.table(to).join(s.table(tc),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          countDistinct(col("c_custkey")).as("n_custs"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "ly_zorder" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .select(pmod(col("l_partkey"), lit(1024)).as("x"),
@@ -254,6 +275,39 @@ object LayoutPack extends QueryPack {
     })
   }
 
+  /** One BUCKETED copy of (orders, customer) per (session, sfDir),
+    * both `bucketBy(8, custkey).sortBy(custkey)` — the co-located
+    * join layout the builder brief names for 100 TB fact⨝dim work:
+    * rows land in files by hash(key) % 8 at WRITE time, so every
+    * join on the key is exchange-free forever after (the shuffle is
+    * paid once, at layout time, and amortized over every subsequent
+    * join — BucketedJoinSpec pins the zero-ShuffleExchange plan).
+    * `bucketBy` requires a catalog table: registered in the session
+    * catalog with an explicit temp-dir path (external table — no
+    * warehouse writes), names keyed by the sfDir hash so two SFs in
+    * one session cannot collide. */
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, String)]()
+
+  private[queries] def bucketedOrdersCustomer(
+      s: SparkSession, dir: String): (String, String) = {
+    bucketCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    bucketCache.computeIfAbsent((s, dir), _ => {
+      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucketed_").toString
+      val (to, tc) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
+      Tables(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders").saveAsTable(to)
+      Tables(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer").saveAsTable(tc)
+      (to, tc)
+    })
+  }
+
   /** One ORC copy of `part` per (session, sfDir), reused across
     * repeated runs in a harness (Bench repeats; TimeQuery loops). */
   private val orcCache =
@@ -277,6 +331,16 @@ object LayoutPack extends QueryPack {
         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
         |  round(sum(value), 2) AS sum_value
         |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle joins the ORIGINAL parquet tables — equality proves
+    // the bucketed write→read cycle loses nothing the join touches
+    "ly_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_custs
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle reads the ORIGINAL parquet — equality proves the ORC

@@ -783,6 +783,68 @@ object TextPack extends QueryPack {
         .orderBy(desc("c12"), col("w1"), col("w2")).limit(50)
     }),
 
+    // DSIR — Data Selection via Importance Resampling (Xie et al.
+    // 2023): weight every raw document by how much more likely its
+    // tokens are under the TARGET distribution (the eval/domain slice,
+    // doc_id % 10 = 0 — t_decontam's convention) than under the raw
+    // corpus distribution, then keep the top-quota per source. The
+    // paper's hashed-n-gram log-ratio sum becomes an add-1-smoothed
+    // probability RATIO in integer basis points averaged per token —
+    // the t_lm_score move: a float log-prob sum is summation-order-
+    // sensitive at the rounding boundary, while the integer lattice is
+    // bit-exact on both engines, and resampling only consumes the
+    // RANKING of documents, which the monotone-per-token surrogate
+    // preserves for the dominant single-token deviations.
+    //
+    // Overflow bound: probabilities are scaled to 1e8 before the
+    // integer divide, so numerators stay <= (c+1)*1e8 — inside int64
+    // until a single token exceeds ~9e10 occurrences (a stopword at a
+    // ~1e12-token corpus); past that, downscale (c, T) together (the
+    // ratio is invariant) or drop the scale to 1e6. greatest(pr, 1)
+    // keeps the rare-token divide away from zero at any corpus size.
+    //
+    // Scale shape: one token projection; ct/cr are token-keyed hash
+    // aggs whose output is VOCABULARY-bounded (Heaps-sublinear — MBs
+    // at 100 TB), so the importance-weight table broadcasts; scoring
+    // is one corpus scan joined against it plus a doc-keyed agg; the
+    // per-source top-quota window partitions on source (the t_bm25
+    // class — at a real source fan-out scale/TopK's map-side partial
+    // top-k is the drop-in). The 1-row totals frame is a scalar
+    // broadcast (PlanShapeSpec's t_tfidf allowlist class).
+    "t_dsir" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val isT = col("doc_id") % 10 === 0
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), isT.as("is_t"),
+          explode(tokens(col("text"))).as("w"))
+      val ct = tok.filter(col("is_t"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_t"))
+      val cr = tok.filter(!col("is_t"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_r"))
+      val totals = tok.agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("tt"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("tr"),
+        countDistinct(col("w")).as("v"))
+      val lm = cr.join(ct, Seq("w"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("w"), expr(
+          """((coalesce(c_t, 0) + 1) * 100000000 div (tt + v)) * 10000
+            |  div greatest((c_r + 1) * 100000000 div (tr + v), 1)"""
+            .stripMargin).as("lr_bp"))
+      val win = Window.partitionBy(col("source"))
+        .orderBy(col("imp_bp").desc, col("doc_id").asc)
+      tok.filter(!col("is_t"))
+        .join(broadcast(lm), Seq("w"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lr_bp")).as("s"))
+        .withColumn("imp_bp", expr("s div n_tokens"))
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 20)
+        .select(col("source"), col("rk"), col("doc_id"),
+          col("n_tokens"), col("imp_bp"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // PII redaction — the scrub stage every training corpus runs
     // before release: chained regexp_replace for email / phone / IPv4,
     // plus a per-document redaction count for the audit log. The
@@ -1350,6 +1412,38 @@ object TextPack extends QueryPack {
         |SELECT w1, w2, c12, c1, c12 * 10000 // c1 AS p_bp
         |FROM c12 JOIN c1 USING (w1)
         |ORDER BY c12 DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "t_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, doc_id % 10 = 0 AS is_t,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+        |    CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS tr,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS v
+        |  FROM tok),
+        |ct AS (SELECT w, CAST(count(*) AS BIGINT) AS c_t
+        |       FROM tok WHERE is_t GROUP BY 1),
+        |cr AS (SELECT w, CAST(count(*) AS BIGINT) AS c_r
+        |       FROM tok WHERE NOT is_t GROUP BY 1),
+        |lm AS (
+        |  SELECT cr.w,
+        |    ((coalesce(ct.c_t, 0) + 1) * 100000000 // (tt + v)) * 10000
+        |      // greatest((cr.c_r + 1) * 100000000 // (tr + v), 1) AS lr_bp
+        |  FROM cr LEFT JOIN ct USING (w) CROSS JOIN tot),
+        |d AS (
+        |  SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    sum(lm.lr_bp) AS s
+        |  FROM tok t JOIN lm USING (w) WHERE NOT t.is_t GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(s // n_tokens AS BIGINT) AS imp_bp,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY s // n_tokens DESC, doc_id) AS rk
+        |  FROM d)
+        |SELECT source, rk, doc_id, n_tokens, imp_bp
+        |FROM r WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
 
     "t_redact" ->
       """WITH raw AS (

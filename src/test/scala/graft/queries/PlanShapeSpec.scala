@@ -272,9 +272,9 @@ class PlanShapeSpec extends SparkSpec {
       "mm_decode", "mm_embed", "mm_frame_sample", "mm_resize",
       "a7_profile", "dq_audit", "g_hll_merge", "g_triangle_count",
       "g_triangle_approx",
-      // t_bm25: the 1-row N and token-total frames crossed into the
-      // scoring projection — the t_tfidf scalar-broadcast class
-      "t_tfidf", "t_bm25", "d_fuzzy_names")
+      // t_bm25/t_dsir: the 1-row N and token-total frames crossed into
+      // the scoring projection — the t_tfidf scalar-broadcast class
+      "t_tfidf", "t_bm25", "t_dsir", "d_fuzzy_names")
     def loops(p: SparkPlan): Seq[SparkPlan] = {
       val here = p match {
         case a: AdaptiveSparkPlanExec => loops(a.executedPlan)
