@@ -113,7 +113,11 @@ object SyntheticCorpus {
       (DataFrame, DataFrame) = {
     val orders = s.range(nOrders).select(
       col("id").as("o_orderkey"),
-      pmod(xxhash64(col("id"), lit(10), lit(seed)), lit(nCust)).as("o_custkey"))
+      pmod(xxhash64(col("id"), lit(10), lit(seed)), lit(nCust)).as("o_custkey"),
+      // ly_bucketed_join's aggregate input; column-pruned away by
+      // every other measured query, so adding it costs nothing there
+      (pmod(xxhash64(col("id"), lit(12), lit(seed)), lit(100000L))
+        .cast("double") / 100.0 + 1000.0).as("o_totalprice"))
     val lineitem = s.range(nOrders).select(
       col("id").as("l_orderkey"),
       explode(expr(s"sequence(1, 1 + pmod(xxhash64(id, 11, $seed), 7))"))
@@ -151,7 +155,18 @@ object SyntheticCorpus {
     // scatter purely from the keys, so these suffice for its growth
     // measurement (10x keys = 10x point density on the fixed grid)
     s.range(1, 15000L * scale + 1)
-      .select(org.apache.spark.sql.functions.col("id").as("c_custkey"))
+      .select(org.apache.spark.sql.functions.col("id").as("c_custkey"),
+        // ly_bucketed_join's group key (5 segments, hash-uniform)
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.array(
+            Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+              "MACHINERY").map(org.apache.spark.sql.functions.lit): _*),
+          (org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("id"),
+              org.apache.spark.sql.functions.lit(seed + 300)),
+            org.apache.spark.sql.functions.lit(5)) + 1).cast("int"))
+          .as("c_mktsegment"))
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     s.range(1, 1000L * scale + 1)
       .select(org.apache.spark.sql.functions.col("id").as("s_suppkey"))
