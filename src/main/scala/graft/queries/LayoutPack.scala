@@ -284,8 +284,8 @@ object LayoutPack extends QueryPack {
     * join — BucketedJoinSpec pins the zero-ShuffleExchange plan).
     * `bucketBy` requires a catalog table: registered in the session
     * catalog with an explicit temp-dir path (external table — no
-    * warehouse writes), names keyed by the sfDir hash so two SFs in
-    * one session cannot collide. */
+    * warehouse writes), names keyed by the sanitized sfDir path so
+    * two SFs in one session cannot collide. */
   private val bucketCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       (String, String)]()
@@ -294,7 +294,10 @@ object LayoutPack extends QueryPack {
       s: SparkSession, dir: String): (String, String) = {
     bucketCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     bucketCache.computeIfAbsent((s, dir), _ => {
-      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      // tag = the sanitized PATH, not a hash: two sfDirs in one
+      // session get distinct catalog names by construction (a 32-bit
+      // hash collision would silently cross-wire their data)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = java.nio.file.Files
         .createTempDirectory("graft_bucketed_").toString
       val (to, tc) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")

@@ -154,22 +154,17 @@ object SyntheticCorpus {
     // key-only dimension tables: the geo family derives its point
     // scatter purely from the keys, so these suffice for its growth
     // measurement (10x keys = 10x point density on the fixed grid)
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
     s.range(1, 15000L * scale + 1)
-      .select(org.apache.spark.sql.functions.col("id").as("c_custkey"),
+      .select(col("id").as("c_custkey"),
         // ly_bucketed_join's group key (5 segments, hash-uniform)
-        org.apache.spark.sql.functions.element_at(
-          org.apache.spark.sql.functions.array(
-            Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
-              "MACHINERY").map(org.apache.spark.sql.functions.lit): _*),
-          (org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.xxhash64(
-              org.apache.spark.sql.functions.col("id"),
-              org.apache.spark.sql.functions.lit(seed + 300)),
-            org.apache.spark.sql.functions.lit(5)) + 1).cast("int"))
-          .as("c_mktsegment"))
+        element_at(array(segs.map(lit): _*),
+          (pmod(xxhash64(col("id"), lit(seed + 300)), lit(5)) + 1)
+            .cast("int")).as("c_mktsegment"))
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     s.range(1, 1000L * scale + 1)
-      .select(org.apache.spark.sql.functions.col("id").as("s_suppkey"))
+      .select(col("id").as("s_suppkey"))
       .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
   }
 }

@@ -1,8 +1,7 @@
 package graft.queries
 
-import graft.SparkSpec
+import graft.{PlanWalk, SparkSpec}
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
@@ -17,15 +16,8 @@ import org.apache.spark.sql.functions._
   */
 class BucketedJoinSpec extends SparkSpec {
 
-  private def shuffles(p: SparkPlan): Seq[SparkPlan] = {
-    val here = p match {
-      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-      case q: QueryStageExec => shuffles(q.plan)
-      case e: ShuffleExchangeExec => e +: e.children.flatMap(shuffles)
-      case other => other.children.flatMap(shuffles)
-    }
-    here
-  }
+  private def shuffles(p: SparkPlan): Seq[SparkPlan] =
+    PlanWalk.collect(p) { case e: ShuffleExchangeExec => e }
 
   test("bucketed join on the bucket key plans with zero ShuffleExchange") {
     val dir = sf("sf0.001")

@@ -275,16 +275,9 @@ class PlanShapeSpec extends SparkSpec {
       // t_bm25/t_dsir: the 1-row N and token-total frames crossed into
       // the scoring projection — the t_tfidf scalar-broadcast class
       "t_tfidf", "t_bm25", "t_dsir", "d_fuzzy_names")
-    def loops(p: SparkPlan): Seq[SparkPlan] = {
-      val here = p match {
-        case a: AdaptiveSparkPlanExec => loops(a.executedPlan)
-        case q: QueryStageExec => loops(q.plan)
-        case r: ReusedExchangeExec => loops(r.child)
-        case j: BroadcastNestedLoopJoinExec => j +: j.children.flatMap(loops)
-        case c: CartesianProductExec => c +: c.children.flatMap(loops)
-        case other => other.children.flatMap(loops)
-      }
-      here ++ p.subqueries.flatMap(loops)
+    def loops(p: SparkPlan): Seq[SparkPlan] = graft.PlanWalk.collect(p) {
+      case j: BroadcastNestedLoopJoinExec => j
+      case c: CartesianProductExec => c
     }
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
@@ -307,16 +300,8 @@ class PlanShapeSpec extends SparkSpec {
     // m1_freq_index) now rank through scale/GlobalRank's two-level
     // scheme, so no query funnels its window input through one task.
     val allow = Set.empty[String]
-    def windows(p: SparkPlan): Seq[WindowExec] = {
-      val here = p match {
-        case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
-        case q: QueryStageExec => windows(q.plan)
-        case r: ReusedExchangeExec => windows(r.child)
-        case w: WindowExec => w +: w.children.flatMap(windows)
-        case other => other.children.flatMap(windows)
-      }
-      here ++ p.subqueries.flatMap(windows)
-    }
+    def windows(p: SparkPlan): Seq[WindowExec] =
+      graft.PlanWalk.collect(p) { case w: WindowExec => w }
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allow)
       .flatMap { name =>
