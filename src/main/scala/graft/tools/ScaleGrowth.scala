@@ -54,11 +54,18 @@ object ScaleGrowth {
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
 
     // Headroom-only mode: 4th arg = CSV of query names. Times each
-    // named query at 1x and 100x only (cold + warm), reusing the
-    // corpora on disk when present — extends the 100x tier to more
-    // operator families without re-running the full 1x/10x suite.
+    // named query at 1x and <tier>x only (cold + warm; tier = 5th
+    // arg, default 100), reusing the corpora on disk when present —
+    // extends the headroom tier to more operator families without
+    // re-running the full 1x/10x suite. 6th arg (optional) = CSV of
+    // tables to generate for the big tier (default all six) — the
+    // doc/embedding families don't need the 150M-order/600M-lineitem
+    // tables a full 1000x corpus would spend minutes and GBs writing.
     if (args.length > 3) {
-      runHeadroomOnly(spark, refDir, outJson, args(3).split(',').toSeq)
+      val tier = if (args.length > 4) args(4).toInt else 100
+      val tabs = if (args.length > 5) args(5).split(',').toSeq else AllTables
+      runHeadroomOnly(spark, refDir, outJson, args(3).split(',').toSeq,
+        tier, tabs)
       spark.stop()
       return
     }
@@ -169,28 +176,32 @@ object ScaleGrowth {
     spark.stop()
   }
 
-  /** Extended 100x tier: cold+warm per query at 1x and 100x. Same
-    * methodology as the main harness's headroom block (the claim is
-    * growth CLASS, not ms); corpora are regenerated only if absent
+  private val AllTables = Seq("documents", "embeddings", "orders",
+    "lineitem", "customer", "supplier")
+
+  /** Extended headroom tier: cold+warm per query at 1x and <tier>x.
+    * Same methodology as the main harness's headroom block (the claim
+    * is growth CLASS, not ms); corpora are regenerated only if absent
     * (the generator is deterministic, so reuse is exact). */
   private def runHeadroomOnly(spark: SparkSession, refDir: String,
-      outJson: String, qs: Seq[String]): Unit = {
+      outJson: String, qs: Seq[String], tier: Int,
+      tables: Seq[String]): Unit = {
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // regenerate unless EVERY table is present — supplier.parquet is
-    // written last, so a run that died mid-generation (the 100x OOM
-    // class) cannot leave a half-corpus that gets silently reused
-    val tables = Seq("documents", "embeddings", "orders", "lineitem",
-      "customer", "supplier")
+    // regenerate unless EVERY requested table is present — the LAST
+    // table in the generation order is written last, so a run that
+    // died mid-generation (the 100x OOM class) cannot leave a
+    // half-corpus that gets silently reused
     def ensure(dir: String, scale: Int): Unit =
       if (!tables.forall(t => java.nio.file.Files.exists(
             java.nio.file.Paths.get(dir, s"$t.parquet")))) {
         System.err.println(s"[scale] generating ${scale}x corpus under $dir ...")
-        SyntheticCorpus.writeCorpus(spark, refDir, dir, scale = scale)
+        SyntheticCorpus.writeCorpus(spark, refDir, dir, scale = scale,
+          tables = tables)
       }
     val oneDir = "/tmp/graft_scale1x"
-    val hundredDir = "/tmp/graft_scale100x"
-    ensure(oneDir, 1); ensure(hundredDir, 100)
+    val hundredDir = s"/tmp/graft_scale${tier}x"
+    ensure(oneDir, 1); ensure(hundredDir, tier)
     val per = qs.map { name =>
       // the 1x baseline is measured first and survives a 100x failure
       // (the d_ngram_jaccard spill-death case: its bounded-corpus
@@ -208,17 +219,17 @@ object ScaleGrowth {
           s""""$name":{"error":"failed_at_1x"}"""
         case Some((c1, w1, r1)) =>
           try {
-            val (c100, w100, r100) = coldWarm(spark, hundredDir, name)
-            System.err.println(f"[scale] ext $name%-18s 1x cold ${ms(c1)}%8s/${ms(w1)}%s warm ($r1 rows); 100x cold ${ms(c100)}%8s/${ms(w100)}%s warm ($r100 rows) growth ${ms(c100 / c1)}%s")
-            s""""$name":{"cold1":${ms(c1)},"warm1":${ms(w1)},"rows1":$r1,"cold100":${ms(c100)},"warm100":${ms(w100)},"rows100":$r100,"growth_vs_1x":${ms(c100 / c1)}}"""
+            val (cN, wN, rN) = coldWarm(spark, hundredDir, name)
+            System.err.println(f"[scale] ext $name%-18s 1x cold ${ms(c1)}%8s/${ms(w1)}%s warm ($r1 rows); ${tier}x cold ${ms(cN)}%8s/${ms(wN)}%s warm ($rN rows) growth ${ms(cN / c1)}%s")
+            s""""$name":{"cold1":${ms(c1)},"warm1":${ms(w1)},"rows1":$r1,"cold$tier":${ms(cN)},"warm$tier":${ms(wN)},"rows$tier":$rN,"growth_vs_1x":${ms(cN / c1)}}"""
           } catch {
             case e: Exception =>
-              System.err.println(s"[scale] ext $name FAILED at 100x: ${e.getMessage}")
-              s""""$name":{"cold1":${ms(c1)},"warm1":${ms(w1)},"rows1":$r1,"error100":"${e.getClass.getSimpleName}"}"""
+              System.err.println(s"[scale] ext $name FAILED at ${tier}x: ${e.getMessage}")
+              s""""$name":{"cold1":${ms(c1)},"warm1":${ms(w1)},"rows1":$r1,"error$tier":"${e.getClass.getSimpleName}"}"""
           }
       }
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"headroom_100x_ext","queries":$per}"""
+    val line = s"""{"metric":"headroom_${tier}x_ext","queries":$per}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (line + "\n").getBytes("UTF-8"))
     println(line)

@@ -134,7 +134,10 @@ object SyntheticCorpus {
     * (docs 5k, embeddings 2k, orders 150k, parts 20k, suppliers 1k,
     * customers 15k at scale=1). */
   def writeCorpus(s: SparkSession, refDir: String, outDir: String,
-                  scale: Int, seed: Long = 20260814L): Unit = {
+                  scale: Int, seed: Long = 20260814L,
+                  tables: Seq[String] = Seq("documents", "embeddings",
+                    "orders", "lineitem", "customer", "supplier")): Unit = {
+    def want(t: String) = tables.contains(t)
     // the planted-twin ops derive ids as id + PlantedOffset — a corpus
     // whose real ids reach the offset silently corrupts their
     // semantics (the round-7 100x overflow of the original 100k
@@ -143,28 +146,36 @@ object SyntheticCorpus {
         2000L * scale < graft.queries.DedupPack.PlantedOffset,
       s"corpus scale $scale mints ids past PlantedOffset " +
         s"(${graft.queries.DedupPack.PlantedOffset}) — raise the offset first")
-    val d = documents(s, refDir, 5000L * scale, seed)
-    val e = embeddings(s, 2000L * scale, seed + 100)
-    val (o, l) = ordersAndLineitem(s, 150000L * scale, 20000L * scale,
-      1000L * scale, 15000L * scale, seed + 200)
-    d.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    e.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    o.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
-    l.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    if (want("documents"))
+      documents(s, refDir, 5000L * scale, seed)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    if (want("embeddings"))
+      embeddings(s, 2000L * scale, seed + 100)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    if (want("orders") || want("lineitem")) {
+      val (o, l) = ordersAndLineitem(s, 150000L * scale, 20000L * scale,
+        1000L * scale, 15000L * scale, seed + 200)
+      if (want("orders"))
+        o.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      if (want("lineitem"))
+        l.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
     // key-only dimension tables: the geo family derives its point
     // scatter purely from the keys, so these suffice for its growth
     // measurement (10x keys = 10x point density on the fixed grid)
     val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
       "MACHINERY")
-    s.range(1, 15000L * scale + 1)
-      .select(col("id").as("c_custkey"),
-        // ly_bucketed_join's group key (5 segments, hash-uniform)
-        element_at(array(segs.map(lit): _*),
-          (pmod(xxhash64(col("id"), lit(seed + 300)), lit(5)) + 1)
-            .cast("int")).as("c_mktsegment"))
-      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
-    s.range(1, 1000L * scale + 1)
-      .select(col("id").as("s_suppkey"))
-      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    if (want("customer"))
+      s.range(1, 15000L * scale + 1)
+        .select(col("id").as("c_custkey"),
+          // ly_bucketed_join's group key (5 segments, hash-uniform)
+          element_at(array(segs.map(lit): _*),
+            (pmod(xxhash64(col("id"), lit(seed + 300)), lit(5)) + 1)
+              .cast("int")).as("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    if (want("supplier"))
+      s.range(1, 1000L * scale + 1)
+        .select(col("id").as("s_suppkey"))
+        .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
   }
 }
