@@ -172,8 +172,7 @@ object AnalyticsPack extends QueryPack {
     "g_hll_merge" -> ((s, dir) => {
       val perYear = Tables(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("y"))
-        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"),
-          countDistinct(col("o_custkey")).as("yx"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
       perYear
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"),
           count(lit(1)).as("n_years"))
@@ -533,7 +532,6 @@ object AnalyticsPack extends QueryPack {
             .as("lift_milli"))
         .orderBy(desc("lift_milli"), col("ant"), col("cons"))
         .limit(20)
-        .orderBy(desc("lift_milli"), col("ant"), col("cons"))
     }),
 
     // Per-node LOCAL clustering coefficient — the node-level refinement

@@ -28,15 +28,13 @@ import org.apache.spark.sql.functions._
   *    the fixture; see LshSpec for the property test);
   *  - MinHash bands (16 bands x 4 rows) shuffle on (band, bandHash) —
   *    tiny keys, no row amplification beyond true candidates;
-  *  - SimHash blocks on 4 x 16-bit signature chunks (exact for
-  *    Hamming distance <= 3 by pigeonhole);
+  *  - SimHash blocks on 16 x 4-bit signature chunks (recall-exact to
+  *    Hamming distance 15 by pigeonhole);
   *  - embedding near-dup compares only pairs, precomputing norms once;
   *    the all-pairs form is quadratic and exists as the correctness
   *    baseline — the ANN path is SimilarityPack's LSH variant.
   */
 object DedupPack extends QueryPack {
-
-  private val P = 2147483647L // 2^31 - 1, Mersenne prime for perms
 
   /** doc_id -> distinct word-3-gram shingle array. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
@@ -59,13 +57,17 @@ object DedupPack extends QueryPack {
     * smaller than the corpus text it replaces. */
   private val hashArraysCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def hashArrays(s: SparkSession, dir: String): DataFrame =
+  private def hashArrays(s: SparkSession, dir: String): DataFrame = {
+    // a JVM that cycles SparkSessions (specs, tools) must not
+    // accumulate dead-session plans — the coPairs eviction rule
+    hashArraysCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     hashArraysCache.computeIfAbsent((s, dir), _ =>
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           graft.expr.ShingleHashes(col("text"), 3).as("hs"))
         .withColumn("n", size(col("hs")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Exact-verify candidate (ida, idb) pairs against true 3-gram
     * Jaccard (via hash arrays); keep J >= 0.8. At scale the pair set
@@ -93,7 +95,8 @@ object DedupPack extends QueryPack {
     * embeddings scan and norm projection re-run ~5x per query. */
   private val plantedVecsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def plantedVecs(s: SparkSession, dir: String): DataFrame =
+  private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
+    plantedVecsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     plantedVecsCache.computeIfAbsent((s, dir), _ => {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -105,13 +108,20 @@ object DedupPack extends QueryPack {
         .withColumn("nrm", sqrt(SimilarityPack.dotCols("v", "v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** Candidate (ida, idb) pairs from 16 x 4-bit pigeonhole blocks of a
     * 64-bit signature — recall-exact to Hamming 15 by pigeonhole — with
     * the cheap bit_count(xor) <= maxHamming pre-filter applied INSIDE
     * the block join, before anything heavier than two longs ships.
     * Shared by d_simhash (SimHash over shingles) and d_semdedup (sign
-    * signatures over embeddings): one copy of the blocking geometry. */
+    * signatures over embeddings): one copy of the blocking geometry.
+    * maxHamming may EXCEED the Hamming-15 recall guarantee (d_simhash
+    * passes 16): the filter is a cost bound, not the recall bound —
+    * pairs past 15 are kept whenever a nibble happens to collide, and
+    * precision is controlled downstream by exact verification, so a
+    * looser filter can only ADD recall. Callers whose blocking must
+    * be recall-exact (d_semdedup's census) pass <= 15. */
   private[queries] def nibbleBlockCandidates(sigs: DataFrame, idCol: String,
                                     sigCol: String, maxHamming: Int): DataFrame = {
     val chunks = sigs.select(col(idCol), col(sigCol), posexplode(expr(
@@ -167,10 +177,12 @@ object DedupPack extends QueryPack {
     * pair), and the clustering stage iterates over it. */
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    pairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     pairsCache.computeIfAbsent((s, dir), _ =>
       minhashVerifiedPairsUncached(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** (doc_id, band, bandHash) rows: 16 bands of 4 signature slots each
     * — the LSH bucket keys every banding consumer joins on. */
@@ -294,6 +306,11 @@ object DedupPack extends QueryPack {
         .select(col("doc_id"),
           explode(graft.expr.ShingleHashes(col("text"), 12)).as("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-invocation persist: deposit with the harness ledger so
+      // Bench/Verify release it after the action — unlike the
+      // memoized session-lifetime caches above, this one would
+      // otherwise leak one corpus-sized frame per run
+      graft.scale.CacheRegistry.track(win)
       val a = win.select(col("h"), col("doc_id").as("ida"))
       val b = win.select(col("h"), col("doc_id").as("idb"))
       a.join(b, "h").filter(col("ida") < col("idb"))
@@ -567,7 +584,9 @@ object DedupPack extends QueryPack {
           s"ELSE $n0 + (vec_id - $PlantedOffset) div 5 END"))
       val q = dense.select(col("did").as("vec_id"),
         expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))").as("qv"))
-      val (assigned, _) = graft.scale.KMeans.lloydQuantized(s, q, k, iters = 2)
+      val (assigned, _) = graft.scale.KMeans.lloydQuantized(s, q, k,
+        iters = 2, finalUpdate = false) // centroids discarded — skip
+                                        // the last corpus-sized update
       val pv = dense.join(
           assigned.select(col("vec_id").as("did"), col("cid")), "did")
         .select(col("vec_id"), col("cid"), col("v"), col("nrm"))
@@ -592,10 +611,10 @@ object DedupPack extends QueryPack {
     // baseline (the fixture has no planted vector dups; 0.45 keeps the
     // output small); the sublinear path is SimilarityPack's LSH.
     "d_embed_cos" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .withColumn("nrm", sqrt(SimilarityPack.dotCols("v", "v")))
+      // ONE vector projection shared with the ANN pack this query is
+      // the correctness baseline for — a drifting inline copy would
+      // silently un-baseline it
+      val e = SimilarityPack.vecs(s, dir)
       // repartition the streamed side: a single-file scan arrives in 1-2
       // partitions and a BroadcastNestedLoopJoin inherits that — this
       // spreads the O(n^2/2) pair work across all cores

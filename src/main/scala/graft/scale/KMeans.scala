@@ -45,7 +45,15 @@ object KMeans {
     * handle deposited with [[CacheRegistry]] (harness drains after
     * the action).
     */
-  def lloydQuantized(s: SparkSession, vecs: DataFrame, k: Int, iters: Int)
+  /** `finalUpdate = false` skips the LAST round's centroid-update
+    * aggregation (a full posexplode+groupBy over the corpus): callers
+    * that only consume the assignment (d_semdedup_scoped's census)
+    * would otherwise pay one corpus-sized job for centroids they
+    * discard. With it false, the returned centroids are the ones the
+    * final ASSIGNMENT used — still a consistent (assignment,
+    * centroids) pair. */
+  def lloydQuantized(s: SparkSession, vecs: DataFrame, k: Int, iters: Int,
+                     finalUpdate: Boolean = true)
       : (DataFrame, Array[Array[Long]]) = {
     import s.implicits._
     val q = vecs.select(col("vec_id"), col("qv"))
@@ -62,7 +70,7 @@ object KMeans {
     require(cent.length == k, s"seeding found ${cent.length} of $k rows")
 
     var assigned: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val cdf = cent.zipWithIndex.toSeq.toDF("cv", "cid")
       // codegen'd primitive loop (graft.expr.IntSqDist): the
       // interpreted aggregate(zip_with(...)) fold it replaces was the
@@ -79,18 +87,20 @@ object KMeans {
         .select(col("vec_id"), col("qv"),
           (col("key") % k).cast("int").as("cid"),
           expr(s"key div $k").as("dist"))
-      val sums = assigned
-        .select(col("cid"), posexplode(col("qv")).as(Seq("d", "v")))
-        .groupBy(col("cid"), col("d"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("c"))
-        .collect() // bounded: k x dims rows
-      val next = cent.map(_.clone())
-      sums.foreach { r =>
-        val (cid, d) = (r.getInt(0), r.getInt(1))
-        next(cid)(d) =
-          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+      if (i < iters || finalUpdate) {
+        val sums = assigned
+          .select(col("cid"), posexplode(col("qv")).as(Seq("d", "v")))
+          .groupBy(col("cid"), col("d"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("c"))
+          .collect() // bounded: k x dims rows
+        val next = cent.map(_.clone())
+        sums.foreach { r =>
+          val (cid, d) = (r.getInt(0), r.getInt(1))
+          next(cid)(d) =
+            math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+        }
+        cent = next
       }
-      cent = next
     }
     (assigned.select(col("vec_id"), col("cid"), col("dist")), cent)
   }
