@@ -267,8 +267,7 @@ object LayoutPack extends QueryPack {
                                                dir: String): String = {
     partCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     partCache.computeIfAbsent((s, dir), _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_part_events_").toString
+      val out = graft.io.TempDirs.create("graft_part_events_")
       Tables.events(s, dir).write.mode("overwrite")
         .partitionBy("event_type").parquet(out)
       out
@@ -298,8 +297,7 @@ object LayoutPack extends QueryPack {
       // session get distinct catalog names by construction (a 32-bit
       // hash collision would silently cross-wire their data)
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_bucketed_").toString
+      val base = graft.io.TempDirs.create("graft_bucketed_")
       val (to, tc) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
       Tables(s, dir, "orders").write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
@@ -319,8 +317,7 @@ object LayoutPack extends QueryPack {
   private[queries] def orcCopyOfPart(s: SparkSession, dir: String): String = {
     orcCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     orcCache.computeIfAbsent((s, dir), _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_orc_part_").toString
+      val out = graft.io.TempDirs.create("graft_orc_part_")
       Tables(s, dir, "part").write.mode("overwrite").orc(out)
       out
     })

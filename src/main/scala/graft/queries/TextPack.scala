@@ -66,16 +66,21 @@ object TextPack extends QueryPack {
     val sh = docs.select(col("doc_id"),
       explode(graft.expr.ShingleHashes(col("text"), 3)).as("h"))
     val evalH = sh.filter(isEval).select(col("h")).distinct()
-    val overlap = sh.filter(!isEval)
-      .join(broadcast(evalH), Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-    docs.filter(!isEval)
-      .select(col("doc_id"),
-        size(graft.expr.ShingleHashes(col("text"), 3)).cast("long")
-          .as("n_shingles"))
-      .filter(col("n_shingles") > 0)
-      .join(overlap, Seq("doc_id"), "left")
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+    // ONE pass over the train shingles: the per-doc shingle count and
+    // the eval-overlap count come out of the SAME aggregation (a left
+    // join against the DISTINCT broadcast eval set adds at most one
+    // match flag per shingle occurrence, so sum(flag) == the previous
+    // left_semi count). The earlier shape computed size(ShingleHashes)
+    // and explode(ShingleHashes) as two independent corpus scans —
+    // every training document tokenized and hashed TWICE, doubling the
+    // dominant per-row CPU at 100 TB. Zero-shingle docs (under 3
+    // words) produce no exploded rows and so drop out here exactly as
+    // the previous n_shingles > 0 filter did.
+    sh.filter(!isEval)
+      .join(broadcast(evalH.withColumn("m", lit(1))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("m"), lit(0))).cast("long").as("n_overlap"))
       .withColumn("overlap_bp", expr("n_overlap * 10000 div n_shingles"))
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         col("overlap_bp"),
@@ -96,6 +101,43 @@ object TextPack extends QueryPack {
                                     qual: DataFrame, clean: DataFrame,
                                     unique: DataFrame, kept: DataFrame)
 
+  /** Per-source token budget in content-fingerprint order — the ONE
+    * budget rule (tokens-per-source cap, deterministic fp ordering)
+    * behind both the standalone t_budget operator and curationFunnel's
+    * stage 4; the two used to carry hand-copied `2000` literals and
+    * window specs a tweak could silently desynchronize. Output:
+    * (doc_id, source, n_tokens, fp, cum) for the KEPT documents. */
+  /** Greedy sequence packing into fixed token windows — the ONE chunk
+    * rule (256-token windows, per-source doc_id order) behind both the
+    * standalone t_pack operator and t_pipeline_write's packed-artifact
+    * census; previously two hand-copied window specs. Input carries
+    * (doc_id, source, text); adds n_tokens, cum, chunk_id. */
+  private val PackWindowTokens = 256
+  private def packChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_id",
+        floor((col("cum") - col("n_tokens")) / lit(PackWindowTokens.toDouble)))
+  }
+
+  private val SourceTokenBudget = 2000L
+  private def budgetKept(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = pmod(graft.expr.CharFingerprint(col("text")), lit(1000000))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("fp"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        fp.as("fp"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") - col("n_tokens") < SourceTokenBudget)
+  }
+
   private def curationFunnel(s: SparkSession, dir: String): CurationFunnel = {
     import org.apache.spark.sql.expressions.Window
     val docsRaw = Tables(s, dir, "documents")
@@ -108,16 +150,7 @@ object TextPack extends QueryPack {
     val cleanDocs = train.join(clean, "doc_id")
     val unique = cleanDocs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-    val fp = pmod(graft.expr.CharFingerprint(col("text")), lit(1000000))
-    val bw = Window.partitionBy(col("source"))
-      .orderBy(col("fp"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = cleanDocs.join(unique, "doc_id")
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        fp.as("fp"))
-      .withColumn("cum", sum(col("n_tokens")).over(bw))
-      .filter(col("cum") - col("n_tokens") < 2000)
+    val kept = budgetKept(cleanDocs.join(unique, "doc_id"))
     CurationFunnel(docsRaw, train, qual, clean, unique, kept)
   }
 
@@ -131,8 +164,7 @@ object TextPack extends QueryPack {
   private[queries] def curatedCorpusPath(s: SparkSession, dir: String): String = {
     curatedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     curatedCache.computeIfAbsent((s, dir), _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_curated_").toString
+      val out = graft.io.TempDirs.create("graft_curated_")
       Tables(s, dir, "documents")
         .join(curationFunnel(s, dir).kept.select(col("doc_id")), "doc_id")
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -147,7 +179,20 @@ object TextPack extends QueryPack {
     * Shared by construction with t_quality's CASE ladder so a
     * threshold tweak cannot desynchronize the two. Pure projection,
     * no shuffle. */
-  def qualityRank(docs: DataFrame): DataFrame = {
+  def qualityRank(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualitySignals.tier.as("q_rank"))
+
+  /** The quality FEATURE SET + tier ladder — the ONE definition behind
+    * both qualityRank (d_rep_quality's election key) and t_quality's
+    * bucket label; the two used to carry hand-copied twins of these
+    * thresholds, which a tweak in one place would silently
+    * desynchronize (each query stays green against its own oracle, so
+    * no red row flags the drift). tier: 0 = low, 1 = medium, 2 = high.
+    */
+  private case class QualitySignals(n: Column, avgLen: Column,
+                                    stopR: Column, shortR: Column,
+                                    tier: Column)
+  private def qualitySignals: QualitySignals = {
     val toks = tokens(col("text"))
     val n = size(toks)
     val avgLen = expr(
@@ -155,10 +200,10 @@ object TextPack extends QueryPack {
       .cast("double") / n
     val stopR = ratioIn(toks, stopwords)
     val shortR = size(filter(toks, w => length(w) <= 2)) / n
-    docs.select(col("doc_id"),
-      when(stopR > 0.15 || shortR > 0.2, 0L)
-        .when(n.between(20, 200) && avgLen >= 4.0, 2L)
-        .otherwise(1L).as("q_rank"))
+    val tier = when(stopR > 0.15 || shortR > 0.2, 0L)
+      .when(n.between(20, 200) && avgLen >= 4.0, 2L)
+      .otherwise(1L)
+    QualitySignals(n, avgLen, stopR, shortR, tier)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -178,20 +223,15 @@ object TextPack extends QueryPack {
     // label — the heuristics an LLM-data pipeline uses to drop junk
     // documents before training.
     "t_quality" -> ((s, dir) => {
-      val toks = tokens(col("text"))
-      val n = size(toks)
-      val avgLen = expr(
-        "aggregate(transform(split(text, ' '), w -> length(w)), 0, (acc, x) -> acc + x)")
-        .cast("double") / n
-      val stopR = ratioIn(toks, stopwords)
-      val shortR = size(filter(toks, w => length(w) <= 2)) / n
+      val qs = qualitySignals
       Tables(s, dir, "documents")
-        .select(col("doc_id"), n.as("n_tokens"),
-          round(avgLen, 4).as("avg_word_len"),
-          round(stopR, 4).as("stop_ratio"),
-          round(shortR, 4).as("short_ratio"),
-          when(stopR > 0.15 || shortR > 0.2, "low")
-            .when(n.between(20, 200) && avgLen >= 4.0, "high")
+        .select(col("doc_id"), qs.n.as("n_tokens"),
+          round(qs.avgLen, 4).as("avg_word_len"),
+          round(qs.stopR, 4).as("stop_ratio"),
+          round(qs.shortR, 4).as("short_ratio"),
+          // label derived from the SHARED tier column — the ladder
+          // thresholds live in exactly one place
+          when(qs.tier === 0, "low").when(qs.tier === 2, "high")
             .otherwise("medium").as("quality"))
         .orderBy(col("doc_id"))
     }),
@@ -341,19 +381,22 @@ object TextPack extends QueryPack {
     // red row, not pass silently).
     "t_boilerplate" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val totals = docs.select(col("doc_id"),
-          size(graft.expr.ShingleHashes(col("text"), 3)).cast("long")
-            .as("n_shingles"))
-        .filter(col("n_shingles") > 0)
       val pairs = docs.select(col("doc_id"),
         explode(graft.expr.ShingleHashes(col("text"), 3)).as("h"))
       val boiler = pairs.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 3).select(col("h"))
-      val nb = pairs.join(boiler, Seq("h"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+        .filter(col("df") >= 3).select(col("h"), lit(1).as("m"))
+      // per-doc totals and boiler-overlap counts from ONE aggregation
+      // over the joined shingles (boiler keys are distinct by
+      // construction, so the left join adds at most one flag per
+      // occurrence) — the earlier shape ran a third corpus scan just
+      // to size() the shingle arrays for totals. Two hash passes
+      // remain (the global df census, then this), the minimum for a
+      // df-threshold definition without persisting the exploded frame.
       val frac = round(col("n_boiler") / col("n_shingles"), 4)
-      totals.join(nb, Seq("doc_id"), "left")
-        .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      pairs.join(boiler, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("m"), lit(0))).cast("long").as("n_boiler"))
         .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
           frac.as("boiler_frac"), (frac >= 0.5).as("boilerplate_heavy"))
         .orderBy(col("doc_id"))
@@ -387,16 +430,8 @@ object TextPack extends QueryPack {
     // are a pure projection. At 100 TB the shard key is whatever unit
     // the loader shards by; the plan is unchanged.
     "t_pack" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val win = 256 // tokens per packed context window
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("chunk_id",
-          floor((col("cum") - col("n_tokens")) / lit(win.toDouble)))
+      packChunks(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")))
         .groupBy(col("source"), col("chunk_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -592,18 +627,10 @@ object TextPack extends QueryPack {
     // reports n_clean = 0 there; sf0.01's 22 packed chunks carry the
     // value evidence. A real corpus (open vocabulary) never saturates.
     "t_pipeline_write" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val win = 256
       val art = s.read.parquet(curatedCorpusPath(s, dir))
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      art.select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          pmod(graft.expr.CharFingerprint(col("text")), lit(1000000))
-            .as("fp"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("chunk_id",
-          floor((col("cum") - col("n_tokens")) / lit(win.toDouble)))
+      packChunks(art.select(col("doc_id"), col("source"), col("text")))
+        .withColumn("fp",
+          pmod(graft.expr.CharFingerprint(col("text")), lit(1000000)))
         .groupBy(col("source"), col("chunk_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),
@@ -624,18 +651,7 @@ object TextPack extends QueryPack {
     // the fingerprint order makes the kept set a pure function of the
     // corpus, stable under retries and engine swaps.
     "t_budget" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val budget = 2000L // tokens per source
-      val fp = pmod(graft.expr.CharFingerprint(col("text")), lit(1000000))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("fp"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          fp.as("fp"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .filter(col("cum") - col("n_tokens") < budget)
+      budgetKept(Tables(s, dir, "documents"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs_kept"),
           sum(col("n_tokens")).as("tokens_kept"),
@@ -1001,7 +1017,8 @@ object TextPack extends QueryPack {
         |scored AS (
         |  SELECT qws.qw, tf.doc_id,
         |    round(
-        |      ln(1.0 + (n.n - qws.df + 0.5) / (qws.df + 0.5)) * (tf.tf * 2.2) /
+        |      ln(1.0 + (n.n - qws.df + 0.5) / (qws.df + 0.5)) *
+        |      (tf.tf * CAST(2.2 AS DOUBLE)) /
         |      (tf.tf + 1.2 * (0.25 +
         |        0.75 * dlen.dlen / (CAST(tt.tt AS DOUBLE) / n.n))),
         |      4) AS score

@@ -36,6 +36,11 @@ object CacheRegistry {
   def track(dfs: org.apache.spark.sql.DataFrame*): Unit =
     track(new PageRank.CacheHandles(dfs.toSeq))
 
+  /** Record localCheckpoint'ed frames — released via Checkpoints.free
+    * (Dataset.unpersist cannot reach a LogicalRDD leaf's blocks). */
+  def trackCheckpointed(dfs: org.apache.spark.sql.DataFrame*): Unit =
+    track(new PageRank.CheckpointHandles(dfs.toSeq))
+
   /** Release everything tracked on THIS thread since the last drain;
     * returns the handle count (0 = nothing pinned, the common case). */
   def drain(): Int = {

@@ -234,7 +234,19 @@ object PageRank {
   }
 
   /** Persisted-DataFrame handles with one idempotent release switch. */
-  final class CacheHandles(dfs: Seq[DataFrame]) {
+  class CacheHandles(dfs: Seq[DataFrame]) {
     def release(): Unit = dfs.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Handles for localCheckpoint'ed frames: their blocks live on the
+    * RDD inside the LogicalRDD leaf, which Dataset.unpersist never
+    * reaches — release goes through Checkpoints.free instead. (The
+    * per-ROUND frames of iterative loops are freed inline as each
+    * round supersedes the last; this covers the loop's FINAL frame,
+    * which must outlive the query action and so can only be released
+    * by the harness ledger.) */
+  final class CheckpointHandles(dfs: Seq[DataFrame])
+      extends CacheHandles(Nil) {
+    override def release(): Unit = dfs.foreach(Checkpoints.free)
   }
 }

@@ -95,11 +95,14 @@ class PlanShapeSpec extends SparkSpec {
   test("t_decontam broadcasts the eval hash set; text stays out of exchanges") {
     val frame = df("t_decontam")
     val p = finalPlan(frame)
-    // the contamination probe is a broadcast left-semi hash join — the
-    // eval trigram set must never be the build side of a shuffled join
+    // the contamination probe is a broadcast hash join against the
+    // distinct eval trigram set (LEFT OUTER + flag-sum since the
+    // one-pass decontamStats rewrite — one hash pass per train doc
+    // instead of two; the eval set must never be the build side of a
+    // SHUFFLED join)
     assert(p.toString.contains("BroadcastHashJoin") &&
-      p.toString.contains("LeftSemi"),
-      s"eval-set probe not a broadcast semi join:\n$p")
+      p.toString.contains("LeftOuter"),
+      s"eval-set probe not a broadcast join:\n$p")
     shuffles(p).foreach { e =>
       val cols = e.child.output.map(_.name)
       assert(!cols.contains("text"),
