@@ -105,6 +105,9 @@ object Bfs {
         prevCkpt = dist
       }
     }
-    (dist, new PageRank.CacheHandles(persisted.result()))
+    // the last interval's checkpoint underpins the returned plan —
+    // it rides the handles (Checkpoints.free semantics)
+    (dist, new PageRank.CacheHandles(persisted.result(),
+      ckpts = Option(prevCkpt).toSeq))
   }
 }

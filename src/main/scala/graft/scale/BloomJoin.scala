@@ -83,6 +83,17 @@ object BloomJoin {
   def prune(probe: DataFrame, probeKey: Column,
             build: DataFrame, buildKey: Column,
             numBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    // xxhash64 is TYPE-sensitive (IntegerType hashes its 4 bytes,
+    // LongType its 8), so an int-vs-bigint key pair would set and
+    // probe DIFFERENT bit positions while the later equi-join still
+    // matches through implicit casts — silently pruning true matches.
+    // Fail fast instead of breaking the no-false-negatives contract;
+    // the caller casts one side explicitly.
+    val pt = probe.select(probeKey).schema.head.dataType
+    val bt = build.select(buildKey).schema.head.dataType
+    require(pt == bt,
+      s"BloomJoin.prune: probe key type $pt != build key type $bt — " +
+        "hash positions would diverge; cast the keys to one type first")
     val (bh1, bh2) = hashes(buildKey)
     val tupleEnc: Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)

@@ -54,6 +54,11 @@ object ConnectedComponents {
     val (labels, converged, rounds) = minLabelLoop(sym, maxIter)
     sym.unpersist()
     lastRounds.set(rounds)
+    // the FINAL label frame is a checkpoint leaf whose blocks outlive
+    // the caller's action — deposit with the harness ledger
+    // (Dataset.unpersist cannot reach LogicalRDD blocks; un-tracked,
+    // every CC call site leaked one node-sized frame per run)
+    CacheRegistry.trackCheckpointed(labels)
     if (!converged)
       // a diameter > maxIter graph exits the loop with PARTIAL labels
       // (discovered round 7: a 64-chain under the default cap) —
@@ -102,7 +107,7 @@ object ConnectedComponents {
           .groupBy(col("node"))
           .agg(min(col("component")).as("component")))
       Checkpoints.free(labels) // round N-1's blocks die once N is live
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1
@@ -135,6 +140,7 @@ object ConnectedComponents {
                   maxIter: Int = 50): DataFrame = {
     val sym = symmetrized(edges, src, dst)
     val (labels, converged, probeUsed) = minLabelLoop(sym, probeRounds)
+    CacheRegistry.trackCheckpointed(labels) // final-frame ledger (see run)
     if (converged) {
       sym.unpersist()
       lastRounds.set(probeUsed)
@@ -151,8 +157,11 @@ object ConnectedComponents {
         .select(col("c1").as("src"), col("c2").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-      sym.unpersist()
+      // sym stays persisted until runStars' EAGER init checkpoint has
+      // materialized `contracted` — unpersisting first forced the
+      // full-edge contraction joins to recompute sym from the raw scan
       val roots = runStars(contracted, maxIter = maxIter)
+      sym.unpersist()
       lastRounds.set(probeUsed + lastRounds.get().intValue())
       labels
         .join(roots.select(col("node").as("component"),
@@ -186,8 +195,14 @@ object ConnectedComponents {
                maxIter: Int = 50): DataFrame = {
     val e0 = edges.select(col(src).cast("long").as("s"),
       col(dst).cast("long").as("d"))
+    // EAGERLY checkpointed: the node list feeds only the FINAL output
+    // join, which the caller's action evaluates long after this call —
+    // left lazy it would re-derive the whole input construction (for
+    // runAdaptive: the full-edge contraction joins over an unpersisted
+    // sym) a second time at action time
     val nodes = e0.select(col("s").as("node"))
       .union(e0.select(col("d").as("node"))).distinct()
+      .localCheckpoint()
     // canonical (hi, lo), hi > lo; self-loops carry no connectivity
     var e = e0.filter(col("s") =!= col("d"))
       .select(greatest(col("s"), col("d")).as("hi"),
@@ -225,6 +240,9 @@ object ConnectedComponents {
       iter += 1
     }
     lastRounds.set(iter)
+    // node list + final edge set outlive the caller's action — ledger
+    // them for the harness drain (see run)
+    CacheRegistry.trackCheckpointed(nodes, e)
     // at fixpoint every non-root points at its component min; roots
     // and self-loop-only nodes re-enter via the node list
     nodes.join(e.select(col("hi").as("node"), col("lo").as("cmp")),
@@ -240,14 +258,26 @@ object ConnectedComponents {
 
   // Monotone-label checksum, collected DURING the checkpoint
   // materialization (labels only decrease, so the sum is strictly
-  // monotone until fixpoint — one scalar, no set compare, no extra job)
+  // monotone until fixpoint — one scalar, no set compare, no extra
+  // job). Summed in DECIMAL(38,0): node ids may be raw 64-bit hashes
+  // (xxhash64 content keys, uniform over the full long range), where
+  // an int64 sum overflows after a handful of rows — ANSI mode would
+  // throw every round, non-ANSI would wrap and void the strict-
+  // monotonicity the equality test relies on. Decimal keeps the sum
+  // EXACT to 1e38 (~1e19 full-range ids), preserving the
+  // zero-collision convergence check at any id scale.
   private var obsId = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+  private def checkpointWithSum(df: DataFrame)
+      : (DataFrame, java.math.BigDecimal) = {
     val obs = new org.apache.spark.sql.Observation(
       s"cc_round_${obsId.incrementAndGet()}")
-    val out = df.observe(obs, sum(col("component")).as("cs"))
+    val out = df
+      .observe(obs, sum(col("component").cast("decimal(38,0)")).as("cs"))
       .localCheckpoint() // eager: materializes + truncates lineage
-    (out, obs.get("cs").asInstanceOf[Long])
+    // an EMPTY label frame (edgeless input) sums to SQL NULL — the
+    // old long version silently unboxed that to 0; make it explicit
+    (out, Option(obs.get("cs").asInstanceOf[java.math.BigDecimal])
+      .getOrElse(java.math.BigDecimal.ZERO))
   }
 
   // Order-insensitive edge-SET checksum (count + sum of per-edge

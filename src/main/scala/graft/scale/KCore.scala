@@ -55,6 +55,10 @@ object KCore {
       cur = next
       iter += 1
     }
+    // the FINAL edge frame is a checkpoint leaf that outlives the
+    // caller's action — ledger it for the harness drain
+    // (Dataset.unpersist cannot reach LogicalRDD blocks)
+    CacheRegistry.trackCheckpointed(cur)
     cur
   }
 

@@ -164,8 +164,12 @@ object PageRank {
     }
     // NOTE: the pinned intermediates stay persisted until the caller's
     // action has run (an unpersist here would evict before the lazy
-    // plan executes) — hence the handles in the return value.
-    (ranks, new CacheHandles(persisted.result()))
+    // plan executes) — hence the handles in the return value. The LAST
+    // interval's checkpoint underpins the returned lazy plan, so it
+    // rides the handles too (released via Checkpoints.free — a plain
+    // unpersist cannot reach LogicalRDD blocks).
+    (ranks, new CacheHandles(persisted.result(),
+      ckpts = Option(prevCkpt).toSeq))
   }
 
   /** PERSONALIZED PageRank: the teleport mass lands only on `seeds`
@@ -233,20 +237,20 @@ object PageRank {
     (ranks, new CacheHandles(persisted.result()))
   }
 
-  /** Persisted-DataFrame handles with one idempotent release switch. */
-  class CacheHandles(dfs: Seq[DataFrame]) {
-    def release(): Unit = dfs.foreach(_.unpersist(blocking = false))
+  /** Persisted-DataFrame handles with one idempotent release switch.
+    * `ckpts` are localCheckpoint'ed frames — their blocks live on the
+    * RDD inside the LogicalRDD leaf, which Dataset.unpersist never
+    * reaches, so they release via Checkpoints.free. */
+  class CacheHandles(dfs: Seq[DataFrame], ckpts: Seq[DataFrame] = Nil) {
+    def release(): Unit = {
+      dfs.foreach(_.unpersist(blocking = false))
+      ckpts.foreach(Checkpoints.free)
+    }
   }
 
-  /** Handles for localCheckpoint'ed frames: their blocks live on the
-    * RDD inside the LogicalRDD leaf, which Dataset.unpersist never
-    * reaches — release goes through Checkpoints.free instead. (The
-    * per-ROUND frames of iterative loops are freed inline as each
-    * round supersedes the last; this covers the loop's FINAL frame,
-    * which must outlive the query action and so can only be released
-    * by the harness ledger.) */
+  /** Handles for ONLY checkpoint'ed frames — the loop-FINAL frames
+    * that must outlive the query action and so can only be released by
+    * the harness ledger. */
   final class CheckpointHandles(dfs: Seq[DataFrame])
-      extends CacheHandles(Nil) {
-    override def release(): Unit = dfs.foreach(Checkpoints.free)
-  }
+      extends CacheHandles(Nil, ckpts = dfs)
 }

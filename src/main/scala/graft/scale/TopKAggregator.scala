@@ -19,6 +19,15 @@ object TopKAggregator {
   case class Scored(id: Long, score: Double)
 
   private def insert(buf: List[Scored], s: Scored, k: Int): List[Scored] = {
+    // fast path: buffer full and the candidate doesn't beat the
+    // current last element — return unchanged. At k=10 over billions
+    // of rows virtually every input lands here; the general path's
+    // per-row list re-sort would otherwise dominate the map side.
+    if (buf.lengthCompare(k) >= 0) {
+      val last = buf.last
+      if (s.score < last.score ||
+          (s.score == last.score && s.id >= last.id)) return buf
+    }
     val merged = (s :: buf).sortBy(x => (-x.score, x.id))
     if (merged.length > k) merged.take(k) else merged
   }

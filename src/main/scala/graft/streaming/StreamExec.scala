@@ -48,6 +48,64 @@ object StreamExec {
 
   private val SentinelUser = -1L
 
+  /** Memoized (minTs, maxTs) of the events table per (session, sfDir)
+    * — every staged-dir builder AND lateDropViaStream's window bound
+    * need the range; un-memoized each paid its own full-table agg. */
+  private val tsRangeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (java.sql.Timestamp, java.sql.Timestamp)]()
+
+  private def tsRange(s: SparkSession, sfDir: String)
+      : (java.sql.Timestamp, java.sql.Timestamp) = {
+    tsRangeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    tsRangeCache.computeIfAbsent((s, sfDir), _ => {
+      val Row(minTs: java.sql.Timestamp, maxTs: java.sql.Timestamp) =
+        Tables.events(s, sfDir).agg(min(col("ts")), max(col("ts"))).head()
+      (minTs, maxTs)
+    })
+  }
+
+  private def us(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  /** ONE slice-staging mechanism for the three staged-dir builders —
+    * they used to carry three verbatim copies of writeSlice (each
+    * leaking the `Files.list` directory stream's fd until GC) plus two
+    * of the sentinel builder. Dirs come from TempDirs (deleted at JVM
+    * exit — staging debris and staged sources otherwise outlive every
+    * harness run). */
+  private final class SliceStager(prefix: String) {
+    val streamDir: Path =
+      java.nio.file.Paths.get(graft.io.TempDirs.create(s"graft_${prefix}_src_"))
+    private val stage: Path =
+      java.nio.file.Paths.get(graft.io.TempDirs.create(s"graft_${prefix}_stage_"))
+
+    def writeSlice(df: DataFrame, k: Int): Unit = {
+      val tmp = stage.resolve(s"w$k")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet written under $tmp"))
+        finally listing.close()
+      val dst = streamDir.resolve(f"b$k%03d.parquet")
+      Files.move(part, dst)
+      // fixed ascending mtimes: the file source orders by mtime, so
+      // batch order == slice order, deterministically
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(1600000000000L + k * 60000L))
+    }
+
+    /** Far-future watermark-advancing sentinel row (filtered out of
+      * every gated result by user/window bounds). */
+    def sentinel(ev: DataFrame, maxTs: java.sql.Timestamp,
+                 k: Int, days: Int): Unit = writeSlice(
+      ev.limit(1)
+        .withColumn("ts", lit(maxTs) + expr(s"INTERVAL $days DAYS"))
+        .withColumn("user_id", lit(SentinelUser))
+        .withColumn("event_id", lit(-k.toLong)), k)
+  }
+
   /** Staged stream dirs, memoized per (session, sfDir) — both exec
     * queries (and repeat runs in one harness) share one staging pass.
     * Entries of stopped sessions are evicted, same as AnalyticsPack's
@@ -59,36 +117,14 @@ object StreamExec {
     stagedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     stagedCache.computeIfAbsent((s, sfDir), _ => {
       val ev = Tables.events(s, sfDir) // normalized TimestampType
-      val Row(minTs: java.sql.Timestamp, maxTs: java.sql.Timestamp) =
-        ev.agg(min(col("ts")), max(col("ts"))).head()
-      val midUs = (minTs.toInstant.getEpochSecond * 1000000L +
-        minTs.toInstant.getNano / 1000L +
-        maxTs.toInstant.getEpochSecond * 1000000L +
-        maxTs.toInstant.getNano / 1000L) / 2
-      val streamDir = Files.createTempDirectory("graft_stream_src_")
-      val stage = Files.createTempDirectory("graft_stream_stage_")
-      def writeSlice(df: DataFrame, k: Int): Unit = {
-        val tmp = stage.resolve(s"w$k")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet written under $tmp"))
-        val dst = streamDir.resolve(f"b$k%03d.parquet")
-        Files.move(part, dst)
-        // fixed ascending mtimes: the file source orders by mtime, so
-        // batch order == slice order, deterministically
-        Files.setLastModifiedTime(dst, FileTime.fromMillis(1600000000000L + k * 60000L))
-      }
-      writeSlice(ev.filter(unix_micros(col("ts")) < midUs), 0)
-      writeSlice(ev.filter(unix_micros(col("ts")) >= midUs), 1)
-      def sentinel(k: Int, days: Int): Unit = writeSlice(
-        ev.limit(1)
-          .withColumn("ts", lit(maxTs) + expr(s"INTERVAL $days DAYS"))
-          .withColumn("user_id", lit(SentinelUser))
-          .withColumn("event_id", lit(-k.toLong)), k)
-      sentinel(2, 365)
-      sentinel(3, 730)
-      streamDir
+      val (minTs, maxTs) = tsRange(s, sfDir)
+      val midUs = (us(minTs) + us(maxTs)) / 2
+      val st = new SliceStager("stream")
+      st.writeSlice(ev.filter(unix_micros(col("ts")) < midUs), 0)
+      st.writeSlice(ev.filter(unix_micros(col("ts")) >= midUs), 1)
+      st.sentinel(ev, maxTs, 2, 365)
+      st.sentinel(ev, maxTs, 3, 730)
+      st.streamDir
     })
   }
 
@@ -107,7 +143,7 @@ object StreamExec {
   }
 
   private def ckpt(): String =
-    Files.createTempDirectory("graft_ckpt_").toString
+    graft.io.TempDirs.create("graft_ckpt_") // state store dies with the JVM
 
   /** Every micro-batch pays per-partition state-store overhead (store
     * open/commit × #partitions × #batches), and the gated fixtures
@@ -224,30 +260,16 @@ object StreamExec {
     dedupStagedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     dedupStagedCache.computeIfAbsent((s, sfDir), _ => {
       val ev = Tables.events(s, sfDir)
-      val Row(minTs: java.sql.Timestamp, maxTs: java.sql.Timestamp) =
-        ev.agg(min(col("ts")), max(col("ts"))).head()
-      def us(t: java.sql.Timestamp) =
-        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      val (minTs, maxTs) = tsRange(s, sfDir)
       val midUs = (us(minTs) + us(maxTs)) / 2
-      val streamDir = Files.createTempDirectory("graft_dedup_src_")
-      val stage = Files.createTempDirectory("graft_dedup_stage_")
-      def writeSlice(df: DataFrame, k: Int): Unit = {
-        val tmp = stage.resolve(s"w$k")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet written under $tmp"))
-        val dst = streamDir.resolve(f"b$k%03d.parquet")
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst, FileTime.fromMillis(1600000000000L + k * 60000L))
-      }
+      val st = new SliceStager("dedup")
       val tsUs = unix_micros(col("ts"))
       val slice0 = ev.filter(tsUs < midUs)
-      writeSlice(slice0.unionAll(
+      st.writeSlice(slice0.unionAll(
         slice0.filter(tsUs >= midUs - 10L * 60 * 1000000)), 0)
-      writeSlice(slice0.filter(tsUs >= midUs - 30L * 60 * 1000000), 1)
-      writeSlice(ev.filter(tsUs >= midUs), 2)
-      streamDir
+      st.writeSlice(slice0.filter(tsUs >= midUs - 30L * 60 * 1000000), 1)
+      st.writeSlice(ev.filter(tsUs >= midUs), 2)
+      st.streamDir
     })
   }
 
@@ -322,42 +344,23 @@ object StreamExec {
     lateStagedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     lateStagedCache.computeIfAbsent((s, sfDir), _ => {
       val ev = Tables.events(s, sfDir)
-      val Row(minTs: java.sql.Timestamp, maxTs: java.sql.Timestamp) =
-        ev.agg(min(col("ts")), max(col("ts"))).head()
-      def us(t: java.sql.Timestamp) =
-        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      val (minTs, maxTs) = tsRange(s, sfDir)
       val midUs = (us(minTs) + us(maxTs)) / 2
       require(midUs - us(minTs) > 6L * 3600 * 1000000,
         s"events span too narrow for late-drop staging ($sfDir)")
-      val streamDir = Files.createTempDirectory("graft_late_src_")
-      val stage = Files.createTempDirectory("graft_late_stage_")
-      def writeSlice(df: DataFrame, k: Int): Unit = {
-        val tmp = stage.resolve(s"w$k")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet written under $tmp"))
-        val dst = streamDir.resolve(f"b$k%03d.parquet")
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst, FileTime.fromMillis(1600000000000L + k * 60000L))
-      }
+      val st = new SliceStager("late")
       val tsUs = unix_micros(col("ts"))
       val holdUs = midUs - 10L * 60 * 1000000
       val advUs = holdUs - 60L * 60 * 1000000
-      writeSlice(ev.filter(tsUs < advUs), 0)
-      writeSlice(ev.filter(tsUs >= advUs && tsUs < holdUs), 1)
+      st.writeSlice(ev.filter(tsUs < advUs), 0)
+      st.writeSlice(ev.filter(tsUs >= advUs && tsUs < holdUs), 1)
       val mover = ev.filter(tsUs >= holdUs && tsUs < midUs)
       val replay = ev.filter(tsUs < us(minTs) + 30L * 60 * 1000000)
         .withColumn("event_id", -col("event_id") - lit(1000000L))
-      writeSlice(ev.filter(tsUs >= midUs).unionAll(mover).unionAll(replay), 2)
-      def sentinel(k: Int, days: Int): Unit = writeSlice(
-        ev.limit(1)
-          .withColumn("ts", lit(maxTs) + expr(s"INTERVAL $days DAYS"))
-          .withColumn("user_id", lit(SentinelUser))
-          .withColumn("event_id", lit(-k.toLong)), k)
-      sentinel(3, 365)
-      sentinel(4, 730)
-      streamDir
+      st.writeSlice(ev.filter(tsUs >= midUs).unionAll(mover).unionAll(replay), 2)
+      st.sentinel(ev, maxTs, 3, 365)
+      st.sentinel(ev, maxTs, 4, 730)
+      st.streamDir
     })
   }
 
@@ -380,8 +383,7 @@ object StreamExec {
 
   def lateDropViaStream(s: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(s)
-    val ev = Tables.events(s, sfDir)
-    val Row(maxTs: java.sql.Timestamp) = ev.agg(max(col("ts"))).head()
+    val (_, maxTs) = tsRange(s, sfDir) // memoized — was a redundant full scan
     val stream = stagedStream(ss, lateStagedDir(s, sfDir))
     val agg = stream
       .withWatermark("ts", "1 hour")
