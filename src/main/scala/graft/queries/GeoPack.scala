@@ -33,6 +33,7 @@ import org.apache.spark.sql.functions._
 object GeoPack extends QueryPack {
 
   private val R = 800L // radius; also the cell width
+  private val Rc = 400L // geo_cluster's connectivity radius
 
   /** Deterministic integer scatter of a key column onto the grid.
     * QUADRATIC mixing, not linear: a linear congruential scatter puts
@@ -62,29 +63,32 @@ object GeoPack extends QueryPack {
   private def suppliers(s: SparkSession, dir: String): DataFrame =
     pts(Tables(s, dir, "supplier"), "s_suppkey", "bid", 31337L, 71993L)
 
-  /** The shared 9-cell probe/build/d² frame (pre-radius-filter):
-    * probe side (customers) exploded to 9 neighbor cells, build side
-    * (suppliers) registered in its one home cell, equi-joined on the
-    * cell key with exact d² attached. `candidates` filters it,
-    * `candidateStats` aggregates over it — ONE construction so a
-    * future radius or scatter change cannot drift between them. */
-  private def joinedWithD2(s: SparkSession, dir: String): DataFrame = {
-    val a = customers(s, dir)
+  /** The 9-cell probe/build equi-join with exact d² attached — the
+    * ONE grid-join construction (probe carries (aid, x, y), build
+    * (bid, x, y), `cell` the bin width): joinedWithD2 instantiates it
+    * for the dist-join family, clusterEdges for the self-join — a
+    * cell-arithmetic change cannot split the two families. */
+  private def gridJoined(probe: DataFrame, build: DataFrame,
+                         cell: Long): DataFrame = {
+    val a = probe
       .withColumn("dc", explode(expr(
         s"""flatten(transform(sequence(-1, 1), i ->
            |  transform(sequence(-1, 1), j ->
-           |    named_struct('cx', x div $R + i, 'cy', y div $R + j))))"""
+           |    named_struct('cx', x div $cell + i, 'cy', y div $cell + j))))"""
           .stripMargin)))
       .select(col("aid"), col("x").as("ax"), col("y").as("ay"),
         col("dc.cx").as("cx"), col("dc.cy").as("cy"))
-    val b = suppliers(s, dir)
+    val b = build
       .select(col("bid"), col("x").as("bx"), col("y").as("by"),
-        expr(s"x div $R").as("cx"), expr(s"y div $R").as("cy"))
+        expr(s"x div $cell").as("cx"), expr(s"y div $cell").as("cy"))
     a.join(b, Seq("cx", "cy"))
       .withColumn("d2",
         (col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")))
   }
+
+  private def joinedWithD2(s: SparkSession, dir: String): DataFrame =
+    gridJoined(customers(s, dir), suppliers(s, dir), R)
 
   /** Candidate pairs via the 9-cell probe, with exact d² attached. */
   private def candidates(s: SparkSession, dir: String): DataFrame =
@@ -95,24 +99,9 @@ object GeoPack extends QueryPack {
     * shared with the scale harness's CC-mode comparison
     * (tools/ScaleGrowth), so the measured graph IS the gated graph. */
   private[graft] def clusterEdges(s: SparkSession, dir: String): DataFrame = {
-    val Rc = 400L
     val pts = customers(s, dir)
-    val probe = pts
-      .withColumn("dc", explode(expr(
-        s"""flatten(transform(sequence(-1, 1), i ->
-           |  transform(sequence(-1, 1), j ->
-           |    named_struct('cx', x div $Rc + i, 'cy', y div $Rc + j))))"""
-          .stripMargin)))
-      .select(col("aid"), col("x").as("ax"), col("y").as("ay"),
-        col("dc.cx").as("cx"), col("dc.cy").as("cy"))
-    val build = pts.select(col("aid").as("bid"), col("x").as("bx"),
-      col("y").as("by"), expr(s"x div $Rc").as("cx"),
-      expr(s"y div $Rc").as("cy"))
-    probe.join(build, Seq("cx", "cy"))
-      .filter(col("aid") < col("bid"))
-      .filter(
-        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
-          (col("ay") - col("by")) * (col("ay") - col("by")) <= Rc * Rc)
+    gridJoined(pts, pts.select(col("aid").as("bid"), col("x"), col("y")), Rc)
+      .filter(col("aid") < col("bid") && col("d2") <= Rc * Rc)
       .select(col("aid").as("src"), col("bid").as("dst"))
   }
 
@@ -201,21 +190,31 @@ object GeoPack extends QueryPack {
     })
   )
 
+  /** The scatter CTE bodies as SQL — ONE definition per side,
+    * interpolated into every oracle (the Spark twin is pts()); the
+    * formula used to be hand-copied into 7 CTEs, the drift class
+    * joinedWithD2 was built to prevent on the engine side. */
+  private def custScatterSql(id: String): String =
+    s"""SELECT $id,
+       |    (k * k * 7919 + k * 104729) % 100000 AS x,
+       |    (k * k * 104729 + k * 7919) % 100000 AS y
+       |  FROM (SELECT c_custkey AS $id, c_custkey % 100000 AS k
+       |        FROM customer)""".stripMargin
+
+  private def suppScatterSql(id: String): String =
+    s"""SELECT $id,
+       |    (k * k * 7919 + k * 104729 + 31337) % 100000 AS x,
+       |    (k * k * 104729 + k * 7919 + 71993) % 100000 AS y
+       |  FROM (SELECT s_suppkey AS $id, s_suppkey % 100000 AS k
+       |        FROM supplier)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     // the honest quadratic formulation — the grid join must equal it
     "geo_dist_join" ->
       s"""WITH a AS (
-         |  SELECT aid,
-         |    (k * k * 7919 + k * 104729) % 100000 AS x,
-         |    (k * k * 104729 + k * 7919) % 100000 AS y
-         |  FROM (SELECT c_custkey AS aid, c_custkey % 100000 AS k
-         |        FROM customer)),
+         |  ${custScatterSql("aid")}),
          |b AS (
-         |  SELECT bid,
-         |    (k * k * 7919 + k * 104729 + 31337) % 100000 AS x,
-         |    (k * k * 104729 + k * 7919 + 71993) % 100000 AS y
-         |  FROM (SELECT s_suppkey AS bid, s_suppkey % 100000 AS k
-         |        FROM supplier))
+         |  ${suppScatterSql("bid")})
          |SELECT aid, bid,
          |  CAST((a.x - b.x) * (a.x - b.x)
          |     + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
@@ -226,17 +225,9 @@ object GeoPack extends QueryPack {
 
     "geo_nn" ->
       s"""WITH a AS (
-         |  SELECT aid,
-         |    (k * k * 7919 + k * 104729) % 100000 AS x,
-         |    (k * k * 104729 + k * 7919) % 100000 AS y
-         |  FROM (SELECT c_custkey AS aid, c_custkey % 100000 AS k
-         |        FROM customer)),
+         |  ${custScatterSql("aid")}),
          |b AS (
-         |  SELECT bid,
-         |    (k * k * 7919 + k * 104729 + 31337) % 100000 AS x,
-         |    (k * k * 104729 + k * 7919 + 71993) % 100000 AS y
-         |  FROM (SELECT s_suppkey AS bid, s_suppkey % 100000 AS k
-         |        FROM supplier)),
+         |  ${suppScatterSql("bid")}),
          |p AS (
          |  SELECT aid, bid,
          |    CAST((a.x - b.x) * (a.x - b.x)
@@ -256,16 +247,12 @@ object GeoPack extends QueryPack {
     // quadratic pair edges + the dedup family's recursive-walk CC
     "geo_cluster" ->
       s"""WITH RECURSIVE a AS (
-         |  SELECT aid,
-         |    (k * k * 7919 + k * 104729) % 100000 AS x,
-         |    (k * k * 104729 + k * 7919) % 100000 AS y
-         |  FROM (SELECT c_custkey AS aid, c_custkey % 100000 AS k
-         |        FROM customer)),
+         |  ${custScatterSql("aid")}),
          |p AS (
          |  SELECT l.aid AS s, r.aid AS d
          |  FROM a l JOIN a r ON l.aid < r.aid
          |  WHERE (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)
-         |        <= 160000),
+         |        <= ${Rc * Rc}),
          |edges AS (
          |  SELECT s, d FROM p UNION SELECT d, s FROM p),
          |walk(node, r) AS (
@@ -281,18 +268,10 @@ object GeoPack extends QueryPack {
          |ORDER BY aid""".stripMargin,
 
     "geo_heatmap" ->
-      """WITH a AS (
-        |  SELECT id,
-        |    (k * k * 7919 + k * 104729) % 100000 AS x,
-        |    (k * k * 104729 + k * 7919) % 100000 AS y
-        |  FROM (SELECT c_custkey AS id, c_custkey % 100000 AS k
-        |        FROM customer)),
+      s"""WITH a AS (
+        |  ${custScatterSql("id")}),
         |b AS (
-        |  SELECT id,
-        |    (k * k * 7919 + k * 104729 + 31337) % 100000 AS x,
-        |    (k * k * 104729 + k * 7919 + 71993) % 100000 AS y
-        |  FROM (SELECT s_suppkey AS id, s_suppkey % 100000 AS k
-        |        FROM supplier)),
+        |  ${suppScatterSql("id")}),
         |u AS (
         |  SELECT 'customer' AS kind, x // 10000 AS gx, y // 10000 AS gy, id
         |  FROM a

@@ -668,10 +668,18 @@ object RelationalPack extends QueryPack {
           sum(when(col("pred") && !col("actual"), 1L).otherwise(0L)).as("fp"),
           sum(when(!col("pred") && col("actual"), 1L).otherwise(0L)).as("fn"),
           sum(when(!col("pred") && !col("actual"), 1L).otherwise(0L)).as("tn"))
-        .withColumn("precision_bp", expr("tp * 10000 div (tp + fp)"))
-        .withColumn("recall_bp", expr("tp * 10000 div (tp + fn)"))
+        // zero denominators (a drifted fixture slice with no positive
+        // predictions/labels) yield NULL, matching DuckDB's `//`:
+        // bare `div` would throw DIVIDE_BY_ZERO under ANSI while the
+        // oracle returns a NULL-bearing row
+        .withColumn("precision_bp", expr(
+          "CASE WHEN tp + fp = 0 THEN NULL ELSE tp * 10000 div (tp + fp) END"))
+        .withColumn("recall_bp", expr(
+          "CASE WHEN tp + fn = 0 THEN NULL ELSE tp * 10000 div (tp + fn) END"))
         .withColumn("f1_bp", expr(
-          "2 * precision_bp * recall_bp div (precision_bp + recall_bp)"))
+          """CASE WHEN coalesce(precision_bp + recall_bp, 0) = 0 THEN NULL
+            |ELSE 2 * precision_bp * recall_bp
+            |     div (precision_bp + recall_bp) END""".stripMargin))
         .withColumn("accuracy_bp", expr(
           "(tp + tn) * 10000 div (tp + fp + fn + tn)"))
     }),
@@ -687,7 +695,7 @@ object RelationalPack extends QueryPack {
     // a silent row swap visible.
     "dq_table_diff" -> ((s, dir) => {
       val base = Tables(s, dir, "orders")
-        .select(col("o_orderkey").as("k"), col("o_orderdate"),
+        .select(col("o_orderkey").as("k"),
           round(col("o_totalprice") * 100).cast("long").as("c"))
       val after = base.filter(col("k") % 97 === 0)
         .select(col("k"), (col("c") + 1000L).as("c2"))
