@@ -27,16 +27,29 @@ object Checkpoints {
   // Unpersisting a locally-checkpointed RDD logs a per-RDD WARN
   // ("lineage has been truncated and cannot be recomputed") — a real
   // hazard for live frames, pure noise under this object's
-  // dead-frames-only contract. Silence that one logger once.
-  private lazy val quietLineageWarn: Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+  // dead-frames-only contract. Suppress it ONLY around our own
+  // unpersist call (the message is emitted synchronously inside
+  // RDD.unpersist on the calling thread) and restore the previous
+  // level after, so the warning still fires for frames anyone else
+  // unpersists by mistake — permanently silencing the logger JVM-wide
+  // hid exactly the hazard it flags (VERDICT r8 item 5). `free` runs
+  // once per ROUND of an iterative operator, never per row, so the
+  // two Configurator calls are off the hot path; calls are serialized
+  // so concurrent frees cannot restore a stale level.
+  private val lineageLogger = "org.apache.spark.rdd.MapPartitionsRDD"
+  private val freeLock = new Object
 
   def free(df: DataFrame): Unit = df.queryExecution.logical match {
     case l: org.apache.spark.sql.execution.LogicalRDD =>
-      quietLineageWarn
-      l.rdd.unpersist(blocking = false)
+      freeLock.synchronized {
+        val prev = org.apache.logging.log4j.LogManager
+          .getLogger(lineageLogger).getLevel
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          lineageLogger, org.apache.logging.log4j.Level.ERROR)
+        try l.rdd.unpersist(blocking = false)
+        finally org.apache.logging.log4j.core.config.Configurator.setLevel(
+          lineageLogger, prev)
+      }
     case _ => () // not a checkpoint leaf — nothing to free
   }
 }

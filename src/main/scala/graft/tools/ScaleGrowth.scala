@@ -188,13 +188,29 @@ object ScaleGrowth {
       tables: Seq[String]): Unit = {
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // regenerate unless EVERY requested table is present — the LAST
-    // table in the generation order is written last, so a run that
-    // died mid-generation (the 100x OOM class) cannot leave a
-    // half-corpus that gets silently reused
+    // regenerate unless EVERY requested table is COMPLETE and CURRENT
+    // (VERDICT r8 item 3): a bare directory-exists check reused (a) a
+    // partial corpus when a run died mid-write of one table — gate on
+    // the per-table `_SUCCESS` marker Spark commits only after the
+    // last task — and (b) a pre-change corpus missing columns the
+    // queries now read (o_totalprice / c_mktsegment landed after the
+    // first corpora were cut), which crashed or silently mis-measured
+    // the headroom runs — probe each table's parquet footer schema for
+    // the columns this generator version writes
+    val requiredCols = Map(
+      "orders" -> Seq("o_totalprice"),
+      "customer" -> Seq("c_mktsegment"))
+    def tableCurrent(dir: String, t: String): Boolean = {
+      val p = java.nio.file.Paths.get(dir, s"$t.parquet")
+      java.nio.file.Files.exists(p.resolve("_SUCCESS")) &&
+        (try {
+          // footer-only read: no data scan, just the merged schema
+          val fields = spark.read.parquet(p.toString).schema.fieldNames.toSet
+          requiredCols.getOrElse(t, Nil).forall(fields.contains)
+        } catch { case _: Exception => false }) // unreadable = stale
+    }
     def ensure(dir: String, scale: Int): Unit =
-      if (!tables.forall(t => java.nio.file.Files.exists(
-            java.nio.file.Paths.get(dir, s"$t.parquet")))) {
+      if (!tables.forall(t => tableCurrent(dir, t))) {
         System.err.println(s"[scale] generating ${scale}x corpus under $dir ...")
         SyntheticCorpus.writeCorpus(spark, refDir, dir, scale = scale,
           tables = tables)

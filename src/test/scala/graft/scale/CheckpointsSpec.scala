@@ -38,6 +38,22 @@ class CheckpointsSpec extends SparkSpec {
     Checkpoints.free(spark.range(10).toDF("id")) // must not throw
   }
 
+  test("free restores the lineage-warn logger level (suppression is " +
+      "scoped, not JVM-wide)") {
+    // before the r9 fix, one free() silenced MapPartitionsRDD to ERROR
+    // forever — hiding the truncated-lineage WARN for live frames
+    // anyone else unpersists by mistake (VERDICT r8 item 5)
+    val name = "org.apache.spark.rdd.MapPartitionsRDD"
+    val before = org.apache.logging.log4j.LogManager.getLogger(name).getLevel
+    Checkpoints.free(spark.range(50).toDF("id").localCheckpoint())
+    val after = org.apache.logging.log4j.LogManager.getLogger(name).getLevel
+    assert(after == before,
+      s"free() left the $name logger at $after (was $before)")
+    assert(after != org.apache.logging.log4j.Level.ERROR ||
+      before == org.apache.logging.log4j.Level.ERROR,
+      "logger must not remain silenced after free()")
+  }
+
   test("a long CC run retains only O(1) checkpointed frames, not O(rounds)") {
     import spark.implicits._
     val before = persistentRddIds
