@@ -108,8 +108,12 @@ object Triangles {
       // dst may have no out-edges (orientation sinks): left + coalesce
       .join(adj.select(col("src").as("dst"), col("nb").as("nv"))
         .hint("SHUFFLE_HASH"), Seq("dst"), "left")
-      .select(size(array_intersect(col("na"),
-        coalesce(col("nv"), array()))).cast("long").as("t"))
+      // two-pointer merge count over the pre-sorted adjacency arrays
+      // (codegen, allocation-free) — size(array_intersect(..)) built a
+      // hash set AND the intersection array per edge just to count it,
+      // the measured cost center of the 100x census (SCALE.md r9)
+      .select(graft.expr.SortedIntersectCount(col("na"),
+        coalesce(col("nv"), array().cast("array<bigint>"))).as("t"))
       .agg(sum(col("t")).as("n_triangles"))
     val nodeStats = deg.agg(
       count(lit(1)).as("n_nodes"),

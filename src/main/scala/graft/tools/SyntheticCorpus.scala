@@ -38,16 +38,35 @@ object SyntheticCorpus {
     pmod(xxhash64((cols :+ lit(tag) :+ lit(seed)): _*), lit(1000000L))
       .cast("double") / 1000000.0
 
-  /** n documents over the vocabulary of `refDir`'s documents table.
-    * Vocabulary is collected once — bounded (fixture: 31 words,
-    * Heaps-law small for any real corpus slice). */
-  def documents(s: SparkSession, refDir: String, n: Long, seed: Long): DataFrame = {
-    val vocab = graft.io.Tables(s, refDir, "documents")
+  /** n documents over the vocabulary of `refDir`'s documents table,
+    * WIDENED ×`vocabWiden` by deterministic suffix variants
+    * (w, w1, w2, ...). Vocabulary is collected once — bounded
+    * (fixture: 31 base words, Heaps-law small for any real corpus
+    * slice).
+    *
+    * Why widen (VERDICT r8 item 6): the fixture's raw ~31-word
+    * vocabulary yields only ~31³ ≈ 30k possible 3-shingles, which the
+    * 1000× tier's ~270M tokens SATURATE — every doc pair shares
+    * shingles by pigeonhole, so the minhash top decade measured the
+    * fixture, not the operator. At the default widen of 64 the vocab
+    * is ~2k words → ~7.8e9 possible shingles ≫ the 1000× tier's
+    * shingle draw, so unrelated docs share essentially nothing and
+    * candidate growth tracks the planted dups again. Planted-dup
+    * semantics are vocabulary-independent (substitution rate fixed at
+    * ~2%, Jaccard vs base ~0.9 regardless of vocab size). */
+  def documents(s: SparkSession, refDir: String, n: Long, seed: Long,
+                vocabWiden: Int = 64): DataFrame = {
+    val baseVocab = graft.io.Tables(s, refDir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .distinct().orderBy(col("w"))
       .collect().map(_.getString(0)) // bounded: vocabulary, not corpus
-    require(vocab.nonEmpty, s"empty vocabulary from $refDir")
+    require(baseVocab.nonEmpty, s"empty vocabulary from $refDir")
+    // deterministic widening: sorted base words, then per-word suffix
+    // variants in suffix order — stable element_at indexing across
+    // runs and partition counts
+    val vocab = baseVocab.flatMap(w =>
+      w +: (1 until vocabWiden).map(k => s"$w$k"))
     val vlitSql = vocab
       .map(w => "'" + w.replace("'", "''") + "'")
       .mkString("array(", ",", ")")

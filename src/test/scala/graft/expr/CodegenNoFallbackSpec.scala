@@ -59,6 +59,7 @@ class CodegenNoFallbackSpec extends SparkSpec {
         SignBitsSig(col("va"), 16, 3, 7L).as("sign"),
         DotProduct(col("va"), col("vb")).as("dot"),
         IntSqDist(col("la"), col("lb")).as("sqd"),
+        SortedIntersectCount(col("la"), col("lb")).as("sic"),
         HilbertIndex((length(col("text")) % 32).cast("long"),
           (length(col("text")) * 7 % 32).cast("long"), 5).as("hil"))
       val plan = q.queryExecution.executedPlan.toString
@@ -84,6 +85,8 @@ class CodegenNoFallbackSpec extends SparkSpec {
       assert(r0.getAs[Double]("dot") == 10.0)
       // sq dists: 0 + 1 + 4
       assert(r0.getAs[Long]("sqd") == 5L)
+      // la=[0,1,2] ∩ lb=[0,2,4] = {0,2}
+      assert(r0.getAs[Long]("sic") == 2L)
     }
   }
 
