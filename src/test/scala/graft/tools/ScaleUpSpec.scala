@@ -1,0 +1,65 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ScaleUp must produce an EXACT ×N replica: linear row growth,
+  * referential integrity (no orphan foreign keys — copy i of lineitem
+  * joins copy i of orders/part/supplier and nothing else), verbatim
+  * fixed dims, unchanged schema/key types (the driver gate's hash is
+  * type-sensitive), and determinism (two runs byte-agree on values).
+  * This is the generator behind the sf1 relational gate
+  * (bench/sf1_gate_r9.txt), so its contract needs its own pin. */
+class ScaleUpSpec extends SparkSpec {
+
+  test("x3 replica: counts, integrity, fixed dims, types, determinism") {
+    val in = sf("sf0.001")
+    val out = Files.createTempDirectory("graft_scaleup").toString
+    ScaleUp.writeTier(spark, in, out, factor = 3)
+
+    def cnt(dir: String, t: String): Long =
+      spark.read.parquet(s"$dir/$t.parquet").count()
+    // scalable tables grow exactly x3
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings"))
+      assert(cnt(out, t) == 3 * cnt(in, t), s"$t not exactly x3")
+    // fixed dims are verbatim copies
+    for (t <- Seq("region", "nation"))
+      assert(spark.read.parquet(s"$out/$t.parquet").exceptAll(
+        spark.read.parquet(s"$in/$t.parquet")).isEmpty, s"$t drifted")
+
+    // referential integrity: every lineitem FK resolves, and the join
+    // cardinality is exactly linear (each replica joins only its own
+    // copy — a wrong offset would cross-join replicas)
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    assert(li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .count() == 0, "orphan lineitem orderkeys")
+    assert(li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+      == 3 * cnt(in, "lineitem"), "join cardinality not linear")
+    val cust = spark.read.parquet(s"$out/customer.parquet")
+    val ordIn = spark.read.parquet(s"$in/orders.parquet")
+    assert(spark.read.parquet(s"$out/orders.parquet")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+      .count() == ordIn.join(
+        spark.read.parquet(s"$in/customer.parquet"),
+        col("o_custkey") === col("c_custkey"), "left_anti").count() * 3,
+      "customer FK orphan count not linear (offsets disagree)")
+
+    // schema and key types unchanged (type-sensitive driver hash)
+    for (t <- Seq("orders", "lineitem", "customer", "events")) {
+      val sIn = spark.read.parquet(s"$in/$t.parquet").schema
+      val sOut = spark.read.parquet(s"$out/$t.parquet").schema
+      assert(sIn == sOut, s"$t schema drifted:\n in=$sIn\nout=$sOut")
+    }
+
+    // determinism: a second run produces the identical orders table
+    val out2 = Files.createTempDirectory("graft_scaleup2").toString
+    ScaleUp.writeTier(spark, in, out2, factor = 3)
+    assert(spark.read.parquet(s"$out/orders.parquet").exceptAll(
+      spark.read.parquet(s"$out2/orders.parquet")).isEmpty,
+      "ScaleUp is not deterministic")
+  }
+}
