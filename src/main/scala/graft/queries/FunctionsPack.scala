@@ -217,14 +217,32 @@ object FunctionsPack extends QueryPack {
     // for high-cardinality running estimates).
     "fn_window_distinct" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      // RUNNING DISTINCT COUNT, linear: a row's key contributes iff
+      // this is its FIRST occurrence in the partition's order, so
+      // running-distinct = running SUM of a first-occurrence flag.
+      // The size(collect_set().over(running)) formulation this
+      // replaces materialized the growing set's array PER ROW —
+      // O(n²/|partitions|) cells over only 3 l_returnflag partitions,
+      // found hung at the sf1 gate (6M rows ⇒ ~2M-row partitions);
+      // two linear partitioned windows compute the identical column.
+      // (l_orderkey, l_linenumber) is the lineitem PK, so the window
+      // order is total and "first occurrence" is well-defined.
+      val order = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
+      val firstSeen = Window
+        .partitionBy(col("l_returnflag"), col("l_partkey"))
+        .orderBy(order: _*)
+      val running = Window.partitionBy(col("l_returnflag"))
+        .orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"),
-          size(collect_set(col("l_partkey")).over(w)).cast("long")
-            .as("run_distinct"))
+          when(row_number().over(firstSeen) === 1, 1L).otherwise(0L)
+            .as("is_first"))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"),
+          sum(col("is_first")).over(running).as("run_distinct"))
         .orderBy(col("l_returnflag"), col("l_orderkey"),
           col("l_linenumber"), col("l_partkey"))
     }),

@@ -77,14 +77,26 @@ object ScaleUp {
                 factor: Int): Unit = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val load = (t: String) => spark.read.parquet(s"$inDir/$t.parquet")
-    // one tiny agg per domain table; bases must clear BOTH the max key
-    // and dedup's planted-twin offset convention (doc ids + 10M mark
-    // planted twins — a replica landing in that window would read as a
-    // plant; see graft.queries.DedupPack.PlantedOffset)
+    // one tiny agg per domain table; base = max key + 1 EXACTLY — for
+    // the dense-from-0 doc/vec id domains this tiles replicas into
+    // 0..N·n-1, still dense, which the dedup/kmeans family's id
+    // contract requires (planted twins are DERIVED as id +
+    // PlantedOffset at query time, and KMeans' data-deterministic
+    // seeding reads ids as positions; an earlier draft floored the
+    // base at 20M "to be safe" and thereby pushed REAL replica ids
+    // into the planted window — d_semdedup_scoped/s_kmeans failed
+    // loudly at the sf1 gate). Guard the window explicitly instead.
     val base: Map[String, Long] = domains.map { case (dom, (tbl, col)) =>
       val mx = load(tbl).agg(max(expr(col).cast("long"))).head().getLong(0)
-      dom -> (math.max(mx, 20_000_000L) + 1L)
+      dom -> (mx + 1L)
     }.toMap
+    for (dom <- Seq("doc", "vec")) {
+      val top = base(dom) * factor - 1
+      require(top < graft.queries.DedupPack.PlantedOffset,
+        s"$dom ids would reach $top ≥ PlantedOffset " +
+          s"(${graft.queries.DedupPack.PlantedOffset}) at x$factor — " +
+          "replica ids would read as planted twins; raise the offset first")
+    }
     // fixed dims copy verbatim; everything else replicates with offsets
     Seq("region", "nation").foreach { t =>
       load(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")

@@ -55,6 +55,17 @@ class ScaleUpSpec extends SparkSpec {
       assert(sIn == sOut, s"$t schema drifted:\n in=$sIn\nout=$sOut")
     }
 
+    // doc/vec id domains stay DENSE 0..3n-1 and below PlantedOffset —
+    // the dedup/kmeans family's id contract (planted twins derive as
+    // id + offset; kmeans seeding reads ids as positions)
+    for (t <- Seq("documents" -> "doc_id", "embeddings" -> "vec_id")) {
+      val ids = spark.read.parquet(s"$out/${t._1}.parquet")
+      val n = ids.count()
+      val mx = ids.agg(max(col(t._2))).head().getLong(0)
+      assert(mx == n - 1, s"${t._1} ids not dense: max=$mx n=$n")
+      assert(mx < graft.queries.DedupPack.PlantedOffset)
+    }
+
     // determinism: a second run produces the identical orders table
     val out2 = Files.createTempDirectory("graft_scaleup2").toString
     ScaleUp.writeTier(spark, in, out2, factor = 3)
