@@ -238,7 +238,11 @@ object FunctionsPack extends QueryPack {
       Tables(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"),
-          when(row_number().over(firstSeen) === 1, 1L).otherwise(0L)
+          // NULL keys never count: count(DISTINCT) ignores NULLs (and
+          // so did the collect_set form) — without the isNotNull the
+          // NULL partition's first row would contribute a phantom +1
+          when(col("l_partkey").isNotNull &&
+              row_number().over(firstSeen) === 1, 1L).otherwise(0L)
             .as("is_first"))
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"),

@@ -29,26 +29,45 @@ object Checkpoints {
   // hazard for live frames, pure noise under this object's
   // dead-frames-only contract. Suppress it ONLY around our own
   // unpersist call (the message is emitted synchronously inside
-  // RDD.unpersist on the calling thread) and restore the previous
-  // level after, so the warning still fires for frames anyone else
+  // RDD.unpersist on the calling thread) and undo the suppression
+  // after, so the warning still fires for frames anyone else
   // unpersists by mistake — permanently silencing the logger JVM-wide
-  // hid exactly the hazard it flags (VERDICT r8 item 5). `free` runs
-  // once per ROUND of an iterative operator, never per row, so the
-  // two Configurator calls are off the hot path; calls are serialized
-  // so concurrent frees cannot restore a stale level.
+  // hid exactly the hazard it flags (VERDICT r8 item 5). The undo
+  // distinguishes "logger had an explicit level" (restore it) from
+  // "level was inherited" (REMOVE the config we created — restoring
+  // the effective level as an explicit one would pin the logger and
+  // detach it from later root-level changes like setLogLevel).
+  // Honest limitation: log4j levels are JVM-global, so a truncated-
+  // lineage WARN from a DIFFERENT thread landing inside this
+  // microseconds-wide window is suppressed too — scoping to the
+  // message would need a custom filter; the window is one
+  // non-blocking unpersist call. `free` runs once per ROUND of an
+  // iterative operator, never per row, so the Configurator calls are
+  // off the hot path; calls are serialized so concurrent frees cannot
+  // restore a stale level.
   private val lineageLogger = "org.apache.spark.rdd.MapPartitionsRDD"
   private val freeLock = new Object
 
   def free(df: DataFrame): Unit = df.queryExecution.logical match {
     case l: org.apache.spark.sql.execution.LogicalRDD =>
       freeLock.synchronized {
-        val prev = org.apache.logging.log4j.LogManager
-          .getLogger(lineageLogger).getLevel
+        val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+          .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+        def ownConfig = ctx.getConfiguration.getLoggerConfig(lineageLogger)
+        val hadExplicit = ownConfig.getName == lineageLogger
+        val prev = if (hadExplicit) ownConfig.getLevel else null
         org.apache.logging.log4j.core.config.Configurator.setLevel(
           lineageLogger, org.apache.logging.log4j.Level.ERROR)
         try l.rdd.unpersist(blocking = false)
-        finally org.apache.logging.log4j.core.config.Configurator.setLevel(
-          lineageLogger, prev)
+        finally {
+          if (hadExplicit)
+            org.apache.logging.log4j.core.config.Configurator.setLevel(
+              lineageLogger, prev)
+          else {
+            ctx.getConfiguration.removeLogger(lineageLogger)
+            ctx.updateLoggers()
+          }
+        }
       }
     case _ => () // not a checkpoint leaf — nothing to free
   }

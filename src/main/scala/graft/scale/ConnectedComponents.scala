@@ -326,9 +326,12 @@ object ConnectedComponents {
         sum(pmod(xxhash64(col("hi"), col("lo")), lit(1073741789L))).as("hs"),
         sum(pmod(xxhash64(col("lo"), col("hi")), lit(1073741783L))).as("hs2"))
       .localCheckpoint()
+    // an empty edge set (fully contracted round) sums BOTH terms to
+    // SQL NULL — guard each explicitly rather than ride Scala's
+    // silent unboxToLong(null) == 0 quirk
+    def longOr0(v: Any): Long =
+      v match { case null => 0L; case x => x.asInstanceOf[Long] }
     (out, obs.get("n").asInstanceOf[Long],
-      obs.get("hs").asInstanceOf[Long],
-      // an empty edge set (fully contracted round) sums to SQL NULL
-      obs.get("hs2") match { case null => 0L; case v => v.asInstanceOf[Long] })
+      longOr0(obs.get("hs")), longOr0(obs.get("hs2")))
   }
 }

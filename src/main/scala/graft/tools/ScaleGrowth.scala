@@ -202,7 +202,16 @@ object ScaleGrowth {
       "customer" -> Seq("c_mktsegment"))
     def tableCurrent(dir: String, t: String): Boolean = {
       val p = java.nio.file.Paths.get(dir, s"$t.parquet")
-      java.nio.file.Files.exists(p.resolve("_SUCCESS")) &&
+      // generator-version marker first (r9 review): content changes
+      // with no schema change (the vocab widening) are invisible to
+      // the _SUCCESS+schema probe — the version file written at the
+      // end of writeCorpus is the content fingerprint
+      val vOk = try {
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "_GRAFT_GEN_VERSION")),
+          "UTF-8").trim.toInt == SyntheticCorpus.GenVersion
+      } catch { case _: Exception => false } // absent/garbled = stale
+      vOk && java.nio.file.Files.exists(p.resolve("_SUCCESS")) &&
         (try {
           // footer-only read: no data scan, just the merged schema
           val fields = spark.read.parquet(p.toString).schema.fieldNames.toSet

@@ -86,10 +86,19 @@ object ScaleUp {
     // base at 20M "to be safe" and thereby pushed REAL replica ids
     // into the planted window — d_semdedup_scoped/s_kmeans failed
     // loudly at the sf1 gate). Guard the window explicitly instead.
-    val base: Map[String, Long] = domains.map { case (dom, (tbl, col)) =>
-      val mx = load(tbl).agg(max(expr(col).cast("long"))).head().getLong(0)
-      dom -> (mx + 1L)
-    }.toMap
+    // one agg job per OWNING TABLE (events carries two domains — a
+    // per-domain loop would scan it twice for two single-column maxes)
+    val base: Map[String, Long] = domains.groupBy(_._2._1).toSeq
+      .flatMap { case (tbl, doms) =>
+        val row = load(tbl)
+          .agg(doms.map { case (_, (_, c)) =>
+            max(expr(c).cast("long")) }.head,
+            doms.tail.map { case (_, (_, c)) =>
+              max(expr(c).cast("long")) }: _*)
+          .head()
+        doms.zipWithIndex.map { case ((dom, _), i) =>
+          dom -> (row.getLong(i) + 1L) }
+      }.toMap
     for (dom <- Seq("doc", "vec")) {
       val top = base(dom) * factor - 1
       require(top < graft.queries.DedupPack.PlantedOffset,

@@ -34,6 +34,15 @@ import org.apache.spark.sql.functions._
   */
 object SyntheticCorpus {
 
+  /** Bumped whenever generated CONTENT changes for the same seed —
+    * the corpus-reuse gate (ScaleGrowth.tableCurrent) compares this
+    * against the `_GRAFT_GEN_VERSION` marker writeCorpus drops, so a
+    * generator change can never be measured against a stale on-disk
+    * corpus (r9 review finding: the vocab widening changed documents
+    * content with no schema change, invisible to the _SUCCESS+schema
+    * probe). v2 = the ×64 vocabulary widening. */
+  val GenVersion = 2
+
   private def u(tag: Int, seed: Long, cols: org.apache.spark.sql.Column*) =
     pmod(xxhash64((cols :+ lit(tag) :+ lit(seed)): _*), lit(1000000L))
       .cast("double") / 1000000.0
@@ -64,9 +73,14 @@ object SyntheticCorpus {
     require(baseVocab.nonEmpty, s"empty vocabulary from $refDir")
     // deterministic widening: sorted base words, then per-word suffix
     // variants in suffix order — stable element_at indexing across
-    // runs and partition counts
+    // runs and partition counts. `.distinct` guards the case where a
+    // base word equals another base word + digit suffix ("w", "w1"):
+    // the collision would double that entry's draw probability and
+    // overstate the de-saturation math (a no-op on the current
+    // digit-free fixture vocabulary — order is preserved, so existing
+    // measurements are unchanged)
     val vocab = baseVocab.flatMap(w =>
-      w +: (1 until vocabWiden).map(k => s"$w$k"))
+      w +: (1 until vocabWiden).map(k => s"$w$k")).distinct
     val vlitSql = vocab
       .map(w => "'" + w.replace("'", "''") + "'")
       .mkString("array(", ",", ")")
@@ -196,5 +210,10 @@ object SyntheticCorpus {
       s.range(1, 1000L * scale + 1)
         .select(col("id").as("s_suppkey"))
         .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    // written LAST: a marker present implies every requested table
+    // above completed under this generator version
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "_GRAFT_GEN_VERSION"),
+      GenVersion.toString.getBytes("UTF-8"))
   }
 }

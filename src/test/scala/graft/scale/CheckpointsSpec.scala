@@ -44,7 +44,11 @@ class CheckpointsSpec extends SparkSpec {
     // forever — hiding the truncated-lineage WARN for live frames
     // anyone else unpersists by mistake (VERDICT r8 item 5)
     val name = "org.apache.spark.rdd.MapPartitionsRDD"
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    def explicitCfg = ctx.getConfiguration.getLoggerConfig(name).getName == name
     val before = org.apache.logging.log4j.LogManager.getLogger(name).getLevel
+    val hadExplicit = explicitCfg
     Checkpoints.free(spark.range(50).toDF("id").localCheckpoint())
     val after = org.apache.logging.log4j.LogManager.getLogger(name).getLevel
     assert(after == before,
@@ -52,6 +56,11 @@ class CheckpointsSpec extends SparkSpec {
     assert(after != org.apache.logging.log4j.Level.ERROR ||
       before == org.apache.logging.log4j.Level.ERROR,
       "logger must not remain silenced after free()")
+    // inherited-level case: free() must not leave behind an explicit
+    // LoggerConfig pinning the logger at a snapshot of the effective
+    // level (it would detach the class from later setLogLevel calls)
+    assert(explicitCfg == hadExplicit,
+      "free() changed whether the logger has an explicit config")
   }
 
   test("a long CC run retains only O(1) checkpointed frames, not O(rounds)") {
