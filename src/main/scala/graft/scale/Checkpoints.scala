@@ -53,7 +53,7 @@ object Checkpoints {
       freeLock.synchronized {
         val ctx = org.apache.logging.log4j.LogManager.getContext(false)
           .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
-        def ownConfig = ctx.getConfiguration.getLoggerConfig(lineageLogger)
+        val ownConfig = ctx.getConfiguration.getLoggerConfig(lineageLogger)
         val hadExplicit = ownConfig.getName == lineageLogger
         val prev = if (hadExplicit) ownConfig.getLevel else null
         org.apache.logging.log4j.core.config.Configurator.setLevel(
@@ -61,8 +61,12 @@ object Checkpoints {
         try l.rdd.unpersist(blocking = false)
         finally {
           if (hadExplicit)
-            org.apache.logging.log4j.core.config.Configurator.setLevel(
-              lineageLogger, prev)
+            // restore on the EXACT pre-existing config object:
+            // LoggerConfig.setLevel(null) puts back "explicit config,
+            // inherited level" — Configurator.setLevel(name, null)
+            // does not guarantee that (ADVICE r9) — and setLevel(prev)
+            // puts back the explicit level; one path covers both
+            { ownConfig.setLevel(prev); ctx.updateLoggers() }
           else {
             ctx.getConfiguration.removeLogger(lineageLogger)
             ctx.updateLoggers()

@@ -204,11 +204,15 @@ object ScaleGrowth {
       val p = java.nio.file.Paths.get(dir, s"$t.parquet")
       // generator-version marker first (r9 review): content changes
       // with no schema change (the vocab widening) are invisible to
-      // the _SUCCESS+schema probe — the version file written at the
-      // end of writeCorpus is the content fingerprint
+      // the _SUCCESS+schema probe. The marker lives INSIDE the table
+      // dir (ADVICE r9): a directory-wide marker let a SUBSET
+      // regeneration stamp sibling tables cut under an older version
+      // as current; Spark's overwrite replaces the table dir, so a
+      // per-table marker can only exist if THIS table completed under
+      // the version it names
       val vOk = try {
         new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(dir, "_GRAFT_GEN_VERSION")),
+          p.resolve("_GRAFT_GEN_VERSION")),
           "UTF-8").trim.toInt == SyntheticCorpus.GenVersion
       } catch { case _: Exception => false } // absent/garbled = stale
       vOk && java.nio.file.Files.exists(p.resolve("_SUCCESS")) &&

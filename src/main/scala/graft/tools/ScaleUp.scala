@@ -77,28 +77,56 @@ object ScaleUp {
                 factor: Int): Unit = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val load = (t: String) => spark.read.parquet(s"$inDir/$t.parquet")
-    // one tiny agg per domain table; base = max key + 1 EXACTLY — for
-    // the dense-from-0 doc/vec id domains this tiles replicas into
-    // 0..N·n-1, still dense, which the dedup/kmeans family's id
-    // contract requires (planted twins are DERIVED as id +
-    // PlantedOffset at query time, and KMeans' data-deterministic
-    // seeding reads ids as positions; an earlier draft floored the
-    // base at 20M "to be safe" and thereby pushed REAL replica ids
-    // into the planted window — d_semdedup_scoped/s_kmeans failed
-    // loudly at the sf1 gate). Guard the window explicitly instead.
-    // one agg job per OWNING TABLE (events carries two domains — a
-    // per-domain loop would scan it twice for two single-column maxes)
-    val base: Map[String, Long] = domains.groupBy(_._2._1).toSeq
-      .flatMap { case (tbl, doms) =>
+    // base = max key + 1 EXACTLY — for the dense-from-0 doc/vec id
+    // domains this tiles replicas into 0..N·n-1, still dense, which
+    // the dedup/kmeans family's id contract requires (planted twins
+    // are DERIVED as id + PlantedOffset at query time, and KMeans'
+    // data-deterministic seeding reads ids as positions; an earlier
+    // draft floored the base at 20M "to be safe" and thereby pushed
+    // REAL replica ids into the planted window — d_semdedup_scoped/
+    // s_kmeans failed loudly at the sf1 gate). Guard the window
+    // explicitly instead. The max is taken over the owning key AND
+    // every FK column mapped to the domain (one agg job per TABLE —
+    // events carries two domains, lineitem three FKs): an orphan FK
+    // larger than the parent's max key would otherwise alias into
+    // replica i+1's parent range after offsetting, turning a
+    // non-joining row into a cross-replica join (ADVICE r9).
+    val perTableMax: Seq[(String, Long)] = keyCols.toSeq.flatMap {
+      case (tbl, cols) =>
         val row = load(tbl)
-          .agg(doms.map { case (_, (_, c)) =>
-            max(expr(c).cast("long")) }.head,
-            doms.tail.map { case (_, (_, c)) =>
-              max(expr(c).cast("long")) }: _*)
+          .agg(max(expr(cols.head._1).cast("long")),
+            cols.tail.map { case (c, _) => max(expr(c).cast("long")) }: _*)
           .head()
-        doms.zipWithIndex.map { case ((dom, _), i) =>
-          dom -> (row.getLong(i) + 1L) }
-      }.toMap
+        cols.zipWithIndex.map { case ((c, dom), i) =>
+          require(!row.isNullAt(i),
+            s"table $tbl is empty (or $c all-null) in $inDir — " +
+              "cannot derive a key base for an empty domain table")
+          dom -> row.getLong(i)
+        }
+    }
+    val base: Map[String, Long] = perTableMax.groupBy(_._1)
+      .map { case (dom, vs) => dom -> (vs.map(_._2).max + 1L) }
+    // no offset key may overflow its column's ORIGINAL integer type:
+    // replicate() casts back to that type, and under non-ANSI SQL the
+    // cast WRAPS silently — wrapped keys collide across replicas and
+    // corrupt the very corpus the gate trusts (ADVICE r9). BigInt so
+    // the guard itself cannot overflow.
+    def typeMax(dt: org.apache.spark.sql.types.DataType): BigInt = dt match {
+      case org.apache.spark.sql.types.ByteType => BigInt(Byte.MaxValue)
+      case org.apache.spark.sql.types.ShortType => BigInt(Short.MaxValue)
+      case org.apache.spark.sql.types.IntegerType => BigInt(Int.MaxValue)
+      case _ => BigInt(Long.MaxValue)
+    }
+    for ((tbl, cols) <- keyCols.toSeq.sortBy(_._1)) {
+      val types = load(tbl).schema.map(f => f.name -> f.dataType).toMap
+      for ((c, dom) <- cols) {
+        val top = BigInt(base(dom)) * factor - 1
+        require(top <= typeMax(types(c)),
+          s"$tbl.$c (domain $dom, ${types(c).simpleString}) would reach " +
+            s"offset key $top at x$factor — past the column type's max; " +
+            "a non-ANSI cast would wrap and collide keys across replicas")
+      }
+    }
     for (dom <- Seq("doc", "vec")) {
       val top = base(dom) * factor - 1
       require(top < graft.queries.DedupPack.PlantedOffset,

@@ -40,8 +40,22 @@ object SyntheticCorpus {
     * generator change can never be measured against a stale on-disk
     * corpus (r9 review finding: the vocab widening changed documents
     * content with no schema change, invisible to the _SUCCESS+schema
-    * probe). v2 = the ×64 vocabulary widening. */
+    * probe). The marker is PER TABLE (inside each <table>.parquet
+    * dir, written right after that table's commit): a directory-wide
+    * marker re-opened the hole for SUBSET regeneration — regenerating
+    * only `documents` into a dir whose other tables were cut under an
+    * older version would have stamped the whole dir current (ADVICE
+    * r9). v2 = the ×64 vocabulary widening. */
   val GenVersion = 2
+
+  /** Drop the content-version marker inside a just-written table dir.
+    * Spark's overwrite replaced the directory, so the marker can only
+    * be present if THIS table completed under THIS generator version. */
+  private def stampTable(outDir: String, table: String): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, s"$table.parquet",
+        "_GRAFT_GEN_VERSION"),
+      GenVersion.toString.getBytes("UTF-8"))
 
   private def u(tag: Int, seed: Long, cols: org.apache.spark.sql.Column*) =
     pmod(xxhash64((cols :+ lit(tag) :+ lit(seed)): _*), lit(1000000L))
@@ -179,26 +193,34 @@ object SyntheticCorpus {
         2000L * scale < graft.queries.DedupPack.PlantedOffset,
       s"corpus scale $scale mints ids past PlantedOffset " +
         s"(${graft.queries.DedupPack.PlantedOffset}) — raise the offset first")
-    if (want("documents"))
+    if (want("documents")) {
       documents(s, refDir, 5000L * scale, seed)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    if (want("embeddings"))
+      stampTable(outDir, "documents")
+    }
+    if (want("embeddings")) {
       embeddings(s, 2000L * scale, seed + 100)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      stampTable(outDir, "embeddings")
+    }
     if (want("orders") || want("lineitem")) {
       val (o, l) = ordersAndLineitem(s, 150000L * scale, 20000L * scale,
         1000L * scale, 15000L * scale, seed + 200)
-      if (want("orders"))
+      if (want("orders")) {
         o.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
-      if (want("lineitem"))
+        stampTable(outDir, "orders")
+      }
+      if (want("lineitem")) {
         l.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+        stampTable(outDir, "lineitem")
+      }
     }
     // key-only dimension tables: the geo family derives its point
     // scatter purely from the keys, so these suffice for its growth
     // measurement (10x keys = 10x point density on the fixed grid)
     val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
       "MACHINERY")
-    if (want("customer"))
+    if (want("customer")) {
       s.range(1, 15000L * scale + 1)
         .select(col("id").as("c_custkey"),
           // ly_bucketed_join's group key (5 segments, hash-uniform)
@@ -206,14 +228,13 @@ object SyntheticCorpus {
             (pmod(xxhash64(col("id"), lit(seed + 300)), lit(5)) + 1)
               .cast("int")).as("c_mktsegment"))
         .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
-    if (want("supplier"))
+      stampTable(outDir, "customer")
+    }
+    if (want("supplier")) {
       s.range(1, 1000L * scale + 1)
         .select(col("id").as("s_suppkey"))
         .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
-    // written LAST: a marker present implies every requested table
-    // above completed under this generator version
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outDir, "_GRAFT_GEN_VERSION"),
-      GenVersion.toString.getBytes("UTF-8"))
+      stampTable(outDir, "supplier")
+    }
   }
 }

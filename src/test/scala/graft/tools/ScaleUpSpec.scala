@@ -73,4 +73,71 @@ class ScaleUpSpec extends SparkSpec {
       spark.read.parquet(s"$out2/orders.parquet")).isEmpty,
       "ScaleUp is not deterministic")
   }
+
+  /** Copy the sf0.001 tier into a temp dir so one table can be
+    * rewritten with a pathological shape. */
+  private def copyTier(): String = {
+    val dir = Files.createTempDirectory("graft_scaleup_in").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      Files.copy(java.nio.file.Paths.get(sf("sf0.001"), s"$t.parquet"),
+        java.nio.file.Paths.get(dir, s"$t.parquet"))
+    dir
+  }
+
+  test("a factor that would wrap an int-typed key fails loudly") {
+    val in = copyTier()
+    // int32 event_id near Int.MaxValue/2: base*3-1 exceeds Int.MaxValue,
+    // and the non-ANSI cast back to int would otherwise WRAP silently,
+    // colliding keys across replicas (ADVICE r9 / VERDICT r9 item 3)
+    spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .withColumn("event_id",
+        when(col("event_id") === 0, lit(800000000))
+          .otherwise(col("event_id")).cast("int"))
+      .write.mode("overwrite").parquet(s"$in/events.parquet")
+    val out = Files.createTempDirectory("graft_scaleup_of").toString
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.writeTier(spark, in, out, factor = 3)
+    }
+    assert(e.getMessage.contains("wrap"), s"wrong failure: ${e.getMessage}")
+  }
+
+  test("an empty domain table fails loudly, not with an opaque NPE") {
+    val in = copyTier()
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    docs.filter(lit(false)).write.mode("overwrite")
+      .parquet(s"$in/documents.parquet")
+    val out = Files.createTempDirectory("graft_scaleup_empty").toString
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.writeTier(spark, in, out, factor = 2)
+    }
+    assert(e.getMessage.contains("empty"), s"wrong failure: ${e.getMessage}")
+  }
+
+  test("domain base covers orphan FKs larger than the parent max key") {
+    val in = copyTier()
+    // plant one orders row whose o_custkey EXCEEDS customer's max key:
+    // a parent-only base would alias it into replica 1's customer
+    // range after offsetting (ADVICE r9) — with the FK-inclusive base
+    // the orphan must stay an orphan in every replica
+    val cmax = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .agg(max(col("c_custkey"))).head().getLong(0)
+    val orders = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+    val omax = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    orders.limit(1)
+      .withColumn("o_orderkey", lit(omax + 1))
+      .withColumn("o_custkey", lit(cmax + 7))
+      .unionByName(orders)
+      .write.mode("overwrite").parquet(s"$in/orders.parquet")
+    val out = Files.createTempDirectory("graft_scaleup_fk").toString
+    ScaleUp.writeTier(spark, in, out, factor = 3)
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    val c = spark.read.parquet(s"$out/customer.parquet")
+    val orphanIn = spark.read.parquet(s"$in/orders.parquet")
+      .join(spark.read.parquet(s"$in/customer.parquet"),
+        col("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+      .count() == 3 * orphanIn,
+      "orphan FK aliased into another replica's parent range")
+  }
 }
