@@ -934,6 +934,28 @@ object AnalyticsPack extends QueryPack {
        |  WHERE rn = 1)""".stripMargin
   }.mkString(",\n")
 
+  /** g_modularity's k-core peel, unrolled as `k` MATERIALIZED CTE
+    * rounds: e_{i+1} = edges of e_i whose endpoints both still have
+    * degree >= 3 within e_i — exactly the old recursive peel's
+    * per-iteration rule (it too always ran the full 40 iterations).
+    * The recursive form re-aggregated degrees against the recursion's
+    * working table and accumulated E×41 rows through UNION ALL; at
+    * sf1 that blew the oracle probe's time cap (r10), while the
+    * unrolled form is a flat O(k·E) chain the planner executes once. */
+  private def peelRounds(k: Int): String =
+    (1 to k).map { i =>
+      val p = s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (
+        |  SELECT n, count(*) AS c FROM
+        |    (SELECT a AS n FROM $p UNION ALL SELECT b AS n FROM $p) t
+        |  GROUP BY n),
+        |e$i AS MATERIALIZED (
+        |  SELECT pl.a, pl.b FROM $p pl
+        |  JOIN d$i da ON da.n = pl.a
+        |  JOIN d$i db ON db.n = pl.b
+        |  WHERE da.c >= 3 AND db.c >= 3)""".stripMargin
+    }.mkString(",\n")
+
   override def oracleSql: Map[String, String] = Map(
     "a13_abtest" ->
       s"""WITH m AS (
@@ -1268,47 +1290,35 @@ object AnalyticsPack extends QueryPack {
         |  CAST(t * 1000 // 27 AS BIGINT) AS t_est
         |FROM tri""".stripMargin,
 
-    // reuses the k-core peel recursion for the core membership, then
-    // the same exact-integer Q arithmetic; comm CAST to BIGINT to
-    // match Spark's long labels
+    // reuses the k-core peel (unrolled, see peelRounds) for the core
+    // membership, then the same exact-integer Q arithmetic; comm CAST
+    // to BIGINT to match Spark's long labels
     "g_modularity" ->
-      """WITH RECURSIVE bk AS (
+      s"""WITH bk AS MATERIALIZED (
         |  SELECT l_orderkey, list(DISTINCT l_partkey) AS ps
         |  FROM lineitem GROUP BY 1),
-        |p AS (SELECT unnest(ps) AS pa, l_orderkey FROM bk),
+        |p AS MATERIALIZED (SELECT unnest(ps) AS pa, l_orderkey FROM bk),
         |pp AS (SELECT x.pa AS a, y.pa AS b FROM p x JOIN p y
         |       ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa),
-        |e AS (SELECT a, b FROM
+        |e0 AS MATERIALIZED (SELECT a, b FROM
         |        (SELECT a, b, count(*) AS n FROM pp GROUP BY 1, 2)
         |      WHERE n >= 2),
-        |peel(a, b, iter) AS (
-        |  SELECT a, b, 0 FROM e
-        |  UNION ALL
-        |  SELECT pl.a, pl.b, pl.iter + 1
-        |  FROM peel pl,
-        |    (SELECT n, count(*) AS c FROM
-        |      (SELECT a AS n FROM peel UNION ALL SELECT b AS n FROM peel) t
-        |     GROUP BY n) da,
-        |    (SELECT n, count(*) AS c FROM
-        |      (SELECT a AS n FROM peel UNION ALL SELECT b AS n FROM peel) t
-        |     GROUP BY n) db
-        |  WHERE pl.iter < 40 AND da.n = pl.a AND db.n = pl.b
-        |    AND da.c >= 3 AND db.c >= 3),
-        |core AS (SELECT DISTINCT n FROM
-        |  (SELECT a AS n FROM peel WHERE iter = 40
-        |   UNION ALL SELECT b AS n FROM peel WHERE iter = 40) t),
-        |nodes AS (SELECT DISTINCT n FROM
-        |  (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) t),
-        |lab AS (
+        |${peelRounds(40)},
+        |core AS MATERIALIZED (SELECT DISTINCT n FROM
+        |  (SELECT a AS n FROM e40
+        |   UNION ALL SELECT b AS n FROM e40) t),
+        |nodes AS MATERIALIZED (SELECT DISTINCT n FROM
+        |  (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0) t),
+        |lab AS MATERIALIZED (
         |  SELECT nodes.n AS node,
         |    CAST(CASE WHEN core.n IS NOT NULL THEN 1 ELSE 0 END
         |      AS BIGINT) AS comm
         |  FROM nodes LEFT JOIN core ON nodes.n = core.n),
-        |wc AS (
+        |wc AS MATERIALIZED (
         |  SELECT la.comm AS ca, lb.comm AS cb
-        |  FROM e JOIN lab la ON e.a = la.node
-        |         JOIN lab lb ON e.b = lb.node),
-        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |  FROM e0 JOIN lab la ON e0.a = la.node
+        |         JOIN lab lb ON e0.b = lb.node),
+        |mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
         |intra AS (SELECT ca AS comm, CAST(count(*) AS BIGINT)
         |            AS intra_edges FROM wc WHERE ca = cb GROUP BY 1),
         |ds AS (SELECT comm, CAST(count(*) AS BIGINT) AS deg_sum FROM
@@ -1331,54 +1341,54 @@ object AnalyticsPack extends QueryPack {
     // rank = its seed base + damped inflow (coalesced to 0 — rank
     // concentrates near seeds); integer-exact like g_pagerank
     "g_ppr" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |ed AS (
+        |ed AS MATERIALIZED (
         |  SELECT c * 2 AS src, sp * 2 + 1 AS dst FROM pairs
         |  UNION
         |  SELECT sp * 2 + 1 AS src, c * 2 AS dst FROM pairs),
-        |od AS (SELECT src, count(*) AS od FROM ed GROUP BY 1),
-        |e AS (SELECT ed.src, ed.dst, od.od FROM ed JOIN od ON od.src = ed.src),
-        |nd AS (SELECT DISTINCT src AS node FROM ed),
-        |seeds AS (SELECT node FROM nd WHERE node % 2 = 0 AND node < 50),
-        |base AS (
+        |od AS MATERIALIZED (SELECT src, count(*) AS od FROM ed GROUP BY 1),
+        |e AS MATERIALIZED (SELECT ed.src, ed.dst, od.od FROM ed JOIN od ON od.src = ed.src),
+        |nd AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
+        |seeds AS MATERIALIZED (SELECT node FROM nd WHERE node % 2 = 0 AND node < 50),
+        |base AS MATERIALIZED (
         |  SELECT nd.node,
         |    CASE WHEN s.node IS NOT NULL THEN
         |      CAST(150000 * (SELECT count(*) FROM nd)
         |           // (SELECT count(*) FROM seeds) AS BIGINT)
         |    ELSE CAST(0 AS BIGINT) END AS b
         |  FROM nd LEFT JOIN seeds s ON nd.node = s.node),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nd),
-        |r1 AS (
+        |r0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nd),
+        |r1 AS MATERIALIZED (
         |  SELECT b.node, CAST(b.b + (850 * coalesce(f.fl, 0)) // 1000
         |    AS BIGINT) AS rank
         |  FROM base b LEFT JOIN (
         |    SELECT e.dst AS node, sum(r.rank // e.od) AS fl
         |    FROM e JOIN r0 r ON r.node = e.src GROUP BY 1) f
         |  ON b.node = f.node),
-        |r2 AS (
+        |r2 AS MATERIALIZED (
         |  SELECT b.node, CAST(b.b + (850 * coalesce(f.fl, 0)) // 1000
         |    AS BIGINT) AS rank
         |  FROM base b LEFT JOIN (
         |    SELECT e.dst AS node, sum(r.rank // e.od) AS fl
         |    FROM e JOIN r1 r ON r.node = e.src GROUP BY 1) f
         |  ON b.node = f.node),
-        |r3 AS (
+        |r3 AS MATERIALIZED (
         |  SELECT b.node, CAST(b.b + (850 * coalesce(f.fl, 0)) // 1000
         |    AS BIGINT) AS rank
         |  FROM base b LEFT JOIN (
         |    SELECT e.dst AS node, sum(r.rank // e.od) AS fl
         |    FROM e JOIN r2 r ON r.node = e.src GROUP BY 1) f
         |  ON b.node = f.node),
-        |r4 AS (
+        |r4 AS MATERIALIZED (
         |  SELECT b.node, CAST(b.b + (850 * coalesce(f.fl, 0)) // 1000
         |    AS BIGINT) AS rank
         |  FROM base b LEFT JOIN (
         |    SELECT e.dst AS node, sum(r.rank // e.od) AS fl
         |    FROM e JOIN r3 r ON r.node = e.src GROUP BY 1) f
         |  ON b.node = f.node),
-        |r5 AS (
+        |r5 AS MATERIALIZED (
         |  SELECT b.node, CAST(b.b + (850 * coalesce(f.fl, 0)) // 1000
         |    AS BIGINT) AS rank
         |  FROM base b LEFT JOIN (
@@ -1391,14 +1401,14 @@ object AnalyticsPack extends QueryPack {
     // same pair base, item census, and integer rule arithmetic; both
     // rule directions unioned before ranking
     "a12_basket_rules" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |items AS (
+        |items AS MATERIALIZED (
         |  SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS cnt
         |  FROM li GROUP BY 1),
-        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |n AS MATERIALIZED (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
         |        AS n_baskets FROM li),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
         |    CAST(count(*) AS BIGINT) AS co_n
         |  FROM li a JOIN li b USING (l_orderkey)

@@ -655,27 +655,48 @@ object DedupPack extends QueryPack {
     })
   )
 
-  /** Exact 3-gram-Jaccard >= 0.8 pairs — the shared oracle for all
-    * three near-dup text queries (their outputs are by construction the
-    * verified-exact answer). The un-ordered form doubles as a nested
-    * subquery for the d_cluster oracle. */
-  private val exactJaccardSubquery =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, s FROM (
+  /** Exact 3-gram-Jaccard >= 0.8 pairs — the shared oracle CTE chain
+    * for all three near-dup text queries (their outputs are by
+    * construction the verified-exact answer) and the pair base of the
+    * d_cluster/d_pipeline/d_rep_quality component oracles. Ends at
+    * `p(ida, idb, jaccard)`.
+    *
+    * r10 shape notes: shingles are dictionary-encoded to dense ints
+    * (`dict`/`sid`) before the heavy shared-shingle self-join — the
+    * encoding is a bijection (row_number over DISTINCT shingles), so
+    * the result is bit-identical while the sf1 join (113M intermediate
+    * rows) stops paying string-key hashing; `sh` and `p` carry
+    * MATERIALIZED so the planner can never re-inline the pair build
+    * per downstream reference. */
+  private val exactJaccardCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |shs AS (SELECT DISTINCT doc_id, s FROM (
       |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |                         for i in range(1, greatest(len(w) - 1, 1))]) AS s
       |  FROM w)),
+      |dict AS (SELECT s, row_number() OVER () AS sid
+      |         FROM (SELECT DISTINCT s FROM shs)),
+      |sh AS MATERIALIZED (SELECT doc_id, sid FROM shs JOIN dict USING (s)),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
-      |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |  FROM sh a JOIN sh b USING (sid) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
       |j AS (
       |  SELECT ida, idb, i * 1.0 / (ca.n + cb.n - i) AS j
-      |  FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb)
-      |SELECT ida, idb, round(j, 4) AS jaccard FROM j
-      |WHERE j >= 0.8""".stripMargin
+      |  FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb),
+      |p AS MATERIALIZED (
+      |  SELECT ida, idb, round(j, 4) AS jaccard FROM j
+      |  WHERE j >= 0.8)""".stripMargin
 
-  private val exactJaccardSql = exactJaccardSubquery + "\nORDER BY ida, idb"
+  private val exactJaccardSql =
+    s"WITH $exactJaccardCtes\nSELECT ida, idb, jaccard FROM p\nORDER BY ida, idb"
+
+  /** Symmetric edge view of the jaccard pairs, feeding
+    * [[OracleCc.starCcRounds]]. */
+  private val jaccardEdges =
+    """edges AS MATERIALIZED (
+      |  SELECT ida AS s, idb AS d FROM p
+      |  UNION SELECT idb AS s, ida AS d FROM p)""".stripMargin
 
   /** Planted-twin id offset: a planted copy of row `id` gets
     * `id + PlantedOffset`. MUST exceed the largest real id in any
@@ -694,7 +715,7 @@ object DedupPack extends QueryPack {
     * of the plantedVecs base), so the exact and scoped gates cannot
     * silently drift apart (the GeoPack candidateStats lesson). */
   private val plantedVecsCte =
-    s"""all_v AS (
+    s"""all_v AS MATERIALIZED (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |  UNION ALL
       |  SELECT vec_id + $PlantedOffset,
@@ -712,22 +733,15 @@ object DedupPack extends QueryPack {
         |FROM all_docs GROUP BY text ORDER BY keep_id""".stripMargin,
 
     "d_pipeline" ->
-      s"""WITH RECURSIVE
-        |all_docs AS (
+      s"""WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + $PlantedOffset AS doc_id, text FROM documents
         |  WHERE doc_id % 2 = 0),
         |surv AS (SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY text),
-        |p AS ($exactJaccardSubquery),
-        |edges AS (
-        |  SELECT ida AS s, idb AS d FROM p
-        |  UNION SELECT idb AS s, ida AS d FROM p),
-        |walk(node, r) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT walk.node, e.d FROM walk JOIN edges e ON e.s = walk.r),
-        |comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node),
+        |$exactJaccardCtes,
+        |$jaccardEdges,
+        |${OracleCc.starCcRounds()},
         |drops AS (SELECT node AS doc_id FROM comp WHERE node <> component),
         |kept AS (
         |  SELECT s.doc_id FROM surv s
@@ -809,19 +823,13 @@ object DedupPack extends QueryPack {
         |FROM inc LEFT JOIN m ON m.idi = inc.doc_id
         |ORDER BY doc_id""".stripMargin,
 
-    // Components via a recursive CTE: min reachable id per node. The
-    // UNION (not UNION ALL) dedups the frontier so the walk terminates.
+    // Components via bounded star-contraction rounds (OracleCc): the
+    // same min-of-component labels the old recursive closure computed,
+    // at O(E) per round instead of O(sum component^2) total.
     "d_cluster" ->
-      s"""WITH RECURSIVE
-        |p AS ($exactJaccardSubquery),
-        |edges AS (
-        |  SELECT ida AS s, idb AS d FROM p
-        |  UNION SELECT idb AS s, ida AS d FROM p),
-        |walk(node, r) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT walk.node, e.d FROM walk JOIN edges e ON e.s = walk.r),
-        |comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node),
+      s"""WITH $exactJaccardCtes,
+        |$jaccardEdges,
+        |${OracleCc.starCcRounds()},
         |sizes AS (
         |  SELECT component, count(*) AS cluster_size
         |  FROM comp GROUP BY component)
@@ -831,32 +839,26 @@ object DedupPack extends QueryPack {
         |ORDER BY doc_id""".stripMargin,
 
     // same components + t_quality's CASE ladder as an integer rank;
-    // arg_max on the identical packed (q_rank, -doc_id) key
+    // arg_max on the identical packed (q_rank, -doc_id) key (`q`/`j`
+    // of the old text renamed qd/jj — the jaccard chain owns j now)
     "d_rep_quality" ->
-      s"""WITH RECURSIVE
-        |p AS ($exactJaccardSubquery),
-        |edges AS (
-        |  SELECT ida AS s, idb AS d FROM p
-        |  UNION SELECT idb AS s, ida AS d FROM p),
-        |walk(node, r) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT walk.node, e.d FROM walk JOIN edges e ON e.s = walk.r),
-        |comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node),
-        |q AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s"""WITH $exactJaccardCtes,
+        |$jaccardEdges,
+        |${OracleCc.starCcRounds()},
+        |qd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |m AS (
         |  SELECT doc_id, len(w) AS n_tokens,
         |    list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) AS avg_len,
         |    len(list_filter(w, x -> x IN ('the', 'a'))) * 1.0 / len(w) AS stop_r,
         |    len(list_filter(w, x -> len(x) <= 2)) * 1.0 / len(w) AS short_r
-        |  FROM q),
+        |  FROM qd),
         |r AS (
         |  SELECT doc_id,
         |    CASE WHEN stop_r > 0.15 OR short_r > 0.2 THEN 0
         |         WHEN n_tokens BETWEEN 20 AND 200 AND avg_len >= 4.0 THEN 2
         |         ELSE 1 END AS q_rank
         |  FROM m),
-        |j AS (
+        |jj AS (
         |  SELECT comp.component, comp.node AS doc_id, r.q_rank
         |  FROM comp JOIN r ON r.doc_id = comp.node)
         |SELECT component,
@@ -864,25 +866,22 @@ object DedupPack extends QueryPack {
         |    AS rep_doc,
         |  CAST(count(*) AS BIGINT) AS n_members,
         |  CAST(max(q_rank) AS BIGINT) AS rep_score
-        |FROM j GROUP BY component ORDER BY component""".stripMargin,
+        |FROM jj GROUP BY component ORDER BY component""".stripMargin,
 
-    // all-pairs exact cosine over the planted corpus + recursive-CTE
-    // components — the brute-force twin of the banded Spark path
+    // all-pairs exact cosine over the planted corpus + bounded
+    // star-contraction components — the brute-force twin of the
+    // banded Spark path
     "d_semdedup" ->
-      ("WITH RECURSIVE\n" + plantedVecsCte + ",\n" +
-      """n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v),
-        |p AS (
+      ("WITH " + plantedVecsCte + ",\n" +
+      s"""n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v),
+        |p AS MATERIALIZED (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT ida AS s, idb AS d FROM p
         |  UNION SELECT idb AS s, ida AS d FROM p),
-        |walk(node, r) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT walk.node, e.d FROM walk JOIN edges e ON e.s = walk.r),
-        |comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node)
+        |${OracleCc.starCcRounds()}
         |SELECT n.vec_id,
         |  CAST(coalesce(comp.component, n.vec_id) AS BIGINT) AS rep_id,
         |  coalesce(comp.component, n.vec_id) = n.vec_id AS is_kept
@@ -894,64 +893,79 @@ object DedupPack extends QueryPack {
     // generalized to adaptive k = clamp(n/512, 4, 4096) and dense
     // remapped ids) — reproduces the Spark side's clusters, and hence
     // its (intentional) cross-cluster misses, exactly.
+    // r10 assignment shape: the old per-dimension `dims JOIN c0/c1`
+    // formulation pushed O(n·k·64) narrow rows through hash joins —
+    // 7.2B at sf1, the oracle-side blow-up. The SAME integer-lattice
+    // recurrence is now computed over LIST dot products
+    // (||q-c||² = q·q - 2q·c + c·c), 64× fewer rows and SIMD inside
+    // list_dot_product. All quantities are integer-valued and < 2^53,
+    // so the double-precision arithmetic is EXACT — the gate
+    // hash-matched the rewrite against both the old oracle (sf0.01/
+    // sf0.1) and the Spark dump (sf1) before it landed.
     "d_semdedup_scoped" ->
-      ("WITH RECURSIVE\n" + plantedVecsCte + ",\n" +
-      s"""nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v),
-        |prm AS (
+      ("WITH " + plantedVecsCte + ",\n" +
+      s"""nv AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM all_v),
+        |prm AS MATERIALIZED (
         |  SELECT n0, n,
         |    least(greatest(4, n // 512), 4096) AS k,
         |    greatest(1, n // least(greatest(4, n // 512), 4096)) AS st
         |  FROM (SELECT n0, n0 + (n0 + 4) // 5 AS n
         |        FROM (SELECT count(*) AS n0 FROM embeddings))),
-        |den AS (
+        |den AS MATERIALIZED (
         |  SELECT a.vec_id,
         |    CASE WHEN a.vec_id < $PlantedOffset THEN a.vec_id
         |         ELSE p.n0 + (a.vec_id - $PlantedOffset) // 5 END AS did,
         |    a.v, a.nrm
         |  FROM nv a, prm p),
-        |q AS (
+        |q AS MATERIALIZED (
         |  SELECT did,
-        |    list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+        |    list_transform(v, x -> CAST(floor(x * 1000) AS DOUBLE)) AS qv
         |  FROM den),
-        |dims AS (SELECT did, t.d, qv[t.d + 1] AS v FROM q, range(64) t(d)),
-        |c0 AS (
-        |  SELECT did // p.st AS cid, d, v FROM dims, prm p
+        |qn AS MATERIALIZED (
+        |  SELECT did, qv, list_dot_product(qv, qv) AS qq FROM q),
+        |c0 AS MATERIALIZED (
+        |  SELECT did // p.st AS cid, qv AS cv, list_dot_product(qv, qv) AS cc
+        |  FROM q, prm p
         |  WHERE did % p.st = 0 AND did // p.st < p.k),
-        |a1 AS (
+        |a1 AS MATERIALIZED (
         |  SELECT did, min(key) AS key FROM (
-        |    SELECT dims.did, c0.cid,
-        |      sum((dims.v - c0.v) * (dims.v - c0.v)) * p.k + c0.cid AS key
-        |    FROM dims JOIN c0 USING (d), prm p
-        |    GROUP BY dims.did, c0.cid, p.k) GROUP BY 1),
-        |c1n AS (
-        |  SELECT a1.key % p.k AS cid, dims.d,
-        |    CAST(floor(CAST(sum(dims.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
-        |  FROM a1 JOIN dims USING (did), prm p GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT c0.cid, c0.d, coalesce(c1n.v, c0.v) AS v
-        |  FROM c0 LEFT JOIN c1n ON c0.cid = c1n.cid AND c0.d = c1n.d),
-        |a2 AS (
+        |    SELECT qn.did, c0.cid,
+        |      (qn.qq - 2 * list_dot_product(qn.qv, c0.cv) + c0.cc) * p.k + c0.cid
+        |        AS key
+        |    FROM qn, c0, prm p) GROUP BY 1),
+        |mem1 AS (
+        |  SELECT CAST(a1.key % p.k AS BIGINT) AS cid, qn.did, qn.qv
+        |  FROM a1 JOIN qn USING (did), prm p),
+        |c1n AS MATERIALIZED (
+        |  SELECT cid, t.d,
+        |    CAST(floor(sum(qv[t.d + 1]) / count(*)) AS DOUBLE) AS v
+        |  FROM mem1, range(64) t(d) GROUP BY 1, 2),
+        |c1nl AS MATERIALIZED (
+        |  SELECT cid, list(v ORDER BY d) AS cv FROM c1n GROUP BY cid),
+        |c1 AS MATERIALIZED (
+        |  SELECT c0.cid, coalesce(c1nl.cv, c0.cv) AS cv,
+        |    list_dot_product(coalesce(c1nl.cv, c0.cv),
+        |                     coalesce(c1nl.cv, c0.cv)) AS cc
+        |  FROM c0 LEFT JOIN c1nl ON c0.cid = c1nl.cid),
+        |a2 AS MATERIALIZED (
         |  SELECT did, min(key) AS key FROM (
-        |    SELECT dims.did, c1.cid,
-        |      sum((dims.v - c1.v) * (dims.v - c1.v)) * p.k + c1.cid AS key
-        |    FROM dims JOIN c1 USING (d), prm p
-        |    GROUP BY dims.did, c1.cid, p.k) GROUP BY 1),
-        |asg AS (SELECT a2.did, a2.key % p.k AS cid FROM a2, prm p),
-        |pv AS (
+        |    SELECT qn.did, c1.cid,
+        |      (qn.qq - 2 * list_dot_product(qn.qv, c1.cv) + c1.cc) * p.k + c1.cid
+        |        AS key
+        |    FROM qn, c1, prm p) GROUP BY 1),
+        |asg AS MATERIALIZED (
+        |  SELECT a2.did, CAST(a2.key % p.k AS BIGINT) AS cid FROM a2, prm p),
+        |pv AS MATERIALIZED (
         |  SELECT den.vec_id, asg.cid, den.v, den.nrm
         |  FROM den JOIN asg USING (did)),
-        |p2 AS (
+        |p2 AS MATERIALIZED (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb
         |  FROM pv a JOIN pv b ON a.cid = b.cid AND a.vec_id < b.vec_id
         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT ida AS s, idb AS d FROM p2
         |  UNION SELECT idb AS s, ida AS d FROM p2),
-        |walk(node, r) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT walk.node, e.d FROM walk JOIN edges e ON e.s = walk.r),
-        |comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node)
+        |${OracleCc.starCcRounds()}
         |SELECT nv.vec_id,
         |  CAST(coalesce(comp.component, nv.vec_id) AS BIGINT) AS rep_id,
         |  coalesce(comp.component, nv.vec_id) = nv.vec_id AS is_kept

@@ -244,22 +244,29 @@ object GeoPack extends QueryPack {
          |SELECT aid, bid AS nn_bid, d2 AS nn_d2, n_in_radius
          |FROM r WHERE rn = 1 ORDER BY aid""".stripMargin,
 
-    // quadratic pair edges + the dedup family's recursive-walk CC
+    // pair edges via the SAME lossless 9-cell grid blocking the engine
+    // side uses (cell width = Rc, so any pair within Rc is in the same
+    // or an adjacent cell — the blocking is provably complete) +
+    // bounded star-contraction CC (OracleCc). The old all-pairs join ×
+    // recursive-walk closure was the oracle-side quadratic: at sf1 the
+    // geo graph percolates into an 88k-node giant component and the
+    // closure materializes O(component²) rows.
     "geo_cluster" ->
-      s"""WITH RECURSIVE a AS (
+      s"""WITH a AS MATERIALIZED (
          |  ${custScatterSql("aid")}),
-         |p AS (
+         |g AS MATERIALIZED (
+         |  SELECT aid, x, y, x // $Rc AS cx, y // $Rc AS cy FROM a),
+         |off(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+         |p AS MATERIALIZED (
          |  SELECT l.aid AS s, r.aid AS d
-         |  FROM a l JOIN a r ON l.aid < r.aid
-         |  WHERE (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)
+         |  FROM g l, off o, g r
+         |  WHERE r.cx = l.cx + o.dx AND r.cy = l.cy + o.dy
+         |    AND l.aid < r.aid
+         |    AND (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)
          |        <= ${Rc * Rc}),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT s, d FROM p UNION SELECT d, s FROM p),
-         |walk(node, r) AS (
-         |  SELECT s, s FROM edges
-         |  UNION
-         |  SELECT walk.node, e.d FROM walk JOIN edges e ON e.s = walk.r),
-         |comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node),
+         |${OracleCc.starCcRounds()},
          |sizes AS (SELECT component, CAST(count(*) AS BIGINT)
          |            AS cluster_size
          |          FROM comp GROUP BY component)
