@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsPack, DedupPack, FunctionsPack, GeoPack, LayoutPack, MultimodalPack, RelationalPack, SimilarityPack, SqlPack, StreamingPack, TextPack}
+import graft.queries.{AnalyticsPack, CensusPack, DedupPack, FunctionsPack, GeoPack, LayoutPack, MultimodalPack, RelationalPack, SimilarityPack, SqlPack, StreamingPack, TextPack}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ object SparkEntry {
   private[graft] def packs: Seq[QueryPack] = Seq(
     RelationalPack, TextPack, DedupPack, SimilarityPack,
     MultimodalPack, StreamingPack, AnalyticsPack, FunctionsPack, SqlPack,
-    LayoutPack, GeoPack
+    LayoutPack, GeoPack, CensusPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
