@@ -47,6 +47,28 @@ object AnalyticsPack extends QueryPack {
     })
   }
 
+  /** Shared degree-oriented adjacency of the co-purchase graph
+    * (scale/Triangles.orient over the memoized coPairs base), keyed
+    * additionally by the co_n support threshold: the triangle census
+    * family runs on the full graph (minCoN = 1), the clustering
+    * family on the co_n >= 2 one — two distinct graphs, two memo
+    * entries. VERDICT r9 item 7: the r9 attribution proved the census
+    * CONSTRUCTION-bound, yet count/approx/clustering each rebuilt the
+    * identical degree-orientation + collect_list adjacency; one
+    * session-lifetime build (the coPairs/signature-base trade: LRU
+    * evicts under pressure, never CacheRegistry-drained) now serves
+    * them all. */
+  private val orientedCoCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), graft.scale.Triangles.OrientedGraph]()
+  private def orientedCo(s: SparkSession, dir: String, minCoN: Int)
+      : graft.scale.Triangles.OrientedGraph = {
+    orientedCoCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    orientedCoCache.computeIfAbsent((s, dir, minCoN), _ =>
+      graft.scale.Triangles.orient(
+        coPairs(s, dir).filter(col("co_n") >= minCoN)
+          .select(col("pa").as("a"), col("pb").as("b"))))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ROLLUP with grouping_id to disambiguate subtotal rows from
     // genuine nulls. Partial-agg friendly: one shuffle.
@@ -345,12 +367,8 @@ object AnalyticsPack extends QueryPack {
     // id-ordered self-join — a DIFFERENT orientation (id, not degree)
     // proving the census is orientation-invariant, as any correct one
     // must be.
-    "g_triangle_count" -> ((s, dir) => {
-      val edges = coPairs(s, dir).select(col("pa").as("a"), col("pb").as("b"))
-      val (out, handles) = graft.scale.Triangles.statsTracked(edges)
-      graft.scale.CacheRegistry.track(handles)
-      out
-    }),
+    "g_triangle_count" -> ((s, dir) =>
+      graft.scale.Triangles.statsFromGraph(orientedCo(s, dir, 1))),
 
     // MODULARITY of the core/periphery partition — Newman's partition
     // quality Q for the 2-community split the 3-core induces (core
@@ -544,20 +562,14 @@ object AnalyticsPack extends QueryPack {
     // O(√m)-bounded by orientation; coefficient in integer basis
     // points (20000·tri div d(d-1)) so the oracle hashes bit-stably.
     "g_local_clustering" -> ((s, dir) => {
-      val e = coPairs(s, dir).filter(col("co_n") >= 2)
-        .select(col("pa").as("a"), col("pb").as("b"))
-      val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      val ed = e
-        .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
-      val aFirst = (col("da") < col("db")) ||
-        (col("da") === col("db") && col("a") < col("b"))
-      val oriented = ed.select(
-        when(aFirst, col("a")).otherwise(col("b")).as("u"),
-        when(aFirst, col("b")).otherwise(col("a")).as("v"))
-      val adj = oriented.groupBy(col("u"))
-        .agg(sort_array(collect_list(col("v"))).as("nb"))
+      // shared construction (orientedCo at co_n >= 2): the per-node
+      // census reuses the memoized degree orientation + adjacency of
+      // the support-filtered graph instead of rebuilding both
+      val g2 = orientedCo(s, dir, 2)
+      val deg = g2.deg
+      val oriented = g2.oriented
+        .select(col("src").as("u"), col("dst").as("v"))
+      val adj = g2.adj.select(col("src").as("u"), col("nb"))
       val perEdge = oriented
         .join(adj.select(col("u"), col("nb").as("na")), Seq("u"))
         .join(adj.select(col("u").as("v"), col("nb").as("nv")),
@@ -653,13 +665,21 @@ object AnalyticsPack extends QueryPack {
     // mix for a shared 64-bit hash before ids approach overflow.
     // TrianglesSpec pins estimate-vs-exact accuracy (< 10% here).
     "g_triangle_approx" -> ((s, dir) => {
-      val edges = coPairs(s, dir).select(col("pa").as("a"), col("pb").as("b"))
-      val sampled = edges.filter(
-        pmod(col("a") * lit(2654435761L) + col("b") * lit(40503L),
-          lit(10L)) < 3)
-      val (out, handles) = graft.scale.Triangles.statsTracked(sampled)
-      graft.scale.CacheRegistry.track(handles)
-      out.crossJoin(edges.agg(count(lit(1)).as("n_edges_full")))
+      // DOULION over the SHARED oriented graph: the sampled census
+      // needs the sampled graph's exact triangle count, which is
+      // orientation-invariant — so the full graph's (already-built,
+      // memoized) degree orientation is reused and only the sampled
+      // adjacency is rebuilt (Triangles.subgraphStats). The sampling
+      // predicate is applied to the CANONICAL (a < b) endpoint pair,
+      // reconstructed as (least, greatest) of the oriented edge —
+      // bit-identical to sampling the canonical edge list.
+      val g = orientedCo(s, dir, 1)
+      val ca = least(col("src"), col("dst"))
+      val cb = greatest(col("src"), col("dst"))
+      val keep =
+        pmod(ca * lit(2654435761L) + cb * lit(40503L), lit(10L)) < 3
+      graft.scale.Triangles.subgraphStats(g, keep)
+        .crossJoin(g.e.agg(count(lit(1)).as("n_edges_full")))
         .select(col("n_edges_full"),
           col("n_edges").as("n_sampled_edges"),
           col("n_triangles").as("t_sampled"),

@@ -202,11 +202,29 @@ object DedupPack extends QueryPack {
     val sigs = hashArrays(s, dir)
       .withColumn("sig", graft.expr.MinHashSig(col("hs"), 64, 20260812L))
     val bands = bandHashes(sigs)
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+    // ONE bucket aggregation instead of a band-key SELF-JOIN (r10,
+    // VERDICT item 5): the join shuffled the n·16-row band stream
+    // TWICE and sort-merged both sides — the measured wall of the
+    // 1000x decade (SCALE.md r9: ~80M-row band exchange) — even
+    // though almost every bucket is a singleton that can never emit a
+    // candidate. Grouping buckets once halves the exchanged volume,
+    // drops the second sort, collapses singletons at the aggregate,
+    // and expands the surviving buckets' ordered pairs with the same
+    // HOF pattern as the co-purchase baskets (no join at all).
+    // Identical output: sort_array makes ida < idb, and a multi-band
+    // collision dedupes in the same final distinct. Bucket width is
+    // bounded by the identical-signature group size (exact copies of
+    // one doc) — the corpus-dependent tail a real pipeline bounds by
+    // running exact dedup first (d_pipeline does); a pathological
+    // bucket would surface in the gated pair count, loudly.
+    val buckets = bands.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .filter(size(col("members")) > 1)
+    val pairs = flatten(transform(col("members"), (x, i) =>
+      transform(slice(col("members"), i + lit(2), size(col("members"))),
+        y => struct(x.as("ida"), y.as("idb")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
       .distinct()
   }
 
