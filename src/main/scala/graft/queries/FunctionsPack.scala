@@ -148,6 +148,14 @@ object FunctionsPack extends QueryPack {
 
     // Analytic window extras: ntile, percent_rank, cume_dist,
     // first/last value over explicit frames.
+    // percent_rank / cume_dist in INTEGER BASIS POINTS, not rounded
+    // floats (r10, caught by the sf10 spot-gate): k/n with n = 4·10⁴
+    // lands on the .xxxx5 half-ulp boundary for hundreds of rows, and
+    // Spark's round (shortest-decimal HALF_UP) disagrees with
+    // DuckDB's (true-binary) exactly there. The order key
+    // (s_acctbal, s_suppkey) is unique, so rank = row_number and
+    // cume_dist = row_number/n — both re-expressed as floor divisions
+    // of int64, identical on any engine at any tier.
     "fn_window_extras" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("s_nationkey"))
@@ -156,10 +164,15 @@ object FunctionsPack extends QueryPack {
       Tables(s, dir, "supplier")
         .select(col("s_nationkey"), col("s_suppkey"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 4).as("pr"),
-          round(cume_dist().over(w), 4).as("cd"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(wFull).as("n"),
           first(col("s_suppkey")).over(wFull).as("poorest"),
           last(col("s_suppkey")).over(wFull).as("richest"))
+        .select(col("s_nationkey"), col("s_suppkey"), col("quartile"),
+          when(col("n") > 1, expr("(rn - 1) * 10000 div (n - 1)"))
+            .otherwise(0L).cast("long").as("pr_bp"),
+          expr("rn * 10000 div n").cast("long").as("cd_bp"),
+          col("poorest"), col("richest"))
         .orderBy(col("s_nationkey"), col("s_suppkey"))
     }),
 
@@ -179,14 +192,20 @@ object FunctionsPack extends QueryPack {
     // window, no global sort.
     "fn_window_pctrank" -> ((s, dir) => {
       Tables(s, dir, "supplier").createOrReplaceTempView("supplier_pr")
+      // integer basis points, same boundary rationale as
+      // fn_window_extras (unique order key -> rank = row_number)
       s.sql(
         """SELECT s_nationkey, s_suppkey,
-          |  round(percent_rank() OVER w, 4) AS pct_rank,
-          |  round(cume_dist() OVER w, 4) AS cume,
+          |  CASE WHEN count(*) OVER wp > 1
+          |    THEN (row_number() OVER w - 1) * 10000
+          |         div (count(*) OVER wp - 1)
+          |    ELSE 0 END AS pct_rank_bp,
+          |  row_number() OVER w * 10000 div count(*) OVER wp AS cume_bp,
           |  ntile(4) OVER w AS quartile
           |FROM supplier_pr
           |WINDOW w AS (PARTITION BY s_nationkey
-          |  ORDER BY s_acctbal, s_suppkey)
+          |  ORDER BY s_acctbal, s_suppkey),
+          |wp AS (PARTITION BY s_nationkey)
           |ORDER BY s_nationkey, s_suppkey""".stripMargin)
     }),
 
@@ -360,23 +379,32 @@ object FunctionsPack extends QueryPack {
     "fn_window_extras" ->
       """SELECT s_nationkey, s_suppkey,
         |  ntile(4) OVER w AS quartile,
-        |  round(percent_rank() OVER w, 4) AS pr,
-        |  round(cume_dist() OVER w, 4) AS cd,
+        |  CAST(CASE WHEN count(*) OVER wp > 1
+        |    THEN (row_number() OVER w - 1) * 10000 // (count(*) OVER wp - 1)
+        |    ELSE 0 END AS BIGINT) AS pr_bp,
+        |  CAST(row_number() OVER w * 10000 // count(*) OVER wp AS BIGINT)
+        |    AS cd_bp,
         |  first_value(s_suppkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
         |    AND UNBOUNDED FOLLOWING) AS poorest,
         |  last_value(s_suppkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
         |    AND UNBOUNDED FOLLOWING) AS richest
         |FROM supplier
-        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC),
+        |wp AS (PARTITION BY s_nationkey)
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
 
     "fn_window_pctrank" ->
       """SELECT s_nationkey, s_suppkey,
-        |  round(percent_rank() OVER w, 4) AS pct_rank,
-        |  round(cume_dist() OVER w, 4) AS cume,
+        |  CAST(CASE WHEN count(*) OVER wp > 1
+        |    THEN (row_number() OVER w - 1) * 10000 // (count(*) OVER wp - 1)
+        |    ELSE 0 END AS BIGINT) AS pct_rank_bp,
+        |  CAST(row_number() OVER w * 10000 // count(*) OVER wp AS BIGINT)
+        |    AS cume_bp,
         |  CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM supplier
-        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |WINDOW w AS (PARTITION BY s_nationkey
+        |  ORDER BY s_acctbal, s_suppkey),
+        |wp AS (PARTITION BY s_nationkey)
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
 
     "fn_window_range" ->
