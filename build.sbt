@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through UNPREFIXED: sbt's default
+// logger stamps every forked-run line with "[info] ", which breaks
+// any consumer that parses Bench's one-line JSON contract from
+// stdout (the driver's BENCH_r*.json has recorded parsed:null every
+// round — the metric line was always present in its tail but never
+// bare). StdoutOutput emits the child's streams verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
