@@ -43,24 +43,52 @@ object CensusPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scaleup_census" -> ((s, dir) => {
-      def metric(name: String, df: DataFrame): DataFrame =
-        df.select(lit(name).as("metric"), col("value").cast("long"))
-      val counts = countTables.map(t => metric(s"cnt_$t",
-        Tables(s, dir, t).agg(count(lit(1)).as("value"))))
-      val orphans = fkPairs.map { case (child, fk, parent, pk) =>
-        metric(s"orphan_${child}_$parent",
-          Tables(s, dir, child)
-            .join(Tables(s, dir, parent), col(fk) === col(pk), "left_anti")
-            .agg(count(lit(1)).as("value")))
+      // unpivot a 1-row agg to (metric, value) rows — the stack sits
+      // ABOVE the aggregate, so each branch is one scan (the first
+      // draft union'd per-metric aggs and re-scanned every table per
+      // metric; review r10)
+      def metrics(row: DataFrame): DataFrame = {
+        val pairs = row.columns.map(c => s"'$c', `$c`").mkString(", ")
+        row.select(expr(
+          s"stack(${row.columns.length}, $pairs) AS (metric, value)"))
       }
-      val extremes = domainCols.flatMap { case (c, t) =>
-        val mm = Tables(s, dir, t)
-          .agg(min(col(c)).cast("long").as("mn"),
-            max(col(c)).cast("long").as("mx"))
-        Seq(metric(s"min_$c", mm.select(col("mn").as("value"))),
-          metric(s"max_$c", mm.select(col("mx").as("value"))))
+      // one agg scan per table: count + min/max of every domain key
+      // column the table owns
+      val perTable = countTables.map { t =>
+        val keys = domainCols.filter(_._2 == t).map(_._1)
+        val aggs = count(lit(1)).cast("long").as(s"cnt_$t") +:
+          keys.flatMap(c => Seq(
+            min(col(c)).cast("long").as(s"min_$c"),
+            max(col(c)).cast("long").as(s"max_$c")))
+        metrics(Tables(s, dir, t).agg(aggs.head, aggs.tail: _*))
       }
-      (counts ++ orphans ++ extremes).reduce(_ unionByName _)
+      // orphan census: ONE pass per child table, left-joined to each
+      // parent's (unique) key projection with conditional counts — an
+      // orphan row matches nothing, so the counts equal the anti-join
+      // formulation's even if corruption duplicated a parent key (and
+      // duplicated keys turn cnt_*/min/max red anyway)
+      def keyOf(t: String, c: String) =
+        Tables(s, dir, t).select(col(c))
+      val liOrphans = metrics(Tables(s, dir, "lineitem")
+        .join(keyOf("orders", "o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(keyOf("part", "p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left")
+        .join(keyOf("supplier", "s_suppkey"),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .cast("long").as("orphan_lineitem_orders"),
+          sum(when(col("p_partkey").isNull, 1L).otherwise(0L))
+            .cast("long").as("orphan_lineitem_part"),
+          sum(when(col("s_suppkey").isNull, 1L).otherwise(0L))
+            .cast("long").as("orphan_lineitem_supplier")))
+      val ordOrphans = metrics(Tables(s, dir, "orders")
+        .join(keyOf("customer", "c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+          .cast("long").as("orphan_orders_customer")))
+      (perTable :+ liOrphans :+ ordOrphans).reduce(_ unionByName _)
         .orderBy(col("metric"))
     })
   )

@@ -164,7 +164,7 @@ object FunctionsPack extends QueryPack {
       Tables(s, dir, "supplier")
         .select(col("s_nationkey"), col("s_suppkey"),
           ntile(4).over(w).as("quartile"),
-          row_number().over(w).as("rn"),
+          row_number().over(w).cast("long").as("rn"),
           count(lit(1)).over(wFull).as("n"),
           first(col("s_suppkey")).over(wFull).as("poorest"),
           last(col("s_suppkey")).over(wFull).as("richest"))
@@ -197,10 +197,11 @@ object FunctionsPack extends QueryPack {
       s.sql(
         """SELECT s_nationkey, s_suppkey,
           |  CASE WHEN count(*) OVER wp > 1
-          |    THEN (row_number() OVER w - 1) * 10000
+          |    THEN (CAST(row_number() OVER w AS BIGINT) - 1) * 10000
           |         div (count(*) OVER wp - 1)
-          |    ELSE 0 END AS pct_rank_bp,
-          |  row_number() OVER w * 10000 div count(*) OVER wp AS cume_bp,
+          |    ELSE 0L END AS pct_rank_bp,
+          |  CAST(row_number() OVER w AS BIGINT) * 10000
+          |    div count(*) OVER wp AS cume_bp,
           |  ntile(4) OVER w AS quartile
           |FROM supplier_pr
           |WINDOW w AS (PARTITION BY s_nationkey

@@ -55,7 +55,12 @@ object Checkpoints {
           .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
         val ownConfig = ctx.getConfiguration.getLoggerConfig(lineageLogger)
         val hadExplicit = ownConfig.getName == lineageLogger
-        val prev = if (hadExplicit) ownConfig.getLevel else null
+        // getExplicitLevel, not getLevel: getLevel resolves the
+        // EFFECTIVE (inherited, never-null) level, which would pin an
+        // explicit-config/inherited-level logger to an explicit level
+        // on restore and detach it from later root changes (review
+        // r10) — explicit null round-trips as null through setLevel
+        val prev = if (hadExplicit) ownConfig.getExplicitLevel else null
         org.apache.logging.log4j.core.config.Configurator.setLevel(
           lineageLogger, org.apache.logging.log4j.Level.ERROR)
         try l.rdd.unpersist(blocking = false)

@@ -272,8 +272,15 @@ object StreamExec {
       }
       .start()
     q.awaitTermination()
+    // empty-store fallback keeps the 4-column SCHEMA (a bare
+    // emptyDataFrame has no columns and the filter below would fail
+    // to resolve — review r10): same shape a store read would return
+    def emptyState = s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id LONG, n_ops LONG, deleted BOOLEAN, last_value DOUBLE"))
     readStore(s, (0 until CdcStoreBuckets).toSet)
-      .getOrElse(s.emptyDataFrame)
+      .getOrElse(emptyState)
       .filter(col("user_id") =!= SentinelUser && !col("deleted"))
       .select(col("user_id"), col("n_ops"),
         round(col("last_value"), 2).as("last_value"))

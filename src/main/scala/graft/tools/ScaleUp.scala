@@ -48,20 +48,11 @@ object ScaleUp {
     spark.stop()
   }
 
-  /** Key domains: domain -> (owning table, key column). Foreign keys
-    * below reference these bases so parent/child offsets agree. */
-  private val domains = Seq(
-    "cust" -> ("customer", "c_custkey"),
-    "supp" -> ("supplier", "s_suppkey"),
-    "part" -> ("part", "p_partkey"),
-    "order" -> ("orders", "o_orderkey"),
-    "event" -> ("events", "event_id"),
-    "user" -> ("events", "user_id"),
-    "doc" -> ("documents", "doc_id"),
-    "vec" -> ("embeddings", "vec_id"))
-
-  /** Per-table key columns and their domain. Columns not listed are
-    * carried through unchanged. */
+  /** Per-table key columns and their domain — the single registry
+    * (each domain's base is the max over EVERY column mapped to it,
+    * owning key and foreign keys alike, so parent/child offsets
+    * agree by construction). Columns not listed are carried through
+    * unchanged. */
   private val keyCols: Map[String, Seq[(String, String)]] = Map(
     "customer" -> Seq("c_custkey" -> "cust"),
     "supplier" -> Seq("s_suppkey" -> "supp"),

@@ -43,7 +43,14 @@ def main():
         p.join()
         print(f"TIMEOUT>{cap}s")
         return 1
-    status, secs, extra = q.get()
+    try:
+        # the child can die WITHOUT posting (OOM-kill, native segfault,
+        # failed duckdb import) — a blocking get() would hang the
+        # watchdog itself (review r10)
+        status, secs, extra = q.get(timeout=5)
+    except Exception:
+        print(f"CHILD_DIED exit={p.exitcode} (no result posted)")
+        return 1
     print(f"{status} {secs}s {extra}{' rows' if status == 'OK' else ''}")
     return 0 if status == "OK" else 1
 
