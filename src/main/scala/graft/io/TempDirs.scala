@@ -25,6 +25,11 @@ object TempDirs {
     f.delete(): Unit
   }
 
+  /** Recursive delete NOW (not at exit) — for callers that manage
+    * sub-directory lifetimes themselves (the CDC store's superseded
+    * version dirs). */
+  def deleteRecursively(p: java.nio.file.Path): Unit = delete(p.toFile)
+
   /** createTempDirectory + register for recursive delete at JVM exit. */
   def create(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix).toString

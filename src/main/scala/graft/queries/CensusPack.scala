@@ -63,12 +63,16 @@ object CensusPack extends QueryPack {
         metrics(Tables(s, dir, t).agg(aggs.head, aggs.tail: _*))
       }
       // orphan census: ONE pass per child table, left-joined to each
-      // parent's (unique) key projection with conditional counts — an
-      // orphan row matches nothing, so the counts equal the anti-join
-      // formulation's even if corruption duplicated a parent key (and
-      // duplicated keys turn cnt_*/min/max red anyway)
+      // parent's key projection with conditional counts — an orphan
+      // row matches nothing, so the counts equal the anti-join
+      // formulation's. The projection is made unique by construction
+      // (ADVICE r10): without the distinct, a corruption that
+      // duplicates a parent key without moving cnt/min/max would
+      // multiply child rows and skew the OTHER FK columns' orphan
+      // counts away from the oracle's NOT EXISTS — the diagnostic row
+      // itself must be multiplicity-insensitive under any corpus state
       def keyOf(t: String, c: String) =
-        Tables(s, dir, t).select(col(c))
+        Tables(s, dir, t).select(col(c)).distinct()
       val liOrphans = metrics(Tables(s, dir, "lineitem")
         .join(keyOf("orders", "o_orderkey"),
           col("l_orderkey") === col("o_orderkey"), "left")

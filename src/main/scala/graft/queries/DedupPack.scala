@@ -220,11 +220,20 @@ object DedupPack extends QueryPack {
     val buckets = bands.groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .filter(size(col("members")) > 1)
-    val pairs = flatten(transform(col("members"), (x, i) =>
-      transform(slice(col("members"), i + lit(2), size(col("members"))),
-        y => struct(x.as("ida"), y.as("idb")))))
-    buckets.select(explode(pairs).as("p"))
-      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+    // TWO-LEVEL expansion (ADVICE r10): the first draft built all
+    // O(B²) pair structs of a bucket inside ONE row (flatten of
+    // nested transforms), concentrating a pathological bucket's
+    // memory on a single task row. posexplode first → each row holds
+    // one anchor + the O(B)-wide members array, and the inner explode
+    // streams its suffix pairs through GenerateExec without ever
+    // materializing the bucket's full pair set — per-ROW width is now
+    // O(B), identical output (members is sorted, so ida < idb holds
+    // row-wise and multi-band collisions die in the same distinct).
+    buckets
+      .select(col("members"), posexplode(col("members")).as(Seq("i", "ida")))
+      .select(col("ida"), explode(
+        slice(col("members"), col("i") + lit(2), size(col("members"))))
+        .as("idb"))
       .distinct()
   }
 

@@ -20,9 +20,16 @@ package graft.queries
   * chase crawls across basins of local minima) — star contraction is
   * the fix, not more rounds.
   *
-  * Truncation honesty: a component needing more than k alternations
-  * would surface labels ≠ the component min and the driver gate
-  * flags the row — a loud mismatch, never a silent wrong-but-green.
+  * Truncation honesty (hardened, ADVICE r10): the fragment now ends
+  * with a fixed-point sentinel — e_k must equal e_{k-1} (symmetric
+  * EXCEPT both ways) or DuckDB raises error('not converged'), so a
+  * corpus outgrowing the cap fails at the SOURCE with a named cause,
+  * not via the downstream hash mismatch. Rounds past convergence
+  * re-scan the already-contracted stars (the alternation's fixed
+  * point), so the default k = 16 buys ~2 tiers of component-size
+  * headroom over the measured sf1 convergence (8 rounds at the 88k
+  * giant component; rounds needed grow O(log n)) at near-zero cost.
+  * Callers gating still-larger corpora pass a larger k explicitly.
   *
   * Contract: the caller's WITH list must already define
   * `edges(s, d)` holding BOTH directions of every edge. The fragment
@@ -33,7 +40,7 @@ package graft.queries
   */
 object OracleCc {
 
-  def starCcRounds(k: Int = 12): String = {
+  def starCcRounds(k: Int = 16): String = {
     val sb = new StringBuilder
     sb ++= "e0 AS MATERIALIZED (SELECT s, d FROM edges),\n"
     sb ++= "nodes0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM edges),\n"
@@ -59,14 +66,26 @@ object OracleCc {
         |  SELECT v AS s, m AS d FROM s$i UNION SELECT m AS s, v AS d FROM s$i),
         |""".stripMargin
     }
-    // a node whose component fully contracted away from it would fall
-    // back to a singleton label here — visibly wrong to the gate, by
-    // design (see Scaladoc); measured convergence leaves none
-    sb ++= s"""stars AS MATERIALIZED (
+    // Convergence SENTINEL (ADVICE r10): a fully-contracted graph is a
+    // fixed point of the alternation (stars map to themselves), so
+    // e_k == e_{k-1} iff the contraction converged within the cap. A
+    // corpus needing more alternations now raises an EXPLICIT DuckDB
+    // error("not converged") instead of relying on the downstream
+    // hash mismatch — the same round-cap class that silently truncated
+    // ConnectedComponents.run in an earlier round, made loud at the
+    // source. comp's WHERE forces the check's evaluation.
+    sb ++= s"""conv AS MATERIALIZED (
+      |  SELECT CASE WHEN NOT EXISTS (
+      |      SELECT s, d FROM e$k EXCEPT SELECT s, d FROM e${k - 1})
+      |    AND NOT EXISTS (
+      |      SELECT s, d FROM e${k - 1} EXCEPT SELECT s, d FROM e$k)
+      |  THEN 1 ELSE error('starCcRounds: CC not converged after $k alternations - raise k') END AS ok),
+      |stars AS MATERIALIZED (
       |  SELECT s AS node, least(s, min(d)) AS component FROM e$k GROUP BY s),
       |comp AS MATERIALIZED (
       |  SELECT n.node, coalesce(st.component, n.node) AS component
-      |  FROM nodes0 n LEFT JOIN stars st ON st.node = n.node)""".stripMargin
+      |  FROM nodes0 n LEFT JOIN stars st ON st.node = n.node
+      |  WHERE (SELECT ok FROM conv) = 1)""".stripMargin
     sb.toString
   }
 }

@@ -267,6 +267,17 @@ object StreamExec {
           merged.repartition(col("__bucket"))
             .write.partitionBy("__bucket").mode("overwrite").parquet(out)
           touched.foreach(b => bucketDir.put(b, out))
+          // GC superseded versions (ADVICE r10): a version dir whose
+          // every bucket has been repointed holds only dead data, and
+          // without deletion the store grows with batch count ×
+          // touched-bucket volume. Refcount = the pointer map itself;
+          // safe because foreachBatch batches are strictly sequential
+          // (no concurrent reader of an old version exists once the
+          // repoint above completes).
+          val live = new java.util.HashSet(bucketDir.values())
+          storeRoot.toFile.listFiles().iterator
+            .filter(d => d.isDirectory && !live.contains(d.toString))
+            .foreach(d => graft.io.TempDirs.deleteRecursively(d.toPath))
         }
         ()
       }
