@@ -21,6 +21,15 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // State-store backend switch (VERDICT r10 item 4): with
+    // SPARK_GRAFT_STATE_STORE=rocksdb every stream-exec row runs its
+    // StreamExecution on the RocksDB provider (the 100 TB deployment
+    // backend) — the gate's oracle compare then proves the rows are
+    // provider-invariant at tier-sized state. streamSession propagates
+    // this conf into each cloned stream session.
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").exists(_.equalsIgnoreCase("rocksdb")))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // production-path optimizer rules (w1's window top-1 rewrites to
     // max_by and must STILL hash-match the DuckDB oracle)
     spark.experimental.extraOptimizations =

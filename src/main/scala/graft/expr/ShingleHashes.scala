@@ -75,21 +75,27 @@ object ShingleHashes {
       i += 1
     }
     val count = words - n + 1
-    val set = new java.util.TreeSet[java.lang.Long]()
+    // primitive sort + in-place dedup instead of TreeSet<Long>: same
+    // sorted-distinct output with zero boxing/node allocation — this
+    // runs once per document on every near-dup path's hot build
+    val all = new Array[Long](count)
     var k = 0
     while (k < count) {
       val from = starts(k)
       // end of word k+n-1: next start minus the separator, or text end
       val until = if (k + n < words) starts(k + n) - 1 else bytes.length
-      val h = XXH64.hashUnsafeBytes(
+      all(k) = XXH64.hashUnsafeBytes(
         bytes, Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L)
-      set.add(h)
       k += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(all)
+    var uniq = 0
+    var i2 = 0
+    while (i2 < count) {
+      if (i2 == 0 || all(i2) != all(i2 - 1)) { all(uniq) = all(i2); uniq += 1 }
+      i2 += 1
+    }
+    val out = if (uniq == count) all else java.util.Arrays.copyOf(all, uniq)
     new GenericArrayData(out)
   }
 }

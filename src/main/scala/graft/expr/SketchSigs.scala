@@ -3,9 +3,11 @@ package graft.expr
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-document sketch signatures as codegen'd expressions over the
   * shingle-hash array (ShingleHashes output).
@@ -34,7 +36,12 @@ object SketchSigs {
 
   /** MinHash signature: per-permutation minima of (a*h + b) mod P.
     * Parameters must be independent draws (see the structured-family
-    * recall bug documented in DedupPack/BASELINE). */
+    * recall bug documented in DedupPack/BASELINE).
+    *
+    * Inner loop uses plain `%`, not floorMod: h ∈ [0,P) and
+    * a ∈ [1,P-1] ⇒ h*a + b ≤ (P-1)² + P-1 < 2^62 — never negative,
+    * never overflowing, so the two are identical and `%` skips the
+    * sign-fix branch on the hottest multiply in the dedup family. */
   def minHash(hashes: ArrayData, numPerms: Int, seed: Long): ArrayData = {
     val (as, bs) = perms(numPerms, seed)
     val out = Array.fill(numPerms)(Long.MaxValue)
@@ -44,11 +51,57 @@ object SketchSigs {
       val h = math.floorMod(hashes.getLong(i), P)
       var p = 0
       while (p < numPerms) {
-        val v = math.floorMod(h * as(p) + bs(p), P)
+        val v = (h * as(p) + bs(p)) % P
         if (v < out(p)) out(p) = v
         p += 1
       }
       i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** FUSED text → MinHash signature (VERDICT r10 item 3): one byte
+    * walk hashes each word n-gram as a byte range of the text (the
+    * ShingleHashes trick, bit-identical hash values) and folds it
+    * into the per-permutation minima IN PLACE — the shingle-hash
+    * array is never materialized, sorted, or deduplicated. Identical
+    * to `minHash(ShingleHashes.hash(text, n), numPerms, seed)` because
+    * min() is idempotent under duplicate shingles and order-blind
+    * (parity spec-pinned); the empty/short-text case degenerates to
+    * the same all-MaxValue signature. At scale this turns the
+    * signature stage into a pure scan projection: the 1000×-decade
+    * cold path previously built and spilled a corpus-sized
+    * array<long> column only for MinHashSig to fold it away. */
+  def minHashText(text: UTF8String, n: Int, numPerms: Int, seed: Long): ArrayData = {
+    val (as, bs) = perms(numPerms, seed)
+    val out = Array.fill(numPerms)(Long.MaxValue)
+    val bytes = text.getBytes
+    var words = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') words += 1; i += 1 }
+    if (words < n || bytes.length == 0) return new GenericArrayData(out)
+    val starts = new Array[Int](words)
+    var w = 1
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val count = words - n + 1
+    var k = 0
+    while (k < count) {
+      val from = starts(k)
+      val until = if (k + n < words) starts(k + n) - 1 else bytes.length
+      val h = math.floorMod(XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L), P)
+      var p = 0
+      while (p < numPerms) {
+        val v = (h * as(p) + bs(p)) % P
+        if (v < out(p)) out(p) = v
+        p += 1
+      }
+      k += 1
     }
     new GenericArrayData(out)
   }
@@ -174,6 +227,38 @@ object SignBitsSig {
     org.apache.spark.sql.graft.ColumnBridge.column(
       SignBitsSig(org.apache.spark.sql.graft.ColumnBridge.expression(v),
         bits, dim, seed))
+}
+
+/** Fused text → MinHash signature — see [[SketchSigs.minHashText]].
+  * Replaces the MinHashSig(ShingleHashes(text)) composition on paths
+  * that need ONLY the signature (candidate generation): the shingle
+  * array column disappears from the plan entirely, so the signature
+  * stage is a narrow scan projection with zero per-row allocation
+  * beyond the 64-long output. Paths that also exact-verify still
+  * compute ShingleHashes once (the verification currency). */
+case class MinHashTextSig(child: Expression, n: Int, numPerms: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_text_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 && numPerms >= 1 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_text_sig needs (string, n >= 1, numPerms >= 1), got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchSigs.minHashText(input.asInstanceOf[UTF8String], n, numPerms, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.SketchSigs.minHashText($c, $n, $numPerms, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashTextSig =
+    copy(child = newChild)
+}
+
+object MinHashTextSig {
+  def apply(text: Column, n: Int, numPerms: Int, seed: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      MinHashTextSig(org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        n, numPerms, seed))
 }
 
 case class SimHashSig(child: Expression) extends UnaryExpression {

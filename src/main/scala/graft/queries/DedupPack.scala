@@ -199,8 +199,15 @@ object DedupPack extends QueryPack {
     * candidate set the production path verifies — the quantity whose
     * sub-quadratic growth is the whole point of banding. */
   private[graft] def bandedCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sigs = hashArrays(s, dir)
-      .withColumn("sig", graft.expr.MinHashSig(col("hs"), 64, 20260812L))
+    // FUSED signature (VERDICT r10 item 3): candidates need only the
+    // 64-long signature, so it is computed straight from text in one
+    // byte-walk (MinHashTextSig) — the corpus-sized shingle-hash
+    // array column (built + persisted by hashArrays, ~16 bytes × 8 ×
+    // shingles per doc) leaves this path's plan entirely. The verify
+    // stage still builds hashArrays — AFTER candidates exist, when
+    // the join is already pair-sized.
+    val sigs = Tables(s, dir, "documents").select(col("doc_id"),
+      graft.expr.MinHashTextSig(col("text"), 3, 64, 20260812L).as("sig"))
     val bands = bandHashes(sigs)
     // ONE bucket aggregation instead of a band-key SELF-JOIN (r10,
     // VERDICT item 5): the join shuffled the n·16-row band stream
@@ -360,8 +367,10 @@ object DedupPack extends QueryPack {
     // incoming census: match count, earliest matching doc, dup flag.
     "d_incremental" -> ((s, dir) => {
       val isInc = col("doc_id") % 20 === 0
-      val sigs = hashArrays(s, dir)
-        .withColumn("sig", graft.expr.MinHashSig(col("hs"), 64, 20260812L))
+      // fused text → signature, same as bandedCandidates: the band
+      // index build never touches the shingle arrays
+      val sigs = Tables(s, dir, "documents").select(col("doc_id"),
+        graft.expr.MinHashTextSig(col("text"), 3, 64, 20260812L).as("sig"))
       val bands = bandHashes(sigs)
       val cand = bands.filter(!isInc).as("a")
         .join(broadcast(bands.filter(isInc)).as("b"),

@@ -159,12 +159,39 @@ object StreamExec {
     val ss = s.newSession()
     // newSession starts from the static SparkConf — re-apply the
     // runtime confs the harness contract depends on, in case the
-    // parent set them at runtime rather than through the builder
+    // parent set them at runtime rather than through the builder.
+    // stateStore.providerClass propagates too (VERDICT r10 item 4):
+    // at 100 TB the HDFS-backed in-memory store is not an option, so
+    // the gate re-runs every stream-exec row under RocksDB by setting
+    // the provider on the parent session (Verify does this when
+    // SPARK_GRAFT_STATE_STORE=rocksdb) — results must be
+    // backend-invariant; BackendInvarianceSpec pins engagement.
     for (k <- Seq("spark.sql.session.timeZone",
-                  "spark.sql.legacy.parquet.nanosAsLong"))
+                  "spark.sql.legacy.parquet.nanosAsLong",
+                  "spark.sql.streaming.stateStore.providerClass"))
       s.conf.getOption(k).foreach(ss.conf.set(k, _))
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     ss
+  }
+
+  /** stateOperators summary of the most recent StreamExecution this
+    * object drove: (operatorName, numRowsTotal, custom-metric keys)
+    * per stateful operator. Observability hook for the state-store
+    * backend-invariance spec — proves the configured provider really
+    * engaged (rocksdb* metric keys) rather than silently defaulting.
+    * Queries without stateful operators leave an empty list. */
+  val lastStateOps =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, Long, Set[String])]](Nil)
+
+  private def awaitAndRecord(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    lastStateOps.set(q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq)
+      .groupBy(_.operatorName)
+      .map { case (op, ps) =>
+        (op, ps.map(_.numRowsTotal).max,
+          ps.flatMap(_.customMetrics.keySet.toArray.map(_.toString)).toSet)
+      }.toSeq)
   }
 
   /** Hourly tumbling counts computed BY A STREAM: the unified
@@ -187,7 +214,7 @@ object StreamExec {
       .option("checkpointLocation", ckpt())
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     val out = ss.table(qn)
     val rows = out.collect() // bounded: #hours x #event_types
     val schema = out.schema
@@ -282,7 +309,7 @@ object StreamExec {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     // empty-store fallback keeps the 4-column SCHEMA (a bare
     // emptyDataFrame has no columns and the filter below would fail
     // to resolve — review r10): same shape a store read would return
@@ -367,7 +394,7 @@ object StreamExec {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     import s.implicits._
     acc.asScala.toSeq
       .map { case (t, (c, sm)) => (t, c, sm) }
@@ -460,7 +487,7 @@ object StreamExec {
       .option("checkpointLocation", ckpt())
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     lastLateDropMetrics = (
       q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark))
         .sum,
@@ -497,7 +524,7 @@ object StreamExec {
       .option("checkpointLocation", ckpt())
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     val out = ss.table(qn)
     val rows = out.collect() // bounded: matched pairs (oracle-sized)
     val schema = out.schema
@@ -529,7 +556,7 @@ object StreamExec {
         ()
       }
       .start()
-    q.awaitTermination()
+    awaitAndRecord(q)
     s.createDataFrame(buf.toList.asJava, schema)
       .filter(col("user_id") =!= SentinelUser)
       .select(col("user_id"), col("session_start"), col("n_events"))

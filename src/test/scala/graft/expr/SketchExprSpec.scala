@@ -49,6 +49,32 @@ class SketchExprSpec extends SparkSpec {
     assert(viaExpr.nonEmpty)
   }
 
+  test("MinHashTextSig == MinHashSig(ShingleHashes(text)) (fused parity)") {
+    // the fused expression must be bit-identical to the composition it
+    // replaces on the candidate path: min() is idempotent under the
+    // duplicate shingles ShingleHashes would have dropped
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val fused = docs.select(col("doc_id"),
+      MinHashTextSig(col("text"), 3, 64, 20260812L).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = docs.select(col("doc_id"),
+      MinHashSig(ShingleHashes(col("text"), 3), 64, 20260812L).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused == composed)
+    assert(fused.nonEmpty)
+  }
+
+  test("MinHashTextSig edge cases: short/empty text give the MaxValue sig") {
+    import spark.implicits._
+    val out = Seq("one two", "", "a b c", "x  y z").toDF("text")
+      .select(MinHashTextSig(col("text"), 3, 8, 1L).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(out(0).forall(_ == Long.MaxValue)) // 2 words < 3
+    assert(out(1).forall(_ == Long.MaxValue))
+    assert(out(2).forall(_ != Long.MaxValue)) // one trigram
+    assert(out(3).forall(_ != Long.MaxValue)) // empty word kept
+  }
+
   test("SignBitsSig == composed when(DotProduct > 0) chain (bit parity)") {
     val vecs = Tables(spark, sf("sf0.001"), "embeddings").limit(50)
       .select(col("vec_id"),
