@@ -1003,18 +1003,18 @@ object AnalyticsPack extends QueryPack {
          |FROM m""".stripMargin,
 
     "g_label_prop" ->
-      s"""WITH bk AS (
+      s"""WITH bk AS MATERIALIZED (
          |  SELECT l_orderkey, list(DISTINCT l_partkey) AS ps
          |  FROM lineitem GROUP BY 1),
-         |pr AS (SELECT unnest(ps) AS pa, l_orderkey FROM bk),
-         |pp AS (SELECT x.pa AS a, y.pa AS b FROM pr x JOIN pr y
+         |pr AS MATERIALIZED (SELECT unnest(ps) AS pa, l_orderkey FROM bk),
+         |pp AS MATERIALIZED (SELECT x.pa AS a, y.pa AS b FROM pr x JOIN pr y
          |       ON x.l_orderkey = y.l_orderkey AND x.pa < y.pa),
-         |e AS (SELECT a, b FROM
+         |e AS MATERIALIZED (SELECT a, b FROM
          |        (SELECT a, b, count(*) AS n FROM pp GROUP BY 1, 2)
          |      WHERE n >= 2),
-         |adj AS (SELECT a AS v, b AS n FROM e
+         |adj AS MATERIALIZED (SELECT a AS v, b AS n FROM e
          |        UNION ALL SELECT b AS v, a AS n FROM e),
-         |l0 AS (SELECT DISTINCT v AS node, v AS lbl FROM adj),
+         |l0 AS MATERIALIZED (SELECT DISTINCT v AS node, v AS lbl FROM adj),
          |$lpaRounds
          |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
          |  min(node) AS min_node, max(node) AS max_node
@@ -1136,30 +1136,30 @@ object AnalyticsPack extends QueryPack {
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "g_pagerank" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |ed AS (
+        |ed AS MATERIALIZED (
         |  SELECT c * 2 AS src, sp * 2 + 1 AS dst FROM pairs
         |  UNION
         |  SELECT sp * 2 + 1 AS src, c * 2 AS dst FROM pairs),
-        |od AS (SELECT src, count(*) AS od FROM ed GROUP BY 1),
-        |e AS (SELECT ed.src, ed.dst, od.od FROM ed JOIN od ON od.src = ed.src),
-        |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS rank
+        |od AS MATERIALIZED (SELECT src, count(*) AS od FROM ed GROUP BY 1),
+        |e AS MATERIALIZED (SELECT ed.src, ed.dst, od.od FROM ed JOIN od ON od.src = ed.src),
+        |r0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS rank
         |       FROM ed),
-        |r1 AS (
+        |r1 AS MATERIALIZED (
         |  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
         |  FROM e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
-        |r2 AS (
+        |r2 AS MATERIALIZED (
         |  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
         |  FROM e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
-        |r3 AS (
+        |r3 AS MATERIALIZED (
         |  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
         |  FROM e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
-        |r4 AS (
+        |r4 AS MATERIALIZED (
         |  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
         |  FROM e JOIN r3 r ON r.node = e.src GROUP BY e.dst),
-        |r5 AS (
+        |r5 AS MATERIALIZED (
         |  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
         |  FROM e JOIN r4 r ON r.node = e.src GROUP BY e.dst)
         |SELECT node, CAST(rank AS BIGINT) AS rank,
@@ -1549,31 +1549,31 @@ object AnalyticsPack extends QueryPack {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g_sssp_hops" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT c * 2 AS src, sp * 2 + 1 AS dst FROM pairs
         |  UNION
         |  SELECT sp * 2 + 1 AS src, c * 2 AS dst FROM pairs),
-        |d0 AS (SELECT min(c) * 2 AS node, 0 AS dist FROM pairs),
-        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |d0 AS MATERIALIZED (SELECT min(c) * 2 AS node, 0 AS dist FROM pairs),
+        |d1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
         |  SELECT * FROM d0 UNION ALL
         |  SELECT e.dst, d0.dist + 1 FROM d0 JOIN e ON e.src = d0.node)
         |  GROUP BY node),
-        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |d2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
         |  SELECT * FROM d1 UNION ALL
         |  SELECT e.dst, d1.dist + 1 FROM d1 JOIN e ON e.src = d1.node)
         |  GROUP BY node),
-        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |d3 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
         |  SELECT * FROM d2 UNION ALL
         |  SELECT e.dst, d2.dist + 1 FROM d2 JOIN e ON e.src = d2.node)
         |  GROUP BY node),
-        |d4 AS (SELECT node, min(dist) AS dist FROM (
+        |d4 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
         |  SELECT * FROM d3 UNION ALL
         |  SELECT e.dst, d3.dist + 1 FROM d3 JOIN e ON e.src = d3.node)
         |  GROUP BY node),
-        |nodes AS (SELECT DISTINCT src AS node FROM e)
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)
         |SELECT CAST(coalesce(d4.dist, -1) AS INTEGER) AS hops,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM nodes LEFT JOIN d4 ON nodes.node = d4.node

@@ -1,0 +1,80 @@
+package graft.tools
+
+import graft.imdb.ImdbPipeline
+import org.apache.spark.sql.SparkSession
+
+/** Stage-budget measurement of the §2 IMDB pipeline at fixture size
+  * and at an ImdbScaleUp corpus (VERDICT r10 item 5). Emits ONE JSON
+  * line with per-stage seconds for both runs.
+  *
+  * Stage attribution (ImdbPipeline.run marks its natural action
+  * boundaries; nothing extra is forced): `fit_indexers` pays the
+  * train-side load+preprocess+imputation+engineer chain, `fit_scaler`
+  * the assemble+scaler fit, `train_rf` the forest, `predict_write`
+  * the test-side engineer+transform+predict+K1 sink, `cache_write`
+  * the K2 cache union sink.
+  *
+  * Usage: runMain graft.tools.ImdbScaleBench <refImdbDir> <bigDir>
+  *          <outJson> [factor-label]
+  */
+object ImdbScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val Array(refDir, bigDir, outJson) = args.take(3)
+    val label = if (args.length > 3) args(3) else "x100"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    def once(dataDir: String, trainGlob: String, testCsv: String,
+             writing: String, directing: String, cacheCsv: String,
+             tag: String): (Seq[(String, Double)], Long, Double) = {
+      val out = s"/tmp/imdb_bench_out_$tag"
+      val cfg = ImdbPipeline.Config(
+        trainGlob = trainGlob, testCsv = testCsv, writingJson = writing,
+        directingJson = directing, cacheCsv = cacheCsv, resultsDir = out,
+        resultPath = Some(s"$out/preds.txt"),
+        cacheOutDir = Some(s"$out/genre_cache"))
+      val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+      val t0 = System.nanoTime()
+      val preds = ImdbPipeline.run(spark, cfg,
+        (stage, secs) => stages += ((stage, secs)))
+      val total = (System.nanoTime() - t0) / 1e9
+      val n = preds.count()
+      spark.sharedState.cacheManager.clearCache()
+      System.err.println(s"[imdb-bench] $tag: total ${ms(total)} s, " +
+        s"$n preds, stages " + stages.map { case (s, v) => s"$s=${ms(v)}" }
+        .mkString(" "))
+      (stages.toSeq, n, total)
+    }
+
+    val (s1, n1, t1) = once(refDir,
+      s"$refDir/train-*.csv", s"$refDir/validation_hidden.csv",
+      s"$refDir/writing.json", s"$refDir/directing.json",
+      s"$refDir/validation_gemma3_4b_cache.csv", "1x")
+    val (sN, nN, tN) = once(bigDir,
+      s"$bigDir/train-csv", s"$bigDir/validation_hidden-csv",
+      s"$bigDir/writing-json", s"$bigDir/directing.json",
+      s"$bigDir/validation_gemma3_4b_cache-csv", label)
+
+    def stagesJson(ss: Seq[(String, Double)]): String =
+      ss.map { case (k, v) => s""""$k":${ms(v)}""" }.mkString("{", ",", "}")
+    val json = s"""{"metric":"imdb_pipeline_scale","label":"$label",""" +
+      s""""run1x":{"total":${ms(t1)},"preds":$n1,"stages":${stagesJson(s1)}},""" +
+      s""""run$label":{"total":${ms(tN)},"preds":$nN,"stages":${stagesJson(sN)}},""" +
+      s""""growth":${ms(tN / math.max(t1, 1e-9))}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
