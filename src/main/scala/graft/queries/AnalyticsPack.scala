@@ -1263,17 +1263,17 @@ object AnalyticsPack extends QueryPack {
         |ORDER BY cosine DESC, pa, pb LIMIT 20""".stripMargin,
 
     "g_triangle_count" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
         |  FROM li a JOIN li b USING (l_orderkey)
         |  WHERE a.l_partkey < b.l_partkey),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT v, count(*) AS d
         |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
         |  GROUP BY v),
-        |tri AS (
+        |tri AS MATERIALIZED (
         |  SELECT count(*) AS t
         |  FROM e e1
         |  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
