@@ -36,15 +36,25 @@ object RelationalPack extends QueryPack {
     // A1/A2-shape pricing summary (TPC-H Q1 silhouette): filter pushdown +
     // single-pass multi-aggregate hash agg. Ref: data_utils.py:245-264
     // (means), data_utils.py:317 (group counts).
+    // The price SUMs accumulate in DECIMAL, not double (the sf100 tier
+    // catch: at ~150M rows per group the two engines' partial-sum trees
+    // associate double round-off differently and the totals diverge in
+    // the 2nd decimal — ~4e-14 relative, invisible below 600M rows).
+    // Prices/discounts carry exactly 2 decimals, so the double→decimal
+    // cast is exact on both engines and the decimal sum is ONE value;
+    // only the final projection returns to double (gate doctrine: no
+    // decimal column ever leaves the query).
     "q1_agg" -> ((s, dir) => {
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(4,2)")
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
+          round(sum(price).cast("double"), 2).as("sum_base_price"),
+          round(sum(price * (lit(BigDecimal(1)).cast("decimal(3,2)") - disc))
+            .cast("double"), 2).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -844,8 +854,11 @@ object RelationalPack extends QueryPack {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE), 2) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  count(*) AS cnt
         |FROM lineitem
