@@ -288,12 +288,33 @@ object FunctionsPack extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Scale-safe re-expression (sf100 tier, r11): the direct
+    // count(DISTINCT) OVER form keeps per-frame distinct state that
+    // DuckDB cannot spill — OOM-killed at 130 GB RSS on 200M-row
+    // l_returnflag partitions. Linear twin of the Spark build: one row
+    // per (flag, partkey) group is flagged first-in-total-order, and
+    // the running SUM of flags IS the running distinct count (the
+    // NULL guard mirrors count(DISTINCT)'s null-skipping). Proven
+    // value-identical to the old oracle (symmetric EXCEPT ALL = 0) at
+    // sf0.001/sf0.01/sf0.1 before landing; BIGINT cast keeps DuckDB's
+    // HUGEINT window sum out of the decimal-free gate contract. NO
+    // MATERIALIZED hint: the CTE has exactly one consumer, so the
+    // hint's only effect is a full extra temp copy of the corpus —
+    // the r10 hint class is for CTEs re-read by every unrolled round.
     "fn_window_distinct" ->
-      """SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey,
-        |  count(DISTINCT l_partkey) OVER (PARTITION BY l_returnflag
+      """WITH flagged AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey,
+        |    CASE WHEN l_partkey IS NOT NULL AND row_number() OVER (
+        |      PARTITION BY l_returnflag, l_partkey
+        |      ORDER BY l_orderkey, l_linenumber, l_partkey) = 1
+        |    THEN 1 ELSE 0 END AS is_first
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey,
+        |  CAST(sum(is_first) OVER (PARTITION BY l_returnflag
         |    ORDER BY l_orderkey, l_linenumber, l_partkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_distinct
-        |FROM lineitem
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS run_distinct
+        |FROM flagged
         |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_partkey""".stripMargin,
 
     "fn_string_agg" ->

@@ -7,7 +7,15 @@ strictly STRONGER than the sorted-hash compare (EXCEPT ALL is
 multiset difference; no hash collisions, no float-print rounding).
 
 Usage: python3 tools/duck_compare.py <sfDir> <dumpDir> <query> [capSeconds=900]
+         [--hashsum]
 Prints: OK(<rows>) [<secs>s]  |  ROWCOUNT a=.. b=..  |  DIFF <sample rows>
+
+--hashsum: streaming multiset compare — count(*) plus a 128-bit sum of
+per-row 64-bit hashes on each side, O(1) aggregate state, neither side
+materialized. EXCEPT ALL is value-exact but needs a hash table over
+BOTH sides (~100 GB state at 600M rows each — past this host); the
+hash-sum is the out-of-core form for those tiers (order-insensitive,
+multiset-faithful up to 64-bit hash collisions).
 Dev tool only — not part of the shipped library.
 """
 import sys, os, json, time, glob, multiprocessing as mp
@@ -16,9 +24,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def run(sf_dir, dump_dir, name, q):
+def run(sf_dir, dump_dir, name, q, hashsum=False):
     import duckdb
     con = duckdb.connect()
+    # Bound memory and let sorts/hashes spill: an in-memory DuckDB has
+    # no temp_directory, so a 600M-row distinct-window oracle was
+    # OOM-killed at 130 GB RSS (sf100 tier) instead of going out of
+    # core. Cap below the host and point spill at /tmp; DUCK_MEM tunes
+    # the split when disk, not RAM, is the scarce resource (the sf100
+    # window sorts need mem+spill ≈ 2× the 600M-row working set —
+    # at 56GB the spill share exceeded this host's free disk).
+    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '56GB')}'")
+    con.execute("SET temp_directory='/tmp/duck_compare_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
@@ -30,6 +47,22 @@ def run(sf_dir, dump_dir, name, q):
     assert dump, f"no parquet dump under {dump_dir}/{name}"
     t0 = time.time()
     con.execute(f"CREATE VIEW spark_side AS SELECT * FROM read_parquet('{dump[0]}')")
+    if hashsum:
+        cols = [r[0] for r in con.execute(
+            "DESCRIBE spark_side").fetchall()]
+        sel = ", ".join(f'"{c}"' for c in sorted(cols))
+        probe = (lambda side:
+            con.execute(f"SELECT count(*), sum(CAST(hash({sel}) AS HUGEINT)) "
+                        f"FROM ({side}) t").fetchone())
+        na, ha = probe("SELECT * FROM spark_side")
+        nb, hb = probe(sql)
+        if na != nb:
+            q.put(("ROWCOUNT", time.time() - t0, f"spark={na} oracle={nb}"))
+        elif ha != hb:
+            q.put(("HASHSUM_DIFF", time.time() - t0, f"spark={ha} oracle={hb}"))
+        else:
+            q.put(("OK", time.time() - t0, f"{na}, hashsum"))
+        return
     con.execute(f"CREATE TABLE oracle_side AS {sql}")
     cols = [r[0] for r in con.execute(
         "SELECT column_name FROM information_schema.columns "
@@ -52,19 +85,27 @@ def run(sf_dir, dump_dir, name, q):
 
 
 def main():
-    sf_dir, dump_dir, name = sys.argv[1:4]
-    cap = int(sys.argv[4]) if len(sys.argv) > 4 else 900
+    hashsum = "--hashsum" in sys.argv
+    argv = [a for a in sys.argv if a != "--hashsum"]
+    sf_dir, dump_dir, name = argv[1:4]
+    cap = int(argv[4]) if len(argv) > 4 else 900
     q = mp.Queue()
-    p = mp.Process(target=run, args=(sf_dir, dump_dir, name, q))
+    p = mp.Process(target=run, args=(sf_dir, dump_dir, name, q, hashsum))
     p.start()
     p.join(cap)
     if p.is_alive():
         p.terminate()
         print(f"{name}  TIMEOUT>{cap}s")
         return 1
+    if q.empty():
+        # child died without reporting (OOM kill, segfault): say so
+        # instead of blocking forever on q.get()
+        print(f"{name}  CHILD_DIED exit={p.exitcode}")
+        return 1
     status, secs, detail = q.get()
+    method = "duckdb-hashsum" if hashsum else "duckdb-except"
     if status == "OK":
-        print(f"{name}  OK({detail}) [duckdb-except {secs:.0f}s]")
+        print(f"{name}  OK({detail}) [{method} {secs:.0f}s]")
         return 0
     print(f"{name}  {status} {detail} [{secs:.0f}s]")
     return 1
