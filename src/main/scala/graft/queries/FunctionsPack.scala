@@ -252,10 +252,7 @@ object FunctionsPack extends QueryPack {
       val firstSeen = Window
         .partitionBy(col("l_returnflag"), col("l_partkey"))
         .orderBy(order: _*)
-      val running = Window.partitionBy(col("l_returnflag"))
-        .orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "lineitem")
+      val flagged = Tables(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"),
           // NULL keys never count: count(DISTINCT) ignores NULLs (and
@@ -264,6 +261,21 @@ object FunctionsPack extends QueryPack {
           when(col("l_partkey").isNotNull &&
               row_number().over(firstSeen) === 1, 1L).otherwise(0L)
             .as("is_first"))
+      // The running sum partitions by l_returnflag — THREE values, so
+      // this window stage is three whole-corpus tasks however large
+      // the cluster. MEASURED trade (FwdProbe, sf10/sf100): on
+      // local[32] the direct form wins (85 vs 187 s at sf10; 1,724 vs
+      // 2,438 s for the sf100 dump) because one JVM overlaps the
+      // 3-task sort with every other stage and the two-level rewrite
+      // pays extra corpus passes; on a multi-executor cluster those 3
+      // tasks serialize the corpus through 3 JVMs and
+      // scale/RunningSum.withRunningSum (spec-pinned identical
+      // output, |p|×32-way parallel) is the drop-in replacement —
+      // SCALE.md "RunningSum" section records the crossover.
+      val running = Window.partitionBy(col("l_returnflag"))
+        .orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      flagged
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"),
           sum(col("is_first")).over(running).as("run_distinct"))
