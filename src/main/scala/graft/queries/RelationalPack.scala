@@ -278,8 +278,12 @@ object RelationalPack extends QueryPack {
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
         .join(broadcast(r), col("n_regionkey") === r("r_regionkey"), "inner")
         .groupBy(col("r_name"))
+        // 5 region groups over ALL customers — corpus-scaling group
+        // sizes, so 2-dp balances accumulate in DECIMAL (q1_agg
+        // doctrine, ExactSumSpec), double only in the projection
         .agg(count(lit(1)).as("n_customers"),
-          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+          round(sum(col("c_acctbal").cast("decimal(12,2)")).cast("double"),
+            2).as("sum_acctbal"))
         .orderBy(col("r_name"))
     }),
 
@@ -303,6 +307,12 @@ object RelationalPack extends QueryPack {
     }),
 
     // W3: running sum with explicit ROWS frame per customer.
+    // Decimal-doctrine EXEMPT: the window partitions by o_custkey, so
+    // frame size is one customer's order count — bounded (~15) at any
+    // corpus scale under the replication growth model (new replicas
+    // mint new custkeys), and the running evaluation is sequential in
+    // a deterministic total order on both engines. Gated green at
+    // sf100 (600M-row corpus, bench/sf100_gate_r11.txt).
     "w3_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -556,6 +566,9 @@ object RelationalPack extends QueryPack {
       // lower-bound form, not year(): a raw column comparison reaches
       // the parquet scan as a pushed filter (row-group pruning);
       // year() >= 1997 and >= '1997-01-01' select identical rows
+      // decimal-doctrine EXEMPT (here and j12/j14): per-custkey groups
+      // are bounded at any corpus scale — replication mints new keys,
+      // it does not deepen groups — so double sums stay bit-stable
       val base = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz"))
         .groupBy(col("o_custkey"))
@@ -977,7 +990,8 @@ object RelationalPack extends QueryPack {
 
     "j8_star_join" ->
       """SELECT r.r_name, count(*) AS n_customers,
-        |  round(sum(c.c_acctbal), 2) AS sum_acctbal
+        |  round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |    AS sum_acctbal
         |FROM customer c
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey

@@ -36,6 +36,10 @@ object StreamingPack extends QueryPack {
     // engines without session windows run, the native form is what a
     // migration to streaming keeps. One user-keyed exchange; session
     // assembly is partition-local.
+    // decimal-doctrine EXEMPT (also st_rolling_window, st_user_sessions
+    // family): groups/frames are per-user — bounded at any corpus scale
+    // under the replication growth model (new replicas mint new users;
+    // one user's session/hour never deepens with corpus size)
     "st_session_window_native" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("user_id"),
@@ -254,15 +258,21 @@ object StreamingPack extends QueryPack {
     "st_incremental_agg" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val cutoff = expr("TIMESTAMP '1997-01-20 00:00:00'")
+      // event_type has ~6 values over the whole corpus — corpus-scaling
+      // groups, so the stored partials keep the 2-dp sum in DECIMAL
+      // (q1_agg doctrine; ALSO what makes merge-equals-recompute exact
+      // rather than association-dependent), double in the projection
       def partials(df: DataFrame) = df.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
       val history = partials(ev.filter(col("ts") < cutoff))
       val fresh = partials(ev.filter(col("ts") >= cutoff))
       history.unionByName(fresh)
         .groupBy(col("event_type"))
         .agg(sum(col("cnt")).as("n_events"),
-          round(sum(col("sv")), 2).as("sum_value"),
-          round(sum(col("sv")) / sum(col("cnt")), 4).as("avg_value"))
+          round(sum(col("sv")).cast("double"), 2).as("sum_value"),
+          round((sum(col("sv")).cast("double") / sum(col("cnt"))), 4)
+            .as("avg_value"))
         .orderBy(col("event_type"))
     }),
 
@@ -489,14 +499,18 @@ object StreamingPack extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "st_tumbling_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  count(*) AS cnt,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical oracle as the batch twin — the point: the streamed
     // final state must equal the batch answer exactly
     "st_tumbling_stream_exec" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  count(*) AS cnt,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the j13_cdc_apply oracle verbatim: the streamed upsert sink's
@@ -684,8 +698,10 @@ object StreamingPack extends QueryPack {
     // full recompute — must equal the Spark side's partial merge
     "st_incremental_agg" ->
       """SELECT event_type, count(*) AS n_events,
-        |  round(sum(value), 2) AS sum_value,
-        |  round(sum(value) / count(*), 4) AS avg_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "st_gap_fill" ->

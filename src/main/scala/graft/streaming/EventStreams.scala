@@ -22,12 +22,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Hourly tumbling counts per event type. Batch and stream. */
+  /** Hourly tumbling counts per event type. Batch and stream.
+    * The corpus spans a FIXED wall-clock range, so each (hour, type)
+    * bucket's row count scales with the corpus — the q1_agg doctrine
+    * applies: 2-dp event values accumulate in DECIMAL (lossless
+    * cast; exact under any partial-agg tree AND any micro-batch
+    * merge order), double only in the final projection. */
   def hourlyTypeCounts(events: DataFrame, watermarked: Boolean): DataFrame = {
     val src = if (watermarked) events.withWatermark("ts", "1 hour") else events
     src
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
   }

@@ -10,12 +10,17 @@ Usage: python3 tools/duck_compare.py <sfDir> <dumpDir> <query> [capSeconds=900]
          [--hashsum]
 Prints: OK(<rows>) [<secs>s]  |  ROWCOUNT a=.. b=..  |  DIFF <sample rows>
 
---hashsum: streaming multiset compare — count(*) plus a 128-bit sum of
-per-row 64-bit hashes on each side, O(1) aggregate state, neither side
-materialized. EXCEPT ALL is value-exact but needs a hash table over
-BOTH sides (~100 GB state at 600M rows each — past this host); the
-hash-sum is the out-of-core form for those tiers (order-insensitive,
-multiset-faithful up to 64-bit hash collisions).
+--hashsum: streaming multiset compare — count(*) plus TWO independent
+128-bit sums of per-row 64-bit hashes (hash(row) and hash(hash(row),
+salt)) on each side, O(1) aggregate state, neither side materialized.
+EXCEPT ALL is value-exact but needs a hash table over BOTH sides
+(~100 GB state at 600M rows each — past this host); the hash-sum is
+the out-of-core form for those tiers. Guarantee (weaker than EXCEPT
+ALL, stated honestly): a single sum can be fooled not just by a hash
+collision but by CANCELLING deltas (swap A->B on one row and B->A on
+another); passing BOTH independent sums requires the deltas to cancel
+in two unrelated hash spaces simultaneously — astronomically unlikely
+but not impossible.
 Dev tool only — not part of the shipped library.
 """
 import sys, os, json, time, glob, multiprocessing as mp
@@ -51,15 +56,21 @@ def run(sf_dir, dump_dir, name, q, hashsum=False):
         cols = [r[0] for r in con.execute(
             "DESCRIBE spark_side").fetchall()]
         sel = ", ".join(f'"{c}"' for c in sorted(cols))
+        # two INDEPENDENT aggregates: a cancelling pair of row edits
+        # (A->B here, B->A there) zeroes one sum only if the same
+        # deltas also cancel under the salted re-hash — two unrelated
+        # 64-bit spaces must conspire, vs one for the single sum.
         probe = (lambda side:
-            con.execute(f"SELECT count(*), sum(CAST(hash({sel}) AS HUGEINT)) "
+            con.execute(f"SELECT count(*), sum(CAST(hash({sel}) AS HUGEINT)), "
+                        f"sum(CAST(hash(hash({sel}), 'graft_r12_salt') AS HUGEINT)) "
                         f"FROM ({side}) t").fetchone())
-        na, ha = probe("SELECT * FROM spark_side")
-        nb, hb = probe(sql)
+        na, ha, h2a = probe("SELECT * FROM spark_side")
+        nb, hb, h2b = probe(sql)
         if na != nb:
             q.put(("ROWCOUNT", time.time() - t0, f"spark={na} oracle={nb}"))
-        elif ha != hb:
-            q.put(("HASHSUM_DIFF", time.time() - t0, f"spark={ha} oracle={hb}"))
+        elif ha != hb or h2a != h2b:
+            q.put(("HASHSUM_DIFF", time.time() - t0,
+                   f"spark=({ha},{h2a}) oracle=({hb},{h2b})"))
         else:
             q.put(("OK", time.time() - t0, f"{na}, hashsum"))
         return
