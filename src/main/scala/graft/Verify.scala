@@ -11,9 +11,16 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitioning is a DEPLOYMENT knob sized to the data
+    // tier, not operator semantics: #cpus is right up to ~sf10, but
+    // the sf100 tier's 600M-row distinct needs partitions that fit in
+    // one task's aggregation memory (r12 catch: g_sssp_hops died with
+    // AGGREGATE_OUT_OF_MEMORY at 32 partitions x 600M rows; 256 runs
+    // it). A real cluster sets this to its executor-core count.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which Spark only reads

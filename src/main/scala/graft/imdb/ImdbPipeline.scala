@@ -98,7 +98,8 @@ object ImdbPipeline {
   /** Full run: load -> preprocess -> engineer -> train -> predict ->
     * sinks. Returns the prediction DataFrame (tconst, prediction). */
   def run(spark: SparkSession, cfg: Config,
-          onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+          onStage: (String, Double) => Unit = (_, _) => (),
+          tap: (String, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     GraftFunctions.register(spark)
     // Stage marks land on the pipeline's NATURAL action boundaries
     // (fits and sinks) — no extra count()s are injected, so the
@@ -145,6 +146,10 @@ object ImdbPipeline {
     val (testFeat0, freshTest) =
       engineer(spark, Cleaning.patchWithMean(testPre, means),
         writing, directing, cache.union(freshTrain), cfg, extra, extraMeans)
+    // observation hook (no-op by default): ImdbScaleCensus gates the
+    // engineered frames' census against a DuckDB recomputation at xN
+    tap("engineered_train", trainFeat0)
+    tap("engineered_test", testFeat0)
     val indexers = Features.fitIndexers(trainFeat0)
     mark("fit_indexers") // pays train-side load+preprocess+engineer
     val trainIdx = Features.applyIndexers(trainFeat0, indexers)

@@ -57,9 +57,17 @@ object Readers {
     * instead of the reference's driver dict lookups
     * (data_utils.py:378-389). Missing cache file -> empty frame. */
   def loadGenreCache(spark: SparkSession, path: String): DataFrame = {
+    // globStatus, not exists: exists() is literal, so a GLOB cache
+    // path ("{train,validation}_cache-csv", "cache-*.csv") used to
+    // return FALSE and silently hand back an EMPTY cache — every
+    // movie then went to the LLM at full cost with no error (caught
+    // by the r12 ImdbScaleCensus gate: the stub's genres displaced
+    // the cached ones). globStatus handles literal paths too.
     val exists = try {
       val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      val matches = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .globStatus(p)
+      matches != null && matches.nonEmpty
     } catch { case _: Exception => false }
     if (exists) loadCsv(spark, path, Schemas.genreCache)
     else spark.createDataFrame(

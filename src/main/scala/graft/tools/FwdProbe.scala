@@ -14,8 +14,13 @@ object FwdProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_MASTER lets the probe run under REAL multi-JVM
+    // executors (spark-submit --master local-cluster[3,8,8192]) — the
+    // r12 measurement of whether the naive form's 3 whole-corpus
+    // window tasks serialize when they can no longer overlap inside
+    // one JVM (SCALE.md "RunningSum", VERDICT r11 item 7).
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

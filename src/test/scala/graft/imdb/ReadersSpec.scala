@@ -61,4 +61,22 @@ class ReadersSpec extends SparkSpec {
     assert(empty.count() == 0)
     assert(empty.columns.toSeq == Seq("tconst", "genre"))
   }
+
+  test("S6: a GLOB cache path loads all matches, never a silent empty") {
+    assume(fixturesPresent)
+    // r12 regression: the exists() check was literal, so any glob
+    // path returned an EMPTY frame and the whole corpus silently went
+    // to the LLM (caught by the ImdbScaleCensus gate via a genre-
+    // cardinality drift). globStatus must resolve braces and stars.
+    val braced = Readers.loadGenreCache(spark,
+      s"$dir/{train,validation}_gemma3_4b_cache.csv")
+    val parts = Readers.loadGenreCache(spark, s"$dir/train_gemma3_4b_cache.csv")
+      .union(Readers.loadGenreCache(spark,
+        s"$dir/validation_gemma3_4b_cache.csv"))
+    assert(braced.count() == parts.count() && braced.count() > 7959)
+    val star = Readers.loadGenreCache(spark, s"$dir/train_gemma3_4b_cache*.csv")
+    assert(star.count() == 7959)
+    // a glob matching NOTHING still degrades to the empty frame
+    assert(Readers.loadGenreCache(spark, s"$dir/no_such_*.csv").count() == 0)
+  }
 }
