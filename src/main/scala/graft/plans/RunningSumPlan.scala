@@ -1,0 +1,205 @@
+package graft.plans
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** RIDE-THE-OUTPUT-SORT running sum — the SCALE.md design that makes
+  * the low-cardinality running window cost STRICTLY FEWER sorts than
+  * the direct form instead of more passes (guide preference (c):
+  * custom LogicalPlan + SparkStrategy + SparkPlan).
+  *
+  * The direct `Window.partitionBy(p).orderBy(k)` plan sorts the corpus
+  * twice when the query also ends in `ORDER BY (p, k)` — once
+  * hash-clustered for the window (|p| whole-corpus tasks when p has 3
+  * values), once range-partitioned for the output — and the two-level
+  * `scale/RunningSum` rewrite, while |p|×32-way parallel, pays two
+  * extra corpus passes (splitter sketch + chunk totals) ON TOP of the
+  * output sort. This operator declares
+  * `requiredChildDistribution = OrderedDistribution(p, k…)` and the
+  * matching child ordering, so EnsureRequirements inserts exactly ONE
+  * range exchange + sort — and `outputPartitioning`/`outputOrdering`
+  * re-expose it, so the query's trailing ORDER BY on the same keys is
+  * planned as a NO-OP. Execution on the sorted runs:
+  *
+  *  1. one pass (`sparkContext.runJob` over the persisted child RDD)
+  *     collects per-(partition, part-key) totals — bounded by
+  *     #partitions × |p| rows, the GlobalRank offset class;
+  *  2. the driver turns totals into EXCLUSIVE prefix offsets per part
+  *     key across the partition order (range partitioning makes
+  *     partition index order = global key order) and broadcasts them;
+  *  3. the output pass streams each sorted partition once with O(1)
+  *     state (current part key + accumulator seeded from the offset),
+  *     appending the running sum column. No window buffering, no
+  *     chunk column, no second sort.
+  *
+  * Parallelism = #range partitions (spark.sql.shuffle.partitions),
+  * independent of |p| — the property the 3-task direct form lacks.
+  * Contract: `value` must be integral; NULL values contribute 0 and
+  * the output column is never NULL (SQL window SUM would stay NULL
+  * until the first non-null — callers here feed non-null 0/1 flags;
+  * RunningSumRideSpec pins equality on that contract).
+  *
+  * The child RDD is persisted (MEMORY_AND_DISK) across the two passes
+  * and released by Spark's ContextCleaner when the RDD goes out of
+  * scope after the query; at 100 TB the totals pass reads the
+  * shuffle files the range exchange already wrote, so the extra cost
+  * is one local scan, not a recompute.
+  */
+case class RunningSumPlan(child: LogicalPlan, partCols: Seq[Expression],
+                          orderCols: Seq[Expression], value: Expression,
+                          outAttr: Attribute) extends UnaryNode {
+  // outAttr is a constructor param, not a fresh AttributeReference per
+  // instance: analyzer/optimizer copies of this node must keep the
+  // same exprId or every downstream reference to the column dangles.
+  // It is PRODUCED here (the Generate pattern), not consumed —
+  // without producedAttributes CheckAnalysis reads it as a missing
+  // input reference.
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions
+    .AttributeSet = org.apache.spark.sql.catalyst.expressions
+    .AttributeSet(Seq(outAttr))
+  override protected def withNewChildInternal(c: LogicalPlan): RunningSumPlan =
+    copy(child = c)
+}
+
+object RunningSumStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case r: RunningSumPlan =>
+      RunningSumExec(planLater(r.child), r.partCols, r.orderCols, r.value,
+        r.output.last) :: Nil
+    case _ => Nil
+  }
+}
+
+case class RunningSumExec(child: SparkPlan, partCols: Seq[Expression],
+                          orderCols: Seq[Expression], value: Expression,
+                          outAttr: Attribute) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+
+  private def sortOrders: Seq[SortOrder] =
+    (partCols ++ orderCols).map(SortOrder(_, Ascending))
+
+  // ONE range exchange + sort serves the window AND the query's
+  // trailing ORDER BY on the same keys (outputOrdering re-exposes it)
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(OrderedDistribution(sortOrders))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(sortOrders)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = sortOrders
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // copy() before persist: execute() iterators hand out REUSED
+    // mutable UnsafeRow buffers — caching them raw stores N aliases
+    // of the last row's bytes (caught by RunningSumRideSpec: every
+    // cached row in a batch carried the final row's key)
+    val childRDD = child.execute().map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bind OUTSIDE the closures: only serializable bound expressions
+    // and plain values are captured, never the plan node itself
+    val boundPart = partCols.map(BindReferences.bindReference(_, child.output))
+    val boundValue = BindReferences.bindReference(value, child.output)
+
+    // pass 1: per-(rdd partition, part key) totals. Sorted runs mean
+    // each part key is one contiguous run per partition — the result
+    // is bounded by #partitions × |p| rows and arrives in run order.
+    val totals: Array[Array[(UnsafeRow, Long)]] =
+      sparkContext.runJob(childRDD, (iter: Iterator[InternalRow]) => {
+        val pp = UnsafeProjection.create(boundPart)
+        val acc = scala.collection.mutable.ArrayBuffer[(UnsafeRow, Long)]()
+        var cur: UnsafeRow = null
+        var sum = 0L
+        iter.foreach { row =>
+          val k = pp(row)
+          if (cur == null || k != cur) {
+            if (cur != null) acc += ((cur, sum))
+            cur = k.copy(); sum = 0L
+          }
+          val v = boundValue.eval(row)
+          if (v != null) sum += v.asInstanceOf[Number].longValue()
+        }
+        if (cur != null) acc += ((cur, sum))
+        acc.toArray
+      })
+
+    // driver: exclusive prefix per part key across partition order
+    // (range partitioning makes partition index order = key order)
+    val offsets = scala.collection.mutable.HashMap[(Int, UnsafeRow), Long]()
+    val running = scala.collection.mutable.HashMap[UnsafeRow, Long]()
+    for (pid <- totals.indices; (k, t) <- totals(pid)) {
+      val prev = running.getOrElse(k, 0L)
+      offsets((pid, k)) = prev
+      running(k) = prev + t
+    }
+    val bcast: Broadcast[Map[(Int, UnsafeRow), Long]] =
+      sparkContext.broadcast(offsets.toMap)
+
+    // pass 2: stream each sorted partition once with O(1) state
+    val outAttrs = output
+    childRDD.mapPartitionsWithIndex { (pid, iter) =>
+      val pp = UnsafeProjection.create(boundPart)
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joiner = new JoinedRow
+      val extra = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(1)
+      val local = bcast.value
+      var cur: UnsafeRow = null
+      var acc = 0L
+      iter.map { row =>
+        val k = pp(row)
+        if (cur == null || k != cur) {
+          cur = k.copy()
+          acc = local.getOrElse((pid, cur), 0L)
+        }
+        val v = boundValue.eval(row)
+        if (v != null) acc += v.asInstanceOf[Number].longValue()
+        extra.update(0, acc)
+        proj(joiner(row, extra))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): RunningSumExec =
+    copy(child = c)
+}
+
+/** User-facing API (the AsOf.join pattern). */
+object RunningSumRide {
+  def withRunningSumSorted(spark: SparkSession, df: DataFrame,
+                           partCols: Seq[Column], orderCols: Seq[Column],
+                           valueCol: Column, outName: String): DataFrame = {
+    this.synchronized {
+      if (!spark.experimental.extraStrategies.contains(RunningSumStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ RunningSumStrategy
+    }
+    import org.apache.spark.sql.graft.DatasetBridge
+    // resolve each Column against df through a real analysis pass —
+    // Spark 4 Columns are unresolved ColumnNode wrappers until a
+    // Dataset operation analyzes them, and a custom logical node gets
+    // no such pass for its OWN expression args. df.select(c) reuses
+    // df's cached analyzed plan, so the attribute ids line up with
+    // DatasetBridge.plan(df) below.
+    def resolve(c: Column): Expression =
+      df.select(c).queryExecution.analyzed match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.head match {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+            case e => e
+          }
+        case other => sys.error(s"unexpected shape resolving column: $other")
+      }
+    DatasetBridge.ofRows(spark,
+      RunningSumPlan(DatasetBridge.plan(df),
+        partCols.map(resolve), orderCols.map(resolve),
+        resolve(valueCol),
+        AttributeReference(outName, LongType, nullable = false)()))
+  }
+}

@@ -267,27 +267,29 @@ object FunctionsPack extends QueryPack {
               row_number().over(firstSeen) === 1, 1L).otherwise(0L)
             .as("is_first"))
       // The running sum partitions by l_returnflag — THREE values, so
-      // this window stage is three whole-corpus tasks however large
-      // the cluster. MEASURED trade (FwdProbe, sf10/sf100): on
-      // local[32] the direct form wins (85 vs 187 s at sf10; 1,724 vs
-      // 2,438 s for the sf100 dump) because one JVM overlaps the
-      // 3-task sort with every other stage and the two-level rewrite
-      // pays extra corpus passes; on a multi-executor cluster those 3
-      // tasks serialize the corpus through 3 JVMs and
-      // scale/RunningSum.withRunningSum (|p|×32-way parallel) is the
-      // drop-in replacement, selected with SPARK_GRAFT_RUNNING_SUM=1
-      // (the SPARK_GRAFT_STATE_STORE pattern: same gated oracle, both
-      // forms driver-gated) — SCALE.md "RunningSum" records the
-      // crossover.
-      val out =
-        if (sys.env.get("SPARK_GRAFT_RUNNING_SUM").contains("1"))
+      // the DIRECT window is three whole-corpus tasks however large
+      // the cluster. The DEFAULT is now the r12 ride-the-output-sort
+      // operator (plans/RunningSumPlan): ONE range sort serves the
+      // running sum AND the query's trailing ORDER BY (the direct
+      // form sorts the corpus twice), parallelism = #shuffle
+      // partitions regardless of |l_returnflag|. MEASURED (FwdProbe,
+      // sf10, gated shape incl. output sort): ride 41.9 s vs direct
+      // 116.3 s vs two-level 76.4 s on local[32]; under real 3-JVM
+      // executors (local-cluster[3,8,8192]) direct 98.3 s vs
+      // two-level 101.6 s. SPARK_GRAFT_RUNNING_SUM selects the other
+      // forms (0 = direct window, 1 = scale/RunningSum two-level) —
+      // all three forms pass the SAME DuckDB oracle
+      // (bench/runningsum_gate_r12.txt); SCALE.md "RunningSum"
+      // records the full measurement story.
+      val out = sys.env.get("SPARK_GRAFT_RUNNING_SUM") match {
+        case Some("1") =>
           graft.scale.RunningSum.withRunningSum(flagged,
             col("l_returnflag"), col("l_orderkey"),
             Seq(col("l_linenumber"), col("l_partkey")), col("is_first"),
             "run_distinct")
             .select(col("l_returnflag"), col("l_orderkey"),
               col("l_linenumber"), col("l_partkey"), col("run_distinct"))
-        else {
+        case Some("0") =>
           val running = Window.partitionBy(col("l_returnflag"))
             .orderBy(order: _*)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -295,7 +297,14 @@ object FunctionsPack extends QueryPack {
             .select(col("l_returnflag"), col("l_orderkey"),
               col("l_linenumber"), col("l_partkey"),
               sum(col("is_first")).over(running).as("run_distinct"))
-        }
+        case _ =>
+          graft.plans.RunningSumRide.withRunningSumSorted(s, flagged,
+            Seq(col("l_returnflag")),
+            Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+            col("is_first"), "run_distinct")
+            .select(col("l_returnflag"), col("l_orderkey"),
+              col("l_linenumber"), col("l_partkey"), col("run_distinct"))
+      }
       out.orderBy(col("l_returnflag"), col("l_orderkey"),
         col("l_linenumber"), col("l_partkey"))
     }),

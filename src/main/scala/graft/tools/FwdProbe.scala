@@ -87,6 +87,14 @@ object FwdProbe {
         .orderBy(col("l_returnflag"), col("l_orderkey"),
           col("l_linenumber"), col("l_partkey"))
     }
+    timeNoop("rs_ride_sorted_noop") {
+      graft.plans.RunningSumRide.withRunningSumSorted(spark, flagged,
+        Seq(col("l_returnflag")), order, col("is_first"), "run_distinct")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("run_distinct"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"))
+    }
     timeNoop("rs_sorted_noop") {
       graft.scale.RunningSum.withRunningSum(flagged, col("l_returnflag"),
         col("l_orderkey"), Seq(col("l_linenumber"), col("l_partkey")),

@@ -40,8 +40,11 @@ object ScaleGrowth {
     val outJson = if (args.length > 1) args(1) else "/tmp/graft_scale_growth.json"
     val repeats = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // SPARK_GRAFT_MASTER: the FwdProbe pattern — lets the decade run
+    // under real multi-JVM executors (local-cluster) for the r12
+    // shuffle-wall sharding measurement
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
