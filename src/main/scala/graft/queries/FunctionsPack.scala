@@ -15,6 +15,15 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   */
 object FunctionsPack extends QueryPack {
 
+  /** fn_window_distinct's adaptive-form crossover: below this scan
+    * size the DIRECT 3-task running window beats the ride operator's
+    * fixed overhead (~2 s: two extra jobs + persist + broadcast);
+    * above it the ride's one-shared-sort plan wins and keeps winning
+    * (2.8x at 909 MB/sf10 on local[32], 3.6x at 3 real JVMs —
+    * FwdProbe). 256 MB sits between the measured points (81 MB sf1:
+    * direct fine; 909 MB sf10: ride 2.8x) with ~3x margin each way. */
+  val RideThreshold: Long = 256L * 1024 * 1024
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Date/time arithmetic over o_orderdate.
     "fn_dates" -> ((s, dir) => {
@@ -268,19 +277,41 @@ object FunctionsPack extends QueryPack {
             .as("is_first"))
       // The running sum partitions by l_returnflag — THREE values, so
       // the DIRECT window is three whole-corpus tasks however large
-      // the cluster. The DEFAULT is now the r12 ride-the-output-sort
-      // operator (plans/RunningSumPlan): ONE range sort serves the
+      // the cluster. The r12 ride-the-output-sort operator
+      // (plans/RunningSumPlan) fixes that: ONE range sort serves the
       // running sum AND the query's trailing ORDER BY (the direct
       // form sorts the corpus twice), parallelism = #shuffle
       // partitions regardless of |l_returnflag|. MEASURED (FwdProbe,
       // sf10, gated shape incl. output sort): ride 41.9 s vs direct
-      // 116.3 s vs two-level 76.4 s on local[32]; under real 3-JVM
-      // executors (local-cluster[3,8,8192]) direct 98.3 s vs
-      // two-level 101.6 s. SPARK_GRAFT_RUNNING_SUM selects the other
-      // forms (0 = direct window, 1 = scale/RunningSum two-level) —
-      // all three forms pass the SAME DuckDB oracle
-      // (bench/runningsum_gate_r12.txt); SCALE.md "RunningSum"
-      // records the full measurement story.
+      // 116.3 s vs two-level 76.4 s on local[32]; 35.1 vs 126.6 vs
+      // 62.2 s under real 3-JVM executors (local-cluster[3,8,8192]).
+      // BUT the ride pays a fixed ~2 s (two extra jobs + a persist +
+      // a broadcast) that the 3-task sort undercuts on small corpora
+      // (sf0.1: 0.10 s direct vs 2.1 s ride — the r12 bench caught
+      // it), so the DEFAULT picks by the scan's size STATISTIC (free,
+      // no job): below RideThreshold the direct window wins, above it
+      // the ride does — the same data-size-not-core-count rule as the
+      // sf100 shuffle-partition catch. SPARK_GRAFT_RUNNING_SUM forces
+      // a form (0 = direct, 1 = two-level, 2 = ride); ALL THREE pass
+      // the same DuckDB oracle at sf0.001-sf1
+      // (bench/runningsum_gate_r12.txt); SCALE.md "RunningSum act
+      // three" records the full measurement story.
+      def directForm = {
+        val running = Window.partitionBy(col("l_returnflag"))
+          .orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        flagged
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"),
+            sum(col("is_first")).over(running).as("run_distinct"))
+      }
+      def rideForm =
+        graft.plans.RunningSumRide.withRunningSumSorted(s, flagged,
+          Seq(col("l_returnflag")),
+          Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+          col("is_first"), "run_distinct")
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("run_distinct"))
       val out = sys.env.get("SPARK_GRAFT_RUNNING_SUM") match {
         case Some("1") =>
           graft.scale.RunningSum.withRunningSum(flagged,
@@ -289,21 +320,13 @@ object FunctionsPack extends QueryPack {
             "run_distinct")
             .select(col("l_returnflag"), col("l_orderkey"),
               col("l_linenumber"), col("l_partkey"), col("run_distinct"))
-        case Some("0") =>
-          val running = Window.partitionBy(col("l_returnflag"))
-            .orderBy(order: _*)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          flagged
-            .select(col("l_returnflag"), col("l_orderkey"),
-              col("l_linenumber"), col("l_partkey"),
-              sum(col("is_first")).over(running).as("run_distinct"))
+        case Some("0") => directForm
+        case Some("2") => rideForm
         case _ =>
-          graft.plans.RunningSumRide.withRunningSumSorted(s, flagged,
-            Seq(col("l_returnflag")),
-            Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
-            col("is_first"), "run_distinct")
-            .select(col("l_returnflag"), col("l_orderkey"),
-              col("l_linenumber"), col("l_partkey"), col("run_distinct"))
+          val scanBytes = Tables(s, dir, "lineitem")
+            .queryExecution.optimizedPlan.stats.sizeInBytes
+          if (scanBytes < FunctionsPack.RideThreshold) directForm
+          else rideForm
       }
       out.orderBy(col("l_returnflag"), col("l_orderkey"),
         col("l_linenumber"), col("l_partkey"))

@@ -75,6 +75,22 @@ class RunningSumRideSpec extends SparkSpec {
     assert(bad.isEmpty, s"mismatch: ${bad.take(3).mkString(", ")}")
   }
 
+  test("the gated default picks the form by scan size, not blindly") {
+    // sf0.001 lineitem is far below RideThreshold: the adaptive
+    // default must plan the DIRECT window (no RunningSumExec, no ~2 s
+    // fixed overhead — the r12 bench regression this pick fixes);
+    // SPARK_GRAFT_RUNNING_SUM=2 still forces the ride form (gated).
+    assume(sys.env.get("SPARK_GRAFT_RUNNING_SUM").isEmpty)
+    val out = graft.SparkEntry.queries("fn_window_distinct")(
+      spark, sf("sf0.001"))
+    val nodes = graft.PlanWalk.collect(out.queryExecution.executedPlan) {
+      case e: RunningSumExec => e
+    }
+    assert(nodes.isEmpty,
+      "adaptive default chose the ride operator on an 11 MB corpus — " +
+        "its fixed overhead loses below FunctionsPack.RideThreshold")
+  }
+
   test("a trailing ORDER BY on the same keys plans exactly ONE sort") {
     val df = (1L to 5000L).map(i => (s"P${i % 3}", i % 97, i, i % 2))
       .toDF("p", "k", "t", "x").repartition(7)
