@@ -172,6 +172,22 @@ case class RunningSumExec(child: SparkPlan, partCols: Seq[Expression],
 
 /** User-facing API (the AsOf.join pattern). */
 object RunningSumRide {
+
+  /** EXACT 1-based global row_number over the total order `orderCols`
+    * with ONE range sort and no single-partition funnel: a global
+    * rank IS a running count, i.e. this operator with an EMPTY
+    * partition list and value 1. Subsumes scale/GlobalRank's
+    * two-level scheme (splitter sketch + chunk window + offset add —
+    * two corpus passes more) wherever the caller's final output order
+    * is the rank order itself: outputOrdering re-exposes the sort, so
+    * a trailing ORDER BY on `orderCols` plans to nothing. */
+  def withGlobalRankSorted(spark: SparkSession, df: DataFrame,
+                           orderCols: Seq[Column],
+                           rankCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    withRunningSumSorted(spark, df, Seq.empty, orderCols, lit(1L), rankCol)
+  }
+
   def withRunningSumSorted(spark: SparkSession, df: DataFrame,
                            partCols: Seq[Column], orderCols: Seq[Column],
                            valueCol: Column, outName: String): DataFrame = {

@@ -354,12 +354,22 @@ object RelationalPack extends QueryPack {
     // the hash compare proves bit parity. Full-table dump, total-
     // ordered by the rank itself.
     "o6_global_rank" -> ((s, dir) => {
+      // r12: global rank = running COUNT, so the ride-the-output-sort
+      // operator computes it with ONE range sort (plans/RunningSumPlan
+      // with an empty partition list) — subsuming GlobalRank's
+      // two-level scheme (splitter sketch + chunk window + offsets =
+      // two more corpus passes) for this query. The trailing ORDER BY
+      // uses the rank's own total order (o_totalprice, o_orderkey) —
+      // identical row order to ORDER BY rnk, and satisfied by the
+      // operator's outputOrdering, so it plans to NOTHING. GlobalRank
+      // remains the right tool where the output order differs from
+      // the rank order (m1_freq_index's per-column ranks).
       val src = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
-      graft.scale.GlobalRank
-        .withGlobalRank(src, col("o_totalprice"), col("o_orderkey"), "rnk")
+      graft.plans.RunningSumRide.withGlobalRankSorted(s, src,
+          Seq(col("o_totalprice"), col("o_orderkey")), "rnk")
         .select(col("o_orderkey"), col("o_totalprice"), col("rnk"))
-        .orderBy(col("rnk"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
     }),
 
     // ---- set operations ----------------------------------------------------

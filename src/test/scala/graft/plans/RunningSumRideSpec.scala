@@ -75,6 +75,30 @@ class RunningSumRideSpec extends SparkSpec {
     assert(bad.isEmpty, s"mismatch: ${bad.take(3).mkString(", ")}")
   }
 
+  test("empty partition list = exact global row_number with one sort") {
+    // global rank IS a running count: the operator with partCols = []
+    // must equal Window.orderBy row_number exactly (small data, so
+    // the single-task direct window is a safe oracle here), and its
+    // plan must carry no chunk machinery and exactly one sort when
+    // the trailing ORDER BY is the rank order itself
+    val df = (1L to 4000L).map(i => ((i * 37) % 991, i))
+      .toDF("v", "id").repartition(9)
+    val got = RunningSumRide.withGlobalRankSorted(spark, df,
+        Seq($"v", $"id"), "rnk")
+      .orderBy($"v", $"id")
+    val w = Window.orderBy($"v", $"id")
+    val want = df.withColumn("want", row_number().over(w).cast("long"))
+    val bad = got.join(want, Seq("v", "id"))
+      .filter($"rnk" =!= $"want")
+    assert(got.count() == 4000 && bad.isEmpty,
+      s"rank mismatch: ${bad.take(5).mkString(", ")}")
+    val sorts = graft.PlanWalk.collect(got.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.size == 1, s"global rank should cost ONE sort, got " +
+      s"${sorts.size}:\n${got.queryExecution.executedPlan}")
+  }
+
   test("the gated default picks the form by scan size, not blindly") {
     // sf0.001 lineitem is far below RideThreshold: the adaptive
     // default must plan the DIRECT window (no RunningSumExec, no ~2 s
