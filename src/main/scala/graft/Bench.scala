@@ -5,8 +5,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_MASTER: run the bench under real multi-JVM
+      // executors (spark-submit --master local-cluster[3,8,8192])
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       // UTC like Verify/SparkSpec: Tables.events' NTZ→TZ normalization
       // must be the identity on wall-clock values in every harness
       .config("spark.sql.session.timeZone", "UTC")

@@ -18,8 +18,12 @@ object Verify {
     // AGGREGATE_OUT_OF_MEMORY at 32 partitions x 600M rows; 256 runs
     // it). A real cluster sets this to its executor-core count.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // SPARK_GRAFT_MASTER lets the WHOLE gate run under real multi-JVM
+    // executors (spark-submit --master local-cluster[3,8,8192]) — the
+    // only local tier where executor-boundary serialization bugs
+    // (the r3 trainingSummary NotSerializable class) can fire.
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

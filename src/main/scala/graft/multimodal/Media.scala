@@ -176,6 +176,19 @@ object Media {
     }))
   }
 
+  /** The REAL resize operator: decode -> NEAREST integer downscale ->
+    * census of the resized pixels, through the same batched
+    * mapPartitions plumbing — narrow, no shuffle, bytes transformed
+    * where the rows live. */
+  def resizeJpegCensus(spark: SparkSession, media: Dataset[MediaRow],
+                       factor: Int = 2,
+                       batchSize: Int = 64): Dataset[PixelCensus] = {
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+      ImageIoCodec.resizeCensusOf(m.media_id, m.payload, factor)
+    }))
+  }
+
   /** `javax.imageio` JPEG codec kernel (executor-side; ImageIO readers
     * are not thread-safe across calls, so each call owns its streams).
     * Reference behavior: the stub decode contract in this file; the
@@ -214,6 +227,39 @@ object Media {
     def censusOf(mediaId: Long, payload: Array[Byte]): PixelCensus = {
       val img = ImageIO.read(new ByteArrayInputStream(payload))
       require(img != null, s"media_id=$mediaId: ImageIO cannot decode payload")
+      census(mediaId, img, payload.length)
+    }
+
+    /** REAL resize (round 13, VERDICT r12 item 5): ImageIO decode ->
+      * AffineTransformOp NEAREST-NEIGHBOR integer downscale -> exact
+      * pixel census of the RESIZED image. factor must divide the 8-px
+      * block edge: then every output pixel's inverse-mapped source
+      * sample lands inside ONE source block (output block bx spans
+      * x' in [(8/f)bx, (8/f)(bx+1)), whose source candidates f*x' ..
+      * f*x'+f-1 all lie in [8bx, 8bx+7]), so on the planted
+      * block-constant quilts the resized census is closed-form
+      * predictable by the DuckDB oracle — any interpolation drift,
+      * dimension rounding, or channel reorder goes red. */
+    def resizeCensusOf(mediaId: Long, payload: Array[Byte],
+                       factor: Int): PixelCensus = {
+      require(factor > 0 && 8 % factor == 0,
+        s"resize factor $factor must divide the 8-px JPEG block edge")
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, s"media_id=$mediaId: ImageIO cannot decode payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(w % factor == 0 && h % factor == 0,
+        s"media_id=$mediaId: ${w}x$h not divisible by factor $factor")
+      val at = java.awt.geom.AffineTransform
+        .getScaleInstance(1.0 / factor, 1.0 / factor)
+      val op = new java.awt.image.AffineTransformOp(at,
+        java.awt.image.AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
+      val out = op.filter(img,
+        new BufferedImage(w / factor, h / factor, BufferedImage.TYPE_3BYTE_BGR))
+      census(mediaId, out, payload.length)
+    }
+
+    private def census(mediaId: Long, img: BufferedImage,
+                       nBytes: Int): PixelCensus = {
       val (w, h) = (img.getWidth, img.getHeight)
       val channels = img.getColorModel.getNumComponents
       var rgbSum = 0L
@@ -230,7 +276,7 @@ object Media {
         }
         y += 1
       }
-      PixelCensus(mediaId, w, h, channels, payload.length, rgbSum, weightedR)
+      PixelCensus(mediaId, w, h, channels, nBytes, rgbSum, weightedR)
     }
   }
 }

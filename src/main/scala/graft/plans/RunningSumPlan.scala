@@ -29,8 +29,10 @@ import org.apache.spark.sql.types.LongType
   * planned as a NO-OP. Execution on the sorted runs:
   *
   *  1. one pass (`sparkContext.runJob` over the persisted child RDD)
-  *     collects per-(partition, part-key) totals — bounded by
-  *     #partitions × |p| rows, the GlobalRank offset class;
+  *     collects per-partition BOUNDARY-run totals — at most the first
+  *     and last run of each partition (the only runs that can span a
+  *     boundary under range partitioning), so the driver harvest is
+  *     ≤ 2 × #partitions rows regardless of |p| cardinality;
   *  2. the driver turns totals into EXCLUSIVE prefix offsets per part
   *     key across the partition order (range partitioning makes
   *     partition index order = global key order) and broadcasts them;
@@ -41,16 +43,18 @@ import org.apache.spark.sql.types.LongType
   *
   * Parallelism = #range partitions (spark.sql.shuffle.partitions),
   * independent of |p| — the property the 3-task direct form lacks.
-  * Contract: `value` must be integral; NULL values contribute 0 and
-  * the output column is never NULL (SQL window SUM would stay NULL
-  * until the first non-null — callers here feed non-null 0/1 flags;
-  * RunningSumRideSpec pins equality on that contract).
+  * Contract: `value` must be integral AND non-nullable (CHECKED in
+  * `withRunningSumSorted` — a nullable value would silently diverge
+  * from SQL window SUM, which stays NULL until the first non-null,
+  * while this operator would map NULL to 0; callers feed non-null
+  * 0/1 flags and RunningSumRideSpec pins the checked contract).
   *
   * The child RDD is persisted (MEMORY_AND_DISK) across the two passes
-  * and released by Spark's ContextCleaner when the RDD goes out of
-  * scope after the query; at 100 TB the totals pass reads the
-  * shuffle files the range exchange already wrote, so the extra cost
-  * is one local scan, not a recompute.
+  * and tracked in `scale/CacheRegistry`, so the harnesses drain it
+  * deterministically after each query's action instead of waiting on
+  * ContextCleaner GC; at 100 TB the totals pass reads the shuffle
+  * files the range exchange already wrote, so the extra cost is one
+  * local scan, not a recompute.
   */
 case class RunningSumPlan(child: LogicalPlan, partCols: Seq[Expression],
                           orderCols: Seq[Expression], value: Expression,
@@ -95,6 +99,13 @@ case class RunningSumExec(child: SparkPlan, partCols: Seq[Expression],
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = sortOrders
 
+  // Driver-visible gauge of the pass-1 harvest: total boundary-run
+  // entries collected (≤ 2 × #partitions BY CONSTRUCTION — the spec
+  // pins the bound on a high-cardinality partition column).
+  override lazy val metrics = Map(
+    "boundaryRuns" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "pass-1 boundary runs collected"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     // copy() before persist: execute() iterators hand out REUSED
     // mutable UnsafeRow buffers — caching them raw stores N aliases
@@ -102,41 +113,75 @@ case class RunningSumExec(child: SparkPlan, partCols: Seq[Expression],
     // cached row in a batch carried the final row's key)
     val childRDD = child.execute().map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Deterministic release at SQL-execution end (the r7
+    // cache-ledger doctrine, adapted for physical operators): under
+    // AQE this doExecute runs on a materialization-pool thread, so
+    // the THREAD-LOCAL ledger can't work here — CacheRegistry keys
+    // the unpersist on the current execution id instead, so a 12 GB
+    // sf100 child is dropped the moment its query's action finishes
+    // rather than lingering until ContextCleaner GC. Early release is
+    // never a correctness risk: a recompute re-reads the range
+    // exchange's shuffle files.
+    graft.scale.CacheRegistry.releaseOnExecutionEnd(childRDD)
     // bind OUTSIDE the closures: only serializable bound expressions
     // and plain values are captured, never the plan node itself
     val boundPart = partCols.map(BindReferences.bindReference(_, child.output))
     val boundValue = BindReferences.bindReference(value, child.output)
 
-    // pass 1: per-(rdd partition, part key) totals. Sorted runs mean
-    // each part key is one contiguous run per partition — the result
-    // is bounded by #partitions × |p| rows and arrives in run order.
+    // pass 1: BOUNDARY runs only. The child is range-partitioned on
+    // (partCols ++ orderCols), so a part key's rows are globally
+    // contiguous: only a partition's FIRST and LAST runs can continue
+    // across a partition boundary — middle runs are strictly interior
+    // and always start at offset 0. Each task therefore ships at most
+    // TWO (key, total) entries, making the driver harvest ≤
+    // 2 × #partitions rows REGARDLESS of |partCols| cardinality (the
+    // bounded-by-construction form of the MaxOffsetRows probe guard
+    // its two-level twin uses, scale/RunningSum.scala — no cap, no
+    // fallback, no driver blow-up for any caller).
     val totals: Array[Array[(UnsafeRow, Long)]] =
       sparkContext.runJob(childRDD, (iter: Iterator[InternalRow]) => {
         val pp = UnsafeProjection.create(boundPart)
-        val acc = scala.collection.mutable.ArrayBuffer[(UnsafeRow, Long)]()
+        var firstKey: UnsafeRow = null
+        var firstSum = 0L
         var cur: UnsafeRow = null
         var sum = 0L
+        var runs = 0
         iter.foreach { row =>
           val k = pp(row)
           if (cur == null || k != cur) {
-            if (cur != null) acc += ((cur, sum))
-            cur = k.copy(); sum = 0L
+            if (cur != null && runs == 1) { firstKey = cur; firstSum = sum }
+            cur = k.copy(); sum = 0L; runs += 1
           }
           val v = boundValue.eval(row)
           if (v != null) sum += v.asInstanceOf[Number].longValue()
         }
-        if (cur != null) acc += ((cur, sum))
-        acc.toArray
+        if (cur == null) Array.empty[(UnsafeRow, Long)]
+        else if (runs == 1) Array((cur, sum))
+        else Array((firstKey, firstSum), (cur, sum))
       })
+    longMetric("boundaryRuns").add(totals.iterator.map(_.length.toLong).sum)
 
-    // driver: exclusive prefix per part key across partition order
-    // (range partitioning makes partition index order = key order)
+    // driver: exclusive prefix for the boundary-spanning keys only.
+    // A run that BEGINS inside a partition has no earlier-partition
+    // contribution (offset 0, pass 2's getOrElse default); the only
+    // nonzero offsets belong to partitions whose first key continues
+    // the previous non-empty partition's last key. carry = the
+    // continued key's total accumulated over all earlier partitions.
     val offsets = scala.collection.mutable.HashMap[(Int, UnsafeRow), Long]()
-    val running = scala.collection.mutable.HashMap[UnsafeRow, Long]()
-    for (pid <- totals.indices; (k, t) <- totals(pid)) {
-      val prev = running.getOrElse(k, 0L)
-      offsets((pid, k)) = prev
-      running(k) = prev + t
+    var curKey: UnsafeRow = null
+    var carry = 0L
+    for (pid <- totals.indices if totals(pid).nonEmpty) {
+      val part = totals(pid)
+      val (fk, ft) = part.head
+      val continues = curKey != null && fk == curKey
+      if (continues) offsets((pid, fk)) = carry
+      if (part.length == 1) {
+        // the whole partition is one run of fk
+        if (continues) carry += ft else { curKey = fk; carry = ft }
+      } else {
+        val (lk, lt) = part.last
+        curKey = lk; carry = lt
+      }
     }
     val bcast: Broadcast[Map[(Int, UnsafeRow), Long]] =
       sparkContext.broadcast(offsets.toMap)
@@ -212,10 +257,22 @@ object RunningSumRide {
           }
         case other => sys.error(s"unexpected shape resolving column: $other")
       }
+    val valueExpr = resolve(valueCol)
+    // Checked contract (ADVICE r12): the exec maps NULL values to 0,
+    // which DIVERGES from SQL window SUM (NULL until the first
+    // non-null). Rather than let an adaptive direct/ride switch
+    // return different results by tier, reject nullable values here
+    // with an actionable message.
+    require(!valueExpr.nullable,
+      s"RunningSumRide: value expression $valueExpr is nullable, and the " +
+        "ride operator's NULL-contributes-0 semantics differ from SQL " +
+        "window SUM (NULL until first non-null). Wrap the value in " +
+        "coalesce(value, 0) to opt into 0-for-NULL explicitly, or use " +
+        "the direct window / scale.RunningSum for SQL NULL semantics.")
     DatasetBridge.ofRows(spark,
       RunningSumPlan(DatasetBridge.plan(df),
         partCols.map(resolve), orderCols.map(resolve),
-        resolve(valueCol),
+        valueExpr,
         AttributeReference(outName, LongType, nullable = false)()))
   }
 }

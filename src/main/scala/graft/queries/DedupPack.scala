@@ -210,8 +210,19 @@ object DedupPack extends QueryPack {
   private[graft] val DefaultMaxBucket = 1024
 
   private def lshMaxBucket: Int =
-    sys.env.get("SPARK_GRAFT_LSH_MAX_BUCKET").map(_.toInt)
-      .getOrElse(DefaultMaxBucket)
+    sys.env.get("SPARK_GRAFT_LSH_MAX_BUCKET") match {
+      case None => DefaultMaxBucket
+      case Some(raw) =>
+        // Validate HERE with the variable named (ADVICE r12): a bare
+        // toInt throws an uncontextualized NumberFormatException from
+        // deep inside query construction, and 0/negative would
+        // silently disable the bucket-width breaker.
+        val parsed = raw.trim.toIntOption
+        require(parsed.exists(_ > 0),
+          s"SPARK_GRAFT_LSH_MAX_BUCKET must be a positive integer, " +
+            s"got '$raw'")
+        parsed.get
+    }
 
   private[graft] def bandedCandidates(s: SparkSession, dir: String): DataFrame =
     bandedCandidates(s, dir, lshMaxBucket)

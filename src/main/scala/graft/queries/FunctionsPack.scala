@@ -323,6 +323,17 @@ object FunctionsPack extends QueryPack {
         case Some("0") => directForm
         case Some("2") => rideForm
         case _ =>
+          // The adaptive pick may only switch between forms whose
+          // NULL semantics agree — direct is SQL window SUM (NULL
+          // until first non-null), ride maps NULL to 0. is_first is
+          // non-nullable by construction (when/otherwise both
+          // literal), so they coincide; CHECK it so a future nullable
+          // value fails loudly at every tier instead of returning
+          // tier-dependent results (the ride API requires the same).
+          require(!flagged.schema("is_first").nullable,
+            "fn_window_distinct adaptive pick needs a non-nullable " +
+              "value column: direct-window and ride-operator NULL " +
+              "semantics differ")
           val scanBytes = Tables(s, dir, "lineitem")
             .queryExecution.optimizedPlan.stats.sizeInBytes
           if (scanBytes < FunctionsPack.RideThreshold) directForm

@@ -101,6 +101,23 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // REAL resize (round 13, VERDICT r12 item 5): decode the planted
+    // JPEG, AffineTransformOp NEAREST downscale x1/2, census the
+    // RESIZED pixels. The quilt blocks are 8x8-constant and the
+    // factor divides the block edge, so each output pixel samples
+    // inside one source block and the half-size census is exactly
+    // predictable: 4x4 blocks of the same grays — the oracle's
+    // closed-form weights shift from 64/224 (8px blocks) to 16/24
+    // (4px blocks). Any interpolation bleed across blocks, dimension
+    // rounding error, or sampling misalignment shifts weighted_r_sum.
+    "mm_resize_real" -> ((s, dir) => {
+      val planted = Media.plantJpegs(s, Tables(s, dir, "documents"))
+      Media.resizeJpegCensus(s, planted, factor = 2).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"), col("rgb_sum"), col("weighted_r_sum"))
+        .orderBy(col("media_id"))
+    }),
+
     // Feature extraction: payload -> fixed-dim embedding (stub: 8-bin
     // byte histogram, L1-normalized float32). Exploded to scalar rows
     // so the oracle can compare element-wise; the float32 division is
@@ -190,6 +207,28 @@ object MultimodalPack extends QueryPack {
         |  FROM p)
         |SELECT media_id, width, height, 3 AS channels,
         |  CAST(192 * list_sum(grays) AS BIGINT) AS rgb_sum,
+        |  CAST(list_sum(prods) AS BIGINT) AS weighted_r_sum
+        |FROM c ORDER BY media_id""".stripMargin,
+
+    // Half-size census: same grays, 4x4 blocks — per-block pixel
+    // count 16 (rgb factor 48 = 16 px * 3 channels) and weight sum
+    // 16*(16*by*w8 + 4*bx + 1) + 24*(4*w8 + 1).
+    "mm_resize_real" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    3 + doc_id % 4 AS w8, 2 + doc_id % 3 AS h8
+        |  FROM documents),
+        |c AS (
+        |  SELECT media_id, 4 * w8 AS width, 4 * h8 AS height,
+        |    [((((media_id % 1000003) * 31 + i) * 2654435761) >> 16) & 255
+        |     for i in range(0, w8 * h8)] AS grays,
+        |    [(((((media_id % 1000003) * 31 + i) * 2654435761) >> 16) & 255)
+        |       * (16 * (16 * (i // w8) * w8 + 4 * (i % w8) + 1)
+        |          + 24 * (4 * w8 + 1))
+        |     for i in range(0, w8 * h8)] AS prods
+        |  FROM p)
+        |SELECT media_id, width, height, 3 AS channels,
+        |  CAST(48 * list_sum(grays) AS BIGINT) AS rgb_sum,
         |  CAST(list_sum(prods) AS BIGINT) AS weighted_r_sum
         |FROM c ORDER BY media_id""".stripMargin,
 

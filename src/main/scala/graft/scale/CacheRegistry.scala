@@ -41,6 +41,53 @@ object CacheRegistry {
   def trackCheckpointed(dfs: org.apache.spark.sql.DataFrame*): Unit =
     track(new PageRank.CheckpointHandles(dfs.toSeq))
 
+  /** Record raw persisted RDDs (physical operators persisting below
+    * the Dataset layer, e.g. plans/RunningSumExec's sorted child). */
+  def trackRdd(rdds: org.apache.spark.rdd.RDD[_]*): Unit =
+    track(new PageRank.RddHandles(rdds.toSeq))
+
+  // ---- execution-scoped RDD release (physical-operator persists) ----
+  //
+  // A SparkPlan's doExecute CANNOT use the thread-local ledger: under
+  // AQE (Spark 4 wraps the final plan in a ResultQueryStageExec) it
+  // runs on an AQE materialization-pool thread, so a thread-local
+  // deposit lands where no harness ever drains (caught by
+  // RunningSumRideSpec r13). Instead, release at SQL-EXECUTION END:
+  // the persist is keyed by the execution id doExecute runs under
+  // (propagated to the AQE pool), and a context listener unpersists
+  // when that execution's SparkListenerSQLExecutionEnd arrives —
+  // deterministic, per-query, and safe under Verify's concurrent dump
+  // pool (each execution releases only its own RDDs).
+
+  private val pendingRdds = new java.util.concurrent.ConcurrentHashMap[
+    Long, List[org.apache.spark.rdd.RDD[_]]]()
+  private val listenerInstalled =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  /** Unpersist `rdd` when the CURRENT SQL execution ends. Falls back
+    * to the thread-local ledger when called outside any SQL execution
+    * (raw RDD actions — the caller's drain() still reaches it). */
+  def releaseOnExecutionEnd(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    val sc = rdd.sparkContext
+    val idStr = sc.getLocalProperty(
+      org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY)
+    if (idStr == null) { trackRdd(rdd); return }
+    if (listenerInstalled.add(sc.applicationId)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          event match {
+            case e: org.apache.spark.sql.execution.ui
+                .SparkListenerSQLExecutionEnd =>
+              val rdds = pendingRdds.remove(e.executionId)
+              if (rdds != null) rdds.foreach(_.unpersist(blocking = false))
+            case _ => ()
+          }
+      })
+    }
+    pendingRdds.merge(idStr.toLong, List(rdd), (a, b) => b ::: a)
+  }
+
   /** Release everything tracked on THIS thread since the last drain;
     * returns the handle count (0 = nothing pinned, the common case). */
   def drain(): Int = {

@@ -253,4 +253,13 @@ object PageRank {
     * the harness ledger. */
   final class CheckpointHandles(dfs: Seq[DataFrame])
       extends CacheHandles(Nil, ckpts = dfs)
+
+  /** Handles for raw persisted RDDs — physical operators
+    * (plans/RunningSumExec) persist below the Dataset layer, where
+    * `DataFrame.unpersist` can't reach. */
+  final class RddHandles(rdds: Seq[org.apache.spark.rdd.RDD[_]])
+      extends CacheHandles(Nil) {
+    override def release(): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
+  }
 }

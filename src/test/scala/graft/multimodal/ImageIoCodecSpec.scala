@@ -54,6 +54,39 @@ class ImageIoCodecSpec extends SparkSpec {
     }
   }
 
+  test("NEAREST half-size resize census matches the closed form, " +
+      "distributed (round 13)") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val out = Media
+      .resizeJpegCensus(spark, Media.plantJpegs(spark, docs), factor = 2)
+      .collect()
+    assert(out.length == 500)
+    out.foreach { c =>
+      val (w8, h8) = (3 + (c.media_id % 4).toInt, 2 + (c.media_id % 3).toInt)
+      assert(c.width == 4 * w8 && c.height == 4 * h8 && c.channels == 3,
+        s"media_id=${c.media_id}: resized dims ${c.width}x${c.height}")
+      val grays = (0 until w8 * h8).map(Media.Plant.grayOf(c.media_id, _))
+      assert(c.rgb_sum == 48L * grays.sum,
+        s"media_id=${c.media_id}: rgb_sum ${c.rgb_sum} != ${48L * grays.sum}")
+      // 4x4 output blocks: weight sum per block is
+      // 16*(16*by*w8 + 4*bx + 1) + 24*(4*w8 + 1)
+      val wsum = grays.zipWithIndex.map { case (g, i) =>
+        g.toLong * (16L * (16L * (i / w8) * w8 + 4L * (i % w8) + 1L)
+          + 24L * (4L * w8 + 1L))
+      }.sum
+      assert(c.weighted_r_sum == wsum,
+        s"media_id=${c.media_id}: weighted_r_sum ${c.weighted_r_sum} != $wsum")
+    }
+  }
+
+  test("resize factor must divide the JPEG block edge and the dims") {
+    val payload = Media.ImageIoCodec.encodeQuilt(7L)
+    val e = intercept[IllegalArgumentException] {
+      Media.ImageIoCodec.resizeCensusOf(7L, payload, 3)
+    }
+    assert(e.getMessage.contains("factor"))
+  }
+
   test("undecodable payload fails loudly with the media id") {
     import spark.implicits._
     val bad = Seq(Media.MediaRow(42L, "image", Array[Byte](1, 2, 3))).toDS()

@@ -139,4 +139,94 @@ class RunningSumRideSpec extends SparkSpec {
     // and the values still match the direct window through that plan
     out.count() // force execution through the adaptive plan
   }
+
+  private def collectExec(df: org.apache.spark.sql.DataFrame)
+      : Seq[RunningSumExec] =
+    graft.PlanWalk.collect(df.queryExecution.executedPlan) {
+      case e: RunningSumExec => e
+    }
+
+  test("driver harvest is bounded at 2/partition on a HIGH-cardinality " +
+      "partition column (VERDICT r12 item 1)") {
+    // 50,000 distinct part keys over 100,000 rows: the r12 harvest
+    // collected one entry PER RUN (50k rows to the driver); the
+    // boundary-runs harvest ships at most first+last per partition —
+    // ≤ 2 × #partitions regardless of |p|. Correctness oracle: each
+    // key has 2 rows (x = 1 then x = 3), so the running sum per key
+    // is exactly (1, 4) in order.
+    val df = (0L until 100000L)
+      .map(i => (i % 50000, i / 50000, if (i / 50000 == 0) 1L else 3L))
+      .toDF("p", "k", "x").repartition(11)
+    val out = RunningSumRide.withRunningSumSorted(spark, df,
+      Seq($"p"), Seq($"k"), $"x", "rs")
+    // execute THIS queryExecution (count()/filter() would re-plan a
+    // fresh exec instance whose metrics are not the ones read below)
+    assert(out.queryExecution.toRdd.count() == 100000)
+    val bad = out.filter(
+      !(($"k" === 0 && $"rs" === 1) || ($"k" === 1 && $"rs" === 4)))
+    assert(bad.isEmpty,
+      s"high-cardinality values wrong: ${bad.take(5).mkString(", ")}")
+    val execs = collectExec(out)
+    assert(execs.size == 1)
+    val harvested = execs.head.metrics("boundaryRuns").value
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    assert(harvested > 0 && harvested <= 2L * nParts,
+      s"pass-1 harvest must be ≤ 2 × $nParts partitions, collected " +
+        s"$harvested entries — the boundary-runs bound regressed")
+    graft.scale.CacheRegistry.drain()
+  }
+
+  test("the persisted child is released at SQL-execution end: zero " +
+      "retained blocks after the action (VERDICT r12 item 2)") {
+    // Thread-local ledger deposits CANNOT work from doExecute — under
+    // AQE it runs on a materialization-pool thread (this spec caught
+    // that on the first trackRdd draft). The exec instead keys the
+    // unpersist on its execution id; SparkListenerSQLExecutionEnd is
+    // async on the listener bus, so poll briefly.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = (1L to 3000L).map(i => (s"P${i % 4}", i, i % 2))
+      .toDF("p", "k", "x").repartition(5)
+    val out = RunningSumRide.withRunningSumSorted(spark, df,
+      Seq($"p"), Seq($"k"), $"x", "rs")
+    assert(out.count() == 3000) // Dataset action => SQL execution scope
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leftover.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    }
+    assert(leftover.isEmpty,
+      s"persisted child RDD(s) $leftover survived 15 s past the " +
+        "query's SQL-execution end — the CacheRegistry release hook " +
+        "did not fire")
+  }
+
+  test("a nullable value expression is REJECTED, not silently 0-mapped") {
+    // the exec's NULL-contributes-0 contract diverges from SQL window
+    // SUM; the API checks nullability so an adaptive direct/ride
+    // switch can never return tier-dependent results (ADVICE r12)
+    val df = Seq(("A", 1L, Some(1L)), ("A", 2L, None))
+      .toDF("p", "k", "x")
+    val e = intercept[IllegalArgumentException] {
+      RunningSumRide.withRunningSumSorted(spark, df,
+        Seq($"p"), Seq($"k"), $"x", "rs")
+    }
+    assert(e.getMessage.contains("nullable"))
+  }
+
+  test("boundary continuation chains through single-run partitions") {
+    // one part key spanning MANY partitions exercises the driver's
+    // carry accumulation across consecutive single-run partitions —
+    // the path where first == last and the carry must ADD, not reset
+    val rows = (1L to 20000L).map(i => ("only", i, 1L)) ++
+      (1L to 5L).map(i => ("tail", i, 10L))
+    val df = rows.toDF("p", "k", "x").repartition(13)
+    val out = RunningSumRide.withRunningSumSorted(spark, df,
+      Seq($"p"), Seq($"k"), $"x", "rs")
+    val tops = out.groupBy($"p").agg(max($"rs").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tops == Map("only" -> 20000L, "tail" -> 50L),
+      s"carry chain broke: $tops")
+    graft.scale.CacheRegistry.drain()
+  }
 }

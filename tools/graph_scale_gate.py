@@ -117,8 +117,11 @@ def main():
 
     dump = glob.glob(f"{dump_dir}/g_sssp_hops/*.parquet")
     assert dump, f"no g_sssp_hops dump under {dump_dir}"
+    # read the WHOLE dump dir (ADVICE r12): a multi-part dump read via
+    # dump[0] alone would drop histogram rows from the comparison
     got = dict(con.execute(
-        f"SELECT hops, n FROM read_parquet('{dump[0]}')").fetchall())
+        "SELECT hops, n FROM read_parquet("
+        f"'{dump_dir}/g_sssp_hops/*.parquet')").fetchall())
     for h in sorted(set(want) | set(got)):
         check(f"hops_{h}", got.get(h), want.get(h))
     print(f"# guards {g_secs:.1f}s, base sssp {o_secs:.1f}s "

@@ -10,7 +10,7 @@ drift shows up as a FAIL row.
 Usage: python3 tools/imdb_scale_census.py <bigDir> <censusParquet>
 Dev/gate tool only — not part of the shipped library.
 """
-import sys, json, glob
+import sys, json, glob, os
 
 
 def main():
@@ -104,9 +104,12 @@ def main():
     want["n_pred_distinct"] = n_test  # replica ids are planted-unique
 
     # --- compare against the Spark census -------------------------------
-    dumps = sorted(glob.glob(f"{census_parquet}/*.parquet")) or [census_parquet]
+    # read the WHOLE dump dir (ADVICE r12): a multi-part census dump
+    # read via its first part alone would drop metric rows
+    src = (f"{census_parquet}/*.parquet"
+           if os.path.isdir(census_parquet) else census_parquet)
     got = dict(con.execute(
-        f"SELECT metric, value FROM read_parquet('{dumps[0]}')").fetchall())
+        f"SELECT metric, value FROM read_parquet('{src}')").fetchall())
 
     ok = True
     for k in sorted(set(want) | set(got)):
