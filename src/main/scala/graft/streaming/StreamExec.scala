@@ -183,15 +183,28 @@ object StreamExec {
   val lastStateOps =
     new java.util.concurrent.atomic.AtomicReference[Seq[(String, Long, Set[String])]](Nil)
 
+  /** PER-BATCH state progression of the most recent StreamExecution:
+    * (batchId, operatorName, numRowsTotal, numRowsUpdated,
+    * stateMemoryBytes) per stateful operator per micro-batch — the
+    * observability the sf10 state-scale gate records (r13): state
+    * growth across batches, not just the final max. */
+  val lastBatchProgress = new java.util.concurrent.atomic.AtomicReference[
+    Seq[(Long, String, Long, Long, Long)]](Nil)
+
   private def awaitAndRecord(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     q.awaitTermination()
-    lastStateOps.set(q.recentProgress.toSeq
+    val progress = q.recentProgress.toSeq
+    lastStateOps.set(progress
       .flatMap(_.stateOperators.toSeq)
       .groupBy(_.operatorName)
       .map { case (op, ps) =>
         (op, ps.map(_.numRowsTotal).max,
           ps.flatMap(_.customMetrics.keySet.toArray.map(_.toString)).toSet)
       }.toSeq)
+    lastBatchProgress.set(progress.flatMap(p =>
+      p.stateOperators.toSeq.map(so =>
+        (p.batchId, so.operatorName, so.numRowsTotal, so.numRowsUpdated,
+          so.memoryUsedBytes))))
   }
 
   /** Hourly tumbling counts computed BY A STREAM: the unified

@@ -19,11 +19,51 @@ Premise guards run ON THE BIG CORPUS inside DuckDB (all linear):
   - replica multiplicity: distinct custkey/suppkey exactly N x base;
   - the global min customer key equals the base min (source in copy 0).
 
+Round 13 adds a PAGERANK mode (VERDICT r12 item 4): the micro-rank
+teleport term is a CONSTANT 150000 per node (not 1/N_total), so each
+disjoint copy's ranks are EXACTLY the base graph's ranks — the xN
+top-20 is therefore the top 20 of (full base ranks) x (N copies) with
+node keys mapped by ScaleUp's per-domain offsets (customer node n ->
+n + copy*2*base_cust; supplier node n -> n + copy*2*base_supp) and
+the query's (rank DESC, node ASC) tie-break. DuckDB computes full
+base ranks with the same 5-round integer unroll as the sf0.01 oracle,
+expands, and the prediction must equal the Spark dump row-for-row.
+
 Usage: python3 tools/graph_scale_gate.py <bigDir> <refDir> <factor>
-         <sparkDumpDir>   # dumpDir holds g_sssp_hops/*.parquet
+         <sparkDumpDir> [mode]   # mode: sssp (default) | pagerank
+         # dumpDir holds g_sssp_hops/*.parquet or g_pagerank/*.parquet
 Dev/gate tool only — not part of the shipped library.
 """
 import sys, glob, os, time
+
+PAGERANK_BASE = """
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+  FROM ref_orders JOIN ref_lineitem ON o_orderkey = l_orderkey),
+ed AS MATERIALIZED (
+  SELECT c * 2 AS src, sp * 2 + 1 AS dst FROM pairs
+  UNION
+  SELECT sp * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+od AS MATERIALIZED (SELECT src, count(*) AS od FROM ed GROUP BY 1),
+e AS MATERIALIZED (SELECT ed.src, ed.dst, od.od FROM ed JOIN od ON od.src = ed.src),
+r0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS rank FROM ed),
+r1 AS MATERIALIZED (
+  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
+  FROM e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+r2 AS MATERIALIZED (
+  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
+  FROM e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+r3 AS MATERIALIZED (
+  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
+  FROM e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+r4 AS MATERIALIZED (
+  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
+  FROM e JOIN r3 r ON r.node = e.src GROUP BY e.dst),
+r5 AS MATERIALIZED (
+  SELECT e.dst AS node, 150000 + (850 * sum(r.rank // e.od)) // 1000 AS rank
+  FROM e JOIN r4 r ON r.node = e.src GROUP BY e.dst)
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r5
+"""
 
 SSSP_BASE = """
 WITH pairs AS MATERIALIZED (
@@ -65,6 +105,7 @@ def views(con, d, prefix):
 
 def main():
     big_dir, ref_dir, factor_s, dump_dir = sys.argv[1:5]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "sssp"
     factor = int(factor_s)
     import duckdb
     con = duckdb.connect()
@@ -107,6 +148,44 @@ def main():
           con.execute("SELECT min(o_custkey) FROM big_orders").fetchone()[0],
           con.execute("SELECT min(o_custkey) FROM ref_orders").fetchone()[0])
     g_secs = time.time() - t0
+
+    if mode == "pagerank":
+        # isomorphism premise: distinct purchase PAIRS exactly N x base
+        # (edge structure per copy identical to the base graph)
+        t0 = time.time()
+        nb = con.execute("""SELECT count(*) FROM (SELECT DISTINCT
+            o_custkey, l_suppkey FROM big_orders JOIN big_lineitem
+            ON o_orderkey = l_orderkey)""").fetchone()[0]
+        nr = con.execute("""SELECT count(*) FROM (SELECT DISTINCT
+            o_custkey, l_suppkey FROM ref_orders JOIN ref_lineitem
+            ON o_orderkey = l_orderkey)""").fetchone()[0]
+        check("guard_distinct_pairs", nb, factor * nr)
+        base_ranks = con.execute(PAGERANK_BASE).fetchall()
+        con.execute("CREATE TABLE base_ranks(node BIGINT, rank BIGINT)")
+        con.executemany("INSERT INTO base_ranks VALUES (?, ?)", base_ranks)
+        want_rows = con.execute(f"""
+            SELECT CASE WHEN node % 2 = 0
+                        THEN node + copy * (2 * {base_cust})
+                        ELSE node + copy * (2 * {base_supp}) END AS node,
+                   rank
+            FROM base_ranks CROSS JOIN (SELECT unnest(range({factor}))
+                                        AS copy)
+            ORDER BY rank DESC, node LIMIT 20""").fetchall()
+        o_secs = time.time() - t0
+        dump = glob.glob(f"{dump_dir}/g_pagerank/*.parquet")
+        assert dump, f"no g_pagerank dump under {dump_dir}"
+        got_rows = con.execute(
+            "SELECT node, rank, is_supplier FROM read_parquet("
+            f"'{dump_dir}/g_pagerank/*.parquet') "
+            "ORDER BY rank DESC, node").fetchall()
+        check("top20_rows", len(got_rows), 20)
+        for i, (wn, wr) in enumerate(want_rows):
+            g = got_rows[i] if i < len(got_rows) else None
+            check(f"rank_{i}", g, (wn, wr, wn % 2 == 1))
+        print(f"# guards {g_secs:.1f}s incl. pairs-multiplicity, base "
+              f"pagerank+expand in guards time (ref={ref_dir}, "
+              f"factor={factor})")
+        sys.exit(0 if ok else 1)
 
     t0 = time.time()
     base = dict(con.execute(SSSP_BASE).fetchall())
