@@ -834,7 +834,12 @@ object RelationalPack extends QueryPack {
     // through scale/GlobalRank so the repo-wide no-unpartitioned-window
     // invariant holds with an EMPTY allowlist (a high-cardinality
     // categorical — user ids, URLs — would silently funnel one task
-    // otherwise).
+    // otherwise). DELIBERATELY kept on the two-level scheme when
+    // t_vocab/g_histogram_eqdepth moved to the ride exec (r13): on a
+    // dimension-sized vocabulary the two forms cost the same (the
+    // sketch passes scan ~5 rows), and this row keeps scale/GlobalRank
+    // itself on the oracle-gated surface — switching it too would
+    // leave the two-level path with no gated consumer.
     "m1_freq_index" -> ((s, dir) => {
       val counts = t(s, dir, "customer")
         .groupBy(col("c_mktsegment"))
