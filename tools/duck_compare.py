@@ -51,7 +51,11 @@ def run(sf_dir, dump_dir, name, q, hashsum=False):
     dump = glob.glob(f"{dump_dir}/{name}/*.parquet")
     assert dump, f"no parquet dump under {dump_dir}/{name}"
     t0 = time.time()
-    con.execute(f"CREATE VIEW spark_side AS SELECT * FROM read_parquet('{dump[0]}')")
+    # read the WHOLE dump dir (the ADVICE r12 dump[0] class): Verify
+    # coalesce(1)s today, but a first-part-only read would silently
+    # drop rows from any future multi-part dump
+    con.execute(f"CREATE VIEW spark_side AS SELECT * FROM "
+                f"read_parquet('{dump_dir}/{name}/*.parquet')")
     if hashsum:
         cols = [r[0] for r in con.execute(
             "DESCRIBE spark_side").fetchall()]
