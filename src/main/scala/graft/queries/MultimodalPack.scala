@@ -118,6 +118,22 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // REAL embedding (round 13, the last stubbed-codec residue):
+    // decode the planted JPEG, 16-bin gray-INTENSITY histogram of the
+    // DECODED pixels — the classic image descriptor, the real twin of
+    // mm_embed's byte-histogram stub. Block-constant quilts make
+    // every count closed-form (64 pixels per 8x8 block, bucket =
+    // gray >> 4), so the oracle predicts all 16 counts per doc from
+    // the planted grays; integer counts, no float compare. Any decode
+    // drift, channel reorder, or bucketing error shifts a count.
+    "mm_embed_real" -> ((s, dir) => {
+      val planted = Media.plantJpegs(s, Tables(s, dir, "documents"))
+      Media.embedGrayHistogram(s, planted, bins = 16)
+        .select(col("media_id"),
+          posexplode(col("embedding")).as(Seq("bucket", "cnt")))
+        .orderBy(col("media_id"), col("bucket"))
+    }),
+
     // Feature extraction: payload -> fixed-dim embedding (stub: 8-bin
     // byte histogram, L1-normalized float32). Exploded to scalar rows
     // so the oracle can compare element-wise; the float32 division is
@@ -231,6 +247,25 @@ object MultimodalPack extends QueryPack {
         |  CAST(48 * list_sum(grays) AS BIGINT) AS rgb_sum,
         |  CAST(list_sum(prods) AS BIGINT) AS weighted_r_sum
         |FROM c ORDER BY media_id""".stripMargin,
+
+    // Gray-histogram embedding from the planted grays: bucket b holds
+    // 64 pixels per quilt block whose gray (the same planted-PRNG
+    // expression as mm_decode_real's oracle) integer-divides to b.
+    "mm_embed_real" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    3 + doc_id % 4 AS w8, 2 + doc_id % 3 AS h8
+        |  FROM documents),
+        |c AS (
+        |  SELECT media_id,
+        |    [((((media_id % 1000003) * 31 + i) * 2654435761) >> 16) & 255
+        |     for i in range(0, w8 * h8)] AS grays
+        |  FROM p)
+        |SELECT media_id, CAST(b AS INT) AS bucket,
+        |  CAST(64 * len(list_filter(grays, g -> g // 16 = b)) AS BIGINT)
+        |    AS cnt
+        |FROM c, range(0, 16) t(b)
+        |ORDER BY media_id, bucket""".stripMargin,
 
     // ASCII fixture: unicode(char) == byte value, so the byte
     // histogram is a char histogram; REAL division replays Spark's

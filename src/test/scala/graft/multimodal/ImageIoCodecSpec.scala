@@ -79,6 +79,36 @@ class ImageIoCodecSpec extends SparkSpec {
     }
   }
 
+  test("gray-histogram embedding matches the closed form, distributed " +
+      "(round 13)") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val out = Media
+      .embedGrayHistogram(spark, Media.plantJpegs(spark, docs), bins = 16)
+      .collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val hist = r.getSeq[Long](1)
+      val (w8, h8) = (3 + (id % 4).toInt, 2 + (id % 3).toInt)
+      assert(hist.length == 16 && hist.sum == 64L * w8 * h8,
+        s"media_id=$id: histogram mass ${hist.sum} != ${64L * w8 * h8}")
+      val expected = (0 until w8 * h8)
+        .map(Media.Plant.grayOf(id, _) / 16)
+        .groupBy(identity).view.mapValues(_.size * 64L).toMap
+      for (b <- 0 until 16)
+        assert(hist(b) == expected.getOrElse(b, 0L),
+          s"media_id=$id bucket $b: ${hist(b)} != ${expected.getOrElse(b, 0L)}")
+    }
+  }
+
+  test("embedding bin count must divide the gray range") {
+    val payload = Media.ImageIoCodec.encodeQuilt(7L)
+    val e = intercept[IllegalArgumentException] {
+      Media.ImageIoCodec.grayHistogramOf(7L, payload, 5)
+    }
+    assert(e.getMessage.contains("bins"))
+  }
+
   test("resize factor must divide the JPEG block edge and the dims") {
     val payload = Media.ImageIoCodec.encodeQuilt(7L)
     val e = intercept[IllegalArgumentException] {
