@@ -293,7 +293,16 @@ object Media {
       while (y < img.getHeight) {
         var x = 0
         while (x < img.getWidth) {
-          hist(((img.getRGB(x, y) >> 16) & 0xff) / bucketWidth) += 1L
+          // True Rec.601 integer luma, not a single channel: the
+          // weights sum to 1000, so on the planted r=g=b quilts
+          // luma == the channel value and the closed-form oracle is
+          // unchanged — but on non-grayscale input this is a real
+          // gray-intensity histogram, not a red-channel one
+          // (ADVICE r13).
+          val rgb = img.getRGB(x, y)
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff) + 500) / 1000
+          hist(luma / bucketWidth) += 1L
           x += 1
         }
         y += 1

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalPack extends QueryPack {
 
+  /** Single source of truth for mm_embed_real's histogram bin count —
+    * the Spark query passes it to `embedGrayHistogram` and the oracle
+    * SQL interpolates both the `range(0, N)` bucket domain and the
+    * `g // (256/N)` bucket width from it (ADVICE r13: the two sides
+    * used to carry independent literals). */
+  private val EmbedRealBins = 16
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary decode through mapPartitions batching (the vectorized-UDF
     // shape). Output is typed features per media row.
@@ -128,7 +135,7 @@ object MultimodalPack extends QueryPack {
     // drift, channel reorder, or bucketing error shifts a count.
     "mm_embed_real" -> ((s, dir) => {
       val planted = Media.plantJpegs(s, Tables(s, dir, "documents"))
-      Media.embedGrayHistogram(s, planted, bins = 16)
+      Media.embedGrayHistogram(s, planted, bins = EmbedRealBins)
         .select(col("media_id"),
           posexplode(col("embedding")).as(Seq("bucket", "cnt")))
         .orderBy(col("media_id"), col("bucket"))
@@ -251,8 +258,11 @@ object MultimodalPack extends QueryPack {
     // Gray-histogram embedding from the planted grays: bucket b holds
     // 64 pixels per quilt block whose gray (the same planted-PRNG
     // expression as mm_decode_real's oracle) integer-divides to b.
+    // Bin count and bucket width interpolate from EmbedRealBins — the
+    // SAME constant the Spark side passes — so the two can't desync
+    // silently (ADVICE r13).
     "mm_embed_real" ->
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT doc_id AS media_id,
         |    3 + doc_id % 4 AS w8, 2 + doc_id % 3 AS h8
         |  FROM documents),
@@ -262,9 +272,9 @@ object MultimodalPack extends QueryPack {
         |     for i in range(0, w8 * h8)] AS grays
         |  FROM p)
         |SELECT media_id, CAST(b AS INT) AS bucket,
-        |  CAST(64 * len(list_filter(grays, g -> g // 16 = b)) AS BIGINT)
+        |  CAST(64 * len(list_filter(grays, g -> g // ${256 / EmbedRealBins} = b)) AS BIGINT)
         |    AS cnt
-        |FROM c, range(0, 16) t(b)
+        |FROM c, range(0, $EmbedRealBins) t(b)
         |ORDER BY media_id, bucket""".stripMargin,
 
     // ASCII fixture: unicode(char) == byte value, so the byte

@@ -113,17 +113,49 @@ object StreamExec {
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Path]()
 
+  /** Number of time-range data slices the staged dir is cut into —
+    * i.e. the number of DATA micro-batches each stream-exec row
+    * replays. Default 2 (the historical gate shape). The watermark
+    * only advances BETWEEN batches, so a stateful operator's peak
+    * state is bounded below by one batch's ingest: at sf10 the 2-slice
+    * staging makes st_join's peak a structural 10M rows (half-corpus
+    * per side) no matter how well eviction works. The sf10 state-bound
+    * gate raises this (SPARK_GRAFT_STREAM_SLICES=16) to show peak
+    * state scales with BATCH GRANULARITY + watermark window, not
+    * stream length — the contract a 100 TB deployment relies on, where
+    * a micro-batch is seconds of ingest, not half the corpus. */
+  private def streamSlices: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_SLICES", "2")
+    val n = try raw.toInt catch {
+      case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_STREAM_SLICES must be an int, got '$raw'")
+    }
+    require(n >= 1 && n <= 4096,
+      s"SPARK_GRAFT_STREAM_SLICES must be in [1, 4096], got $n")
+    n
+  }
+
   private def stagedDir(s: SparkSession, sfDir: String): Path = {
     stagedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     stagedCache.computeIfAbsent((s, sfDir), _ => {
       val ev = Tables.events(s, sfDir) // normalized TimestampType
       val (minTs, maxTs) = tsRange(s, sfDir)
-      val midUs = (us(minTs) + us(maxTs)) / 2
+      val k = streamSlices
+      val (lo, hi) = (us(minTs), us(maxTs))
       val st = new SliceStager("stream")
-      st.writeSlice(ev.filter(unix_micros(col("ts")) < midUs), 0)
-      st.writeSlice(ev.filter(unix_micros(col("ts")) >= midUs), 1)
-      st.sentinel(ev, maxTs, 2, 365)
-      st.sentinel(ev, maxTs, 3, 730)
+      // k equal event-time intervals; slice i = [cut(i), cut(i+1)),
+      // last cut at hi+1 so maxTs lands inside the final slice. Same
+      // mechanism as the historical 2-slice midpoint split (k=2 is
+      // the equivalent staging, one-microsecond boundary rounding
+      // aside — any time-ordered split is a valid staging).
+      val cuts = (0 to k).map(i => lo + (hi + 1 - lo) * i.toLong / k)
+      (0 until k).foreach { i =>
+        st.writeSlice(ev.filter(
+          unix_micros(col("ts")) >= cuts(i) &&
+            unix_micros(col("ts")) < cuts(i + 1)), i)
+      }
+      st.sentinel(ev, maxTs, k, 365)
+      st.sentinel(ev, maxTs, k + 1, 730)
       st.streamDir
     })
   }
@@ -185,11 +217,13 @@ object StreamExec {
 
   /** PER-BATCH state progression of the most recent StreamExecution:
     * (batchId, operatorName, numRowsTotal, numRowsUpdated,
-    * stateMemoryBytes) per stateful operator per micro-batch — the
-    * observability the sf10 state-scale gate records (r13): state
-    * growth across batches, not just the final max. */
+    * numRowsRemoved, stateMemoryBytes) per stateful operator per
+    * micro-batch — the observability the sf10 state-scale gate records
+    * (r13): state growth across batches, not just the final max.
+    * numRowsRemoved (r14) is the direct eviction evidence the st_join
+    * state-bound gate cites — rows the watermark deleted this batch. */
   val lastBatchProgress = new java.util.concurrent.atomic.AtomicReference[
-    Seq[(Long, String, Long, Long, Long)]](Nil)
+    Seq[(Long, String, Long, Long, Long, Long)]](Nil)
 
   private def awaitAndRecord(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     q.awaitTermination()
@@ -204,7 +238,7 @@ object StreamExec {
     lastBatchProgress.set(progress.flatMap(p =>
       p.stateOperators.toSeq.map(so =>
         (p.batchId, so.operatorName, so.numRowsTotal, so.numRowsUpdated,
-          so.memoryUsedBytes))))
+          so.numRowsRemoved, so.memoryUsedBytes))))
   }
 
   /** Hourly tumbling counts computed BY A STREAM: the unified

@@ -42,9 +42,9 @@ object StreamStateProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"== $name: $n rows, $secs%.1f s")
       graft.streaming.StreamExec.lastBatchProgress.get().foreach {
-        case (batch, op, total, updated, mem) =>
+        case (batch, op, total, updated, removed, mem) =>
           println(f"   batch=$batch op=$op rowsTotal=$total " +
-            f"rowsUpdated=$updated stateMemBytes=$mem")
+            f"rowsUpdated=$updated rowsRemoved=$removed stateMemBytes=$mem")
       }
       graft.streaming.StreamExec.lastStateOps.get().foreach {
         case (op, _, keys) =>
