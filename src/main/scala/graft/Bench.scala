@@ -26,6 +26,49 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     } catch { case _: Throwable => }
+    // Host-calibration probes (VERDICT r13 item 3): three fixed
+    // micro-workloads whose cost depends only on the host, so
+    // cross-session bench comparisons can divide out the ambient
+    // speed band (measured swings up to ~5×) instead of adjudicating
+    // it forensically every round. Emitted in the JSON contract line;
+    // bench_compare.py normalizes per-query ratios by the probe ratio
+    // before flagging. min of 3 reps — the stable floor, not the
+    // scheduler-noise mean. probe_scan reads the sf dir's lineitem,
+    // so it is comparable only between equal-sf runs (the driver
+    // benches at one fixed sf per round; BASELINE.md records the sf).
+    def probeMin(reps: Int)(work: () => Unit): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        work()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val probes: Seq[(String, Double)] = Seq(
+      // single-core integer ALU: a fixed 2e8-step xorshift fold on the
+      // driver — pure clock+IPC, no Spark, no allocation
+      "cpu" -> probeMin(3) { () =>
+        var x = 0x9e3779b97f4a7c15L; var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        // fold the result into a side effect the JIT can't elide
+        if (x == 42L) System.err.println("[bench] probe_cpu sentinel")
+      },
+      // one 32-partition exchange: 20M longs hash-aggregated to 1k
+      // keys — executor threading + shuffle write/read + codegen
+      "shuffle" -> probeMin(3) { () =>
+        spark.range(0L, 20000000L, 1L, 32)
+          .selectExpr("id % 1000 AS k")
+          .groupBy("k").count()
+          .selectExpr("sum(count)").collect()
+        ()
+      },
+      // parquet scan+reduce of the tier's largest table: decode +
+      // predicate-free columnar read (footers already warmed above)
+      "scan" -> probeMin(3) { () =>
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .selectExpr("sum(l_quantity)").collect()
+        ()
+      })
     // Dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1_agg,g_pagerank times just
     // those queries. Unset (the driver's path) runs the full suite.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -73,8 +116,10 @@ object Bench {
     val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val probesJson = probes.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"failed":${failed.size},"failed_names":$failedJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"failed":${failed.size},"failed_names":$failedJson,"probes":$probesJson,"queries":$fullQs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/tmp/graft_bench_full.json")
     try {
@@ -85,7 +130,7 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] full-timings write to $outPath failed: $e")
     }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"failed":${failed.size},"probes":$probesJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

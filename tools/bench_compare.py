@@ -2,8 +2,18 @@
 """Compare two graft.Bench JSON lines (e.g. BENCH_r1.json vs a fresh
 run): per-query delta, regressions beyond a threshold flagged.
 
+Host normalization (round 14): when BOTH lines carry the "probes"
+object ({"cpu":s,"shuffle":s,"scan":s} fixed micro-workloads emitted
+by graft.Bench), per-query ratios are divided by the geometric mean of
+the probe ratios before flagging — cross-session host speed has been
+measured to swing up to ~5x uniformly, and an unnormalized compare
+flags that band as a wall of fake regressions. The raw ratio is still
+printed alongside. Lines without probes (pre-r14) compare raw, as
+before.
+
 Usage: python3 tools/bench_compare.py <baseline.json> <candidate.json> [threshold=1.5]
-Exit 1 if any shared query regressed by more than `threshold`x.
+Exit 1 if any shared query regressed by more than `threshold`x
+(host-normalized when probes are present on both sides).
 """
 import json, sys
 
@@ -12,20 +22,43 @@ def load(p):
         line = next(l for l in f if l.strip().startswith('{'))
     return json.loads(line)
 
+def host_factor(base, cand):
+    """Geometric mean of candidate/baseline probe ratios, or 1.0 when
+    either side lacks probes. The gmean blends single-core (cpu),
+    shuffle, and scan bands — a uniform host slowdown moves all three
+    together, which is exactly the signature that distinguishes it
+    from a code regression (spiky, probe-invariant)."""
+    bp, cp = base.get("probes") or {}, cand.get("probes") or {}
+    shared = [k for k in bp if k in cp and bp[k] > 0 and cp[k] > 0]
+    if not shared:
+        return 1.0, {}
+    ratios = {k: cp[k] / bp[k] for k in shared}
+    prod = 1.0
+    for r in ratios.values():
+        prod *= r
+    return prod ** (1.0 / len(ratios)), ratios
+
 def main(base_p, cand_p, threshold=1.5):
     base, cand = load(base_p), load(cand_p)
     bq, cq = base["queries"], cand["queries"]
+    factor, probe_ratios = host_factor(base, cand)
+    if probe_ratios:
+        pr = " ".join(f"{k}={v:.2f}" for k, v in sorted(probe_ratios.items()))
+        print(f"host probes: {pr} -> normalizing by gmean {factor:.2f}")
     shared = sorted(set(bq) & set(cq), key=lambda k: -cq[k])
     regressions = []
-    print(f"{'query':<30} {'base':>8} {'cand':>8} {'ratio':>7}")
+    print(f"{'query':<30} {'base':>8} {'cand':>8} {'ratio':>7} {'norm':>7}")
     for k in shared:
         ratio = cq[k] / bq[k] if bq[k] > 0 else float("inf")
+        norm = ratio / factor
         mark = ""
-        if cq[k] > 0.5 and ratio > threshold:  # ignore sub-500ms noise
+        if cq[k] > 0.5 and norm > threshold:  # ignore sub-500ms noise
             regressions.append(k)
             mark = "  <-- REGRESSION"
-        print(f"{k:<30} {bq[k]:>8.2f} {cq[k]:>8.2f} {ratio:>7.2f}{mark}")
-    print(f"\ntotal: base {base['value']:.1f}s -> cand {cand['value']:.1f}s")
+        print(f"{k:<30} {bq[k]:>8.2f} {cq[k]:>8.2f} {ratio:>7.2f} {norm:>7.2f}{mark}")
+    print(f"\ntotal: base {base['value']:.1f}s -> cand {cand['value']:.1f}s"
+          + (f" (host-normalized cand ~{cand['value']/factor:.1f}s)"
+             if probe_ratios else ""))
     for k in sorted(set(cq) - set(bq)):
         print(f"new query: {k} ({cq[k]:.2f}s)")
     if regressions:
