@@ -166,7 +166,7 @@ object SimilarityPack extends QueryPack {
         // prior round's blocks die as soon as the new one is live
         // (Checkpoints.free — the round-7 leak fix)
         val prev = sel
-        sel = sel.unionByName(pick).localCheckpoint()
+        sel = graft.scale.Checkpoints.cut(sel.unionByName(pick))
         graft.scale.Checkpoints.free(prev)
       }
       // the FINAL round's checkpoint blocks outlive the action —

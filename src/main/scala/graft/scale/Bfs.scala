@@ -98,7 +98,7 @@ object Bfs {
       dist = dist.unionByName(fresh)
       frontier = fresh
       if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iters) {
-        dist = dist.localCheckpoint()
+        dist = Checkpoints.cut(dist)
         // the PRIOR interval's checkpoint blocks are dead now that a
         // newer one is materialized (Checkpoints scaladoc)
         if (prevCkpt != null) Checkpoints.free(prevCkpt)

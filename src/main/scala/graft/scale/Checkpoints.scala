@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Release the cached blocks behind a `localCheckpoint`ed DataFrame.
   *
@@ -23,6 +23,51 @@ import org.apache.spark.sql.DataFrame
   * loop is the caller's result and must stay alive.
   */
 object Checkpoints {
+
+  /** True when lineage cuts must survive executor loss.
+    *
+    * `localCheckpoint` stores its blocks ON the executors — Spark's
+    * documented contract is that losing any executor holding them
+    * fails the job (the lineage is truncated, so nothing can be
+    * recomputed). Under `local[32]` that's unreachable; under
+    * `local-cluster` it's one kill -9 away, and on a preemptible
+    * 100 TB cluster it makes a 5-round PageRank die on ANY single
+    * node loss (VERDICT r13 item 1). Reliable mode swaps every
+    * iterative lineage cut to `Dataset.checkpoint()` — files on the
+    * checkpoint dir (a shared path locally; HDFS/S3 on a real
+    * cluster), which survive executor death and feed task retries.
+    * Off by default: local blocks are cheaper and every gate tier
+    * below the fault gate doesn't kill executors.
+    *
+    * Enable with spark conf `spark.graft.checkpoint.reliable=true`
+    * (per-session) or env `SPARK_GRAFT_RELIABLE_CKPT=1` (harness).
+    * `SPARK_GRAFT_CKPT_DIR` overrides the checkpoint-file location
+    * (default: a TempDirs path, deleted at JVM exit). */
+  def reliableMode(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.checkpoint.reliable")
+      .orElse(sys.env.get("SPARK_GRAFT_RELIABLE_CKPT"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+  private val ckptDirLock = new Object
+
+  private def ensureCheckpointDir(s: SparkSession): Unit =
+    ckptDirLock.synchronized {
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(
+          sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR",
+            graft.io.TempDirs.create("graft_reliable_ckpt_")))
+    }
+
+  /** THE lineage cut every iterative operator routes through: eager
+    * localCheckpoint by default (blocks on executors, cheapest), an
+    * eager RELIABLE checkpoint when [[reliableMode]] is on (files,
+    * survives executor loss). Both shapes return a LogicalRDD-rooted
+    * frame that [[free]] can release. */
+  def cut(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (reliableMode(s)) { ensureCheckpointDir(s); df.checkpoint() }
+    else df.localCheckpoint()
+  }
 
   // Unpersisting a locally-checkpointed RDD logs a per-RDD WARN
   // ("lineage has been truncated and cannot be recomputed") — a real
@@ -49,6 +94,20 @@ object Checkpoints {
   private val freeLock = new Object
 
   def free(df: DataFrame): Unit = df.queryExecution.logical match {
+    case l: org.apache.spark.sql.execution.LogicalRDD
+        if l.rdd.getCheckpointFile.isDefined =>
+      // RELIABLE checkpoint: the frame's truth is files, not blocks —
+      // delete its rdd-<id> dir so a long harness session doesn't
+      // accumulate one dead snapshot per round of every iterative
+      // query on disk (the file twin of the r7 BlockManager leak).
+      val p = new org.apache.hadoop.fs.Path(l.rdd.getCheckpointFile.get)
+      try p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      catch { case scala.util.control.NonFatal(e) =>
+        // TempDirs reaps the whole dir at JVM exit anyway — log, don't
+        // fail the query over cleanup
+        System.err.println(s"[checkpoints] reliable-ckpt cleanup of $p failed: $e")
+      }
     case l: org.apache.spark.sql.execution.LogicalRDD =>
       freeLock.synchronized {
         val ctx = org.apache.logging.log4j.LogManager.getContext(false)

@@ -202,15 +202,13 @@ object ConnectedComponents {
     // left lazy it would re-derive the whole input construction (for
     // runAdaptive: the full-edge contraction joins over an unpersisted
     // sym) a second time at action time
-    val nodes = e0.select(col("s").as("node"))
-      .union(e0.select(col("d").as("node"))).distinct()
-      .localCheckpoint()
+    val nodes = Checkpoints.cut(e0.select(col("s").as("node"))
+      .union(e0.select(col("d").as("node"))).distinct())
     // canonical (hi, lo), hi > lo; self-loops carry no connectivity
-    var e = e0.filter(col("s") =!= col("d"))
+    var e = Checkpoints.cut(e0.filter(col("s") =!= col("d"))
       .select(greatest(col("s"), col("d")).as("hi"),
         least(col("s"), col("d")).as("lo"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var prevSum = Long.MinValue
     var prevSum2 = Long.MinValue
     var prevCnt = -1L
@@ -295,9 +293,8 @@ object ConnectedComponents {
       : (DataFrame, java.math.BigDecimal) = {
     val obs = new org.apache.spark.sql.Observation(
       s"cc_round_${obsId.incrementAndGet()}")
-    val out = df
-      .observe(obs, sum(col("component").cast("decimal(38,0)")).as("cs"))
-      .localCheckpoint() // eager: materializes + truncates lineage
+    val out = Checkpoints.cut(df
+      .observe(obs, sum(col("component").cast("decimal(38,0)")).as("cs"))) // eager: materializes + truncates lineage
     // an EMPTY label frame (edgeless input) sums to SQL NULL — the
     // old long version silently unboxed that to 0; make it explicit
     (out, Option(obs.get("cs").asInstanceOf[java.math.BigDecimal])
@@ -322,10 +319,9 @@ object ConnectedComponents {
     // per-edge hashes reduced mod ~2^30 primes BEFORE summing: each
     // sum stays inside int64 to ~8.6e9 edges (raw xxhash64 sums
     // overflow under ANSI at two rows)
-    val out = df.observe(obs, count(lit(1)).as("n"),
+    val out = Checkpoints.cut(df.observe(obs, count(lit(1)).as("n"),
         sum(pmod(xxhash64(col("hi"), col("lo")), lit(1073741789L))).as("hs"),
-        sum(pmod(xxhash64(col("lo"), col("hi")), lit(1073741783L))).as("hs2"))
-      .localCheckpoint()
+        sum(pmod(xxhash64(col("lo"), col("hi")), lit(1073741783L))).as("hs2")))
     // an empty edge set (fully contracted round) sums BOTH terms to
     // SQL NULL — guard each explicitly rather than ride Scala's
     // silent unboxToLong(null) == 0 quirk

@@ -73,8 +73,7 @@ object KCore {
   private def checkpointWithCount(df: DataFrame): (DataFrame, Long) = {
     val obs = new org.apache.spark.sql.Observation(
       s"kcore_round_${obsId.incrementAndGet()}")
-    val out = df.observe(obs, count(lit(1)).as("n"))
-      .localCheckpoint() // eager: materializes + truncates lineage
+    val out = Checkpoints.cut(df.observe(obs, count(lit(1)).as("n"))) // eager: materializes + truncates lineage
     (out, obs.get("n").asInstanceOf[Long])
   }
 }

@@ -155,7 +155,7 @@ object PageRank {
         .agg((lit(150000L) + expr("(850 * sum(c)) div 1000")).as("rank"))
       ranks = if (hasNoInflow) received.unionByName(noInflow) else received
       if (checkpointInterval > 0 && i % checkpointInterval == 0 && i < iters) {
-        ranks = ranks.localCheckpoint() // eager: materializes + truncates
+        ranks = Checkpoints.cut(ranks) // eager: materializes + truncates
         // the PRIOR interval's checkpoint blocks are dead now that a
         // newer one is materialized (Checkpoints scaladoc)
         if (prevCkpt != null) Checkpoints.free(prevCkpt)

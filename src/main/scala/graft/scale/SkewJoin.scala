@@ -53,9 +53,20 @@ object SkewJoin {
         .cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
+    // Pin the SHUFFLE path (merge hint): salting exists to spread a
+    // hot key across shuffle partitions — a broadcast join has no
+    // skew problem, so letting Catalyst broadcast the ×salt-amplified
+    // dim buys nothing and AMPLIFIES the build side by the salt
+    // factor. Caught by the r14 fault gate's no-kill baseline: at sf1
+    // under 3×8 GiB executor JVMs Catalyst broadcast the 8×-replicated
+    // orders dim and every executor died in UNABLE_TO_ACQUIRE_MEMORY
+    // deserializing the ~12M-row UnsafeHashedRelation — an OOM class
+    // invisible under local[32]'s one big heap. A dim small enough to
+    // broadcast should use a plain broadcast join, not saltedJoin.
     saltedFact
-      .join(saltedDim, saltedFact(key) === saltedDim(key) &&
-        saltedFact("__salt") === saltedDim("__salt"), joinType)
+      .join(saltedDim.hint("merge"),
+        saltedFact(key) === saltedDim(key) &&
+          saltedFact("__salt") === saltedDim("__salt"), joinType)
       .drop(saltedDim(key)).drop("__salt")
   }
 }
