@@ -43,6 +43,11 @@ object MultimodalPack extends QueryPack {
     }),
 
     // Frame sampling: metadata-driven explode, no decode needed.
+    // Codec scope (SURVEY §2.13, r14): this is the one mm row that
+    // stays stub-only — no video codec exists in the JDK or this
+    // zero-egress container, unlike the image rows whose *_real twins
+    // decode real JPEGs. The gated surface here is the Spark plumbing
+    // (schema, batch shape, stride explode), which is real.
     "mm_frame_sample" -> ((s, dir) => {
       Media.sampleFrames(Media.mediaTable(Tables(s, dir, "documents")), stride = 2)
         .orderBy(col("media_id"), col("frame_no"))
