@@ -59,6 +59,14 @@ object StreamingPack extends QueryPack {
     "st_tumbling_stream_exec" -> ((s, dir) =>
       graft.streaming.StreamExec.tumblingViaStream(s, dir)),
 
+    // Checkpoint-RESTART leg (r14): the same aggregate run as TWO
+    // StreamExecutions — the first stopped after its first committed
+    // batch, the second resumed from the same checkpoint dir — so the
+    // oracle equality proves restart continues state instead of
+    // recounting or resetting.
+    "st_restart_stream_exec" -> ((s, dir) =>
+      graft.streaming.StreamExec.tumblingViaStreamRestart(s, dir)),
+
     "st_sessions_stream_exec" -> ((s, dir) =>
       graft.streaming.StreamExec.sessionsViaStream(s, dir)),
 
@@ -507,6 +515,15 @@ object StreamingPack extends QueryPack {
     // identical oracle as the batch twin — the point: the streamed
     // final state must equal the batch answer exactly
     "st_tumbling_stream_exec" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // restart twin: SAME oracle — stop-and-resume must be invisible
+    // in the final state
+    "st_restart_stream_exec" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS cnt,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)

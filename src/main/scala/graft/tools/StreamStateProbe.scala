@@ -17,7 +17,8 @@ object StreamStateProbe {
   private val StreamRows = Seq(
     "st_tumbling_stream_exec", "st_sessions_stream_exec",
     "st_cdc_stream_exec", "st_dedup_stream_exec",
-    "st_late_drop_stream_exec", "st_join_stream_exec")
+    "st_late_drop_stream_exec", "st_join_stream_exec",
+    "st_restart_stream_exec")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -50,6 +51,10 @@ object StreamStateProbe {
         case (op, _, keys) =>
           val rocks = keys.filter(_.startsWith("rocksdb"))
           println(s"   provider-evidence op=$op rocksdbKeys=${rocks.size}")
+      }
+      if (name == "st_restart_stream_exec") {
+        val (a, b) = graft.streaming.StreamExec.lastRestartBatches.get()
+        println(s"   restart-evidence leg1Batches=$a leg2Batches=$b")
       }
     }
     spark.stop()
