@@ -77,6 +77,11 @@ object FaultGate {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR") // executor-loss WARN spam
+    // same provider switch as Verify: the stream fault legs must run
+    // the 100 TB state backend
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").exists(_.equalsIgnoreCase("rocksdb")))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+
         graft.plans.Top1WindowToMaxBy :+ graft.expr.CollapseAccentFold
