@@ -20,9 +20,16 @@ import org.apache.spark.sql.SparkSession
   *     --class graft.tools.FaultGate <jar> <sfDir> <outDir> <q1,q2,...>
   *
   * Env:
-  *   SPARK_GRAFT_KILL_DELAY_MS  ms after a query STARTS before one
-  *     executor JVM gets SIGKILLed (default 4000; one kill per query;
-  *     skipped if the query finished first — the gate line says so)
+  *   SPARK_GRAFT_KILL_DELAY_MS  ms after a query STARTS before the
+  *     kill fires (default 4000; skipped if the query finished first
+  *     — the gate line says so)
+  *   SPARK_GRAFT_KILL_COUNT     executors SIGKILLed per kill event
+  *     (default 1; 2 = kill two of the three at once, which defeats
+  *     the few-partition survival odds that made d_cluster's leg-C
+  *     survival probabilistic)
+  *   SPARK_GRAFT_KILL_REPEAT_MS repeat the kill event every this many
+  *     ms while the query is still running (default 0 = single kill)
+  *     — the rolling-preemption shape of a spot-instance fleet
   *   SPARK_GRAFT_KILL=0         disable killing (baseline leg)
   *   SPARK_GRAFT_RELIABLE_CKPT=1 reliable-checkpoint leg
   *
@@ -66,6 +73,10 @@ object FaultGate {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     val killDelayMs =
       sys.env.getOrElse("SPARK_GRAFT_KILL_DELAY_MS", "4000").toLong
+    val killCount =
+      sys.env.getOrElse("SPARK_GRAFT_KILL_COUNT", "1").toInt
+    val killRepeatMs =
+      sys.env.getOrElse("SPARK_GRAFT_KILL_REPEAT_MS", "0").toLong
     val killEnabled = sys.env.getOrElse("SPARK_GRAFT_KILL", "1") != "0"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -100,17 +111,26 @@ object FaultGate {
       val killer = new Thread(() => {
         try {
           Thread.sleep(killDelayMs)
-          if (!done.get()) {
-            val pids = executorPids()
-            if (pids.nonEmpty) {
-              val victim = pids.max
-              new ProcessBuilder("kill", "-9", victim.toString)
-                .inheritIO().start().waitFor()
+          var rounds = 0
+          while (!done.get()) {
+            val victims = executorPids().sorted.takeRight(killCount)
+            if (victims.nonEmpty) {
+              victims.foreach { v =>
+                new ProcessBuilder("kill", "-9", v.toString)
+                  .inheritIO().start().waitFor()
+              }
               val atMs = (System.nanoTime() - t0) / 1000000L
-              killNote.set(s"$victim@+${atMs}ms")
-              println(s"[fault-gate] KILLED executor pid=$victim at +${atMs}ms")
-            } else killNote.set("no-executor-found")
-          } else killNote.set("query-finished-first")
+              val note = victims.mkString("+") + s"@+${atMs}ms"
+              killNote.set(
+                if (rounds == 0) note else s"${killNote.get()}, $note")
+              println(s"[fault-gate] KILLED executor pid(s)=" +
+                s"${victims.mkString(",")} at +${atMs}ms")
+            } else if (rounds == 0) killNote.set("no-executor-found")
+            rounds += 1
+            if (killRepeatMs <= 0) return
+            Thread.sleep(killRepeatMs)
+          }
+          if (rounds == 0) killNote.set("query-finished-first")
         } catch { case _: InterruptedException => () }
       }, s"fault-gate-killer-$name")
       if (killEnabled) killer.start()
