@@ -124,9 +124,20 @@ object DedupPack extends QueryPack {
     * be recall-exact (d_semdedup's census) pass <= 15. */
   private[queries] def nibbleBlockCandidates(sigs: DataFrame, idCol: String,
                                     sigCol: String, maxHamming: Int): DataFrame = {
+    // PERSIST the chunk rows (r14 optimization round, guide §1/§2.4):
+    // the block self-join derives BOTH sides from this projection, and
+    // un-persisted each side re-computed the signature expression for
+    // the whole corpus — for d_simhash that is SimHashSig's 64 bit
+    // votes over every shingle hash, twice (JobProbe measured the
+    // fused join job at 2.66 s; the duplicated signature pass was the
+    // bulk). The frame is narrow ((id, sig, chunk, cv) = 24 bytes ×
+    // 16 rows/doc) and is released by the harness's CacheRegistry
+    // drain after the query's action.
     val chunks = sigs.select(col(idCol), col(sigCol), posexplode(expr(
       s"transform(sequence(0, 15), c -> (($sigCol >> (c * 4)) & 15))"))
       .as(Seq("chunk", "cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.scale.CacheRegistry.track(chunks)
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&

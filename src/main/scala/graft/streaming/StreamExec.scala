@@ -79,31 +79,71 @@ object StreamExec {
     private val stage: Path =
       java.nio.file.Paths.get(graft.io.TempDirs.create(s"graft_${prefix}_stage_"))
 
-    def writeSlice(df: DataFrame, k: Int): Unit = {
-      val tmp = stage.resolve(s"w$k")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = Files.list(tmp)
-      val part =
-        try listing.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet written under $tmp"))
-        finally listing.close()
-      val dst = streamDir.resolve(f"b$k%03d.parquet")
+    /** Move one written part file into the stream dir as slice k with
+      * the fixed ascending mtime contract (file source orders by
+      * mtime, so batch order == slice order, deterministically).
+      * `name` distinguishes DATA slices (b…) from SENTINEL files
+      * (s…): consumers that have no watermark can exclude sentinels
+      * with a `b*.parquet` glob (the CDC row — its mapGroupsWithState
+      * uses NoTimeout, so sentinel batches were pure per-batch
+      * machinery cost, measured ~0.7 s each at sf0.1). */
+    private def install(part: Path, k: Int, name: String): Unit = {
+      val dst = streamDir.resolve(f"$name$k%03d.parquet")
       Files.move(part, dst)
-      // fixed ascending mtimes: the file source orders by mtime, so
-      // batch order == slice order, deterministically
       Files.setLastModifiedTime(dst,
         FileTime.fromMillis(1600000000000L + k * 60000L))
     }
 
+    private def onePart(tmp: Path): Option[Path] = {
+      if (!Files.isDirectory(tmp)) return None
+      val listing = Files.list(tmp)
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+      finally listing.close()
+    }
+
+    def writeSlice(df: DataFrame, k: Int, name: String = "b"): Unit = {
+      val tmp = stage.resolve(s"w$k")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      install(onePart(tmp)
+        .getOrElse(sys.error(s"no parquet written under $tmp")), k, name)
+    }
+
+    /** ALL data slices in ONE single-task pass (r14 optimization
+      * round, guide §1.2/§6): `df` carries an integer `__slice`
+      * column; a coalesce(1) dynamic-partition write emits one file
+      * per non-empty slice with ONE job + ONE commit, where the
+      * per-slice writeSlice loop paid a full single-threaded
+      * filter+scan pass and a separate write commit PER slice
+      * (JobProbe measured the staging block at ~2-3 s of the first
+      * stream row's wall). Intra-slice row order may differ from the
+      * sequential-filter order (the dynamic-partition writer sorts by
+      * the partition column); every stream-exec operator is
+      * order-invariant within a batch — aggregates, sorted stateful
+      * folds, full-row duplicate re-emissions — so results are
+      * unchanged (oracle-gated). A slice id with no rows still gets
+      * an explicit empty file so batch indices stay aligned. */
+    def writeSliced(df: DataFrame, nSlices: Int): Unit = {
+      val tmp = stage.resolve("sliced")
+      df.coalesce(1).write.mode("overwrite")
+        .partitionBy("__slice").parquet(tmp.toString)
+      (0 until nSlices).foreach { k =>
+        onePart(tmp.resolve(s"__slice=$k")) match {
+          case Some(p) => install(p, k, "b")
+          case None => writeSlice(df.filter(lit(false)).drop("__slice"), k)
+        }
+      }
+    }
+
     /** Far-future watermark-advancing sentinel row (filtered out of
-      * every gated result by user/window bounds). */
+      * every gated result by user/window bounds; written under the
+      * `s` name so watermark-free consumers can glob it away). */
     def sentinel(ev: DataFrame, maxTs: java.sql.Timestamp,
                  k: Int, days: Int): Unit = writeSlice(
       ev.limit(1)
         .withColumn("ts", lit(maxTs) + expr(s"INTERVAL $days DAYS"))
         .withColumn("user_id", lit(SentinelUser))
-        .withColumn("event_id", lit(-k.toLong)), k)
+        .withColumn("event_id", lit(-k.toLong)), k, name = "s")
   }
 
   /** Staged stream dirs, memoized per (session, sfDir) — both exec
@@ -149,10 +189,21 @@ object StreamExec {
       // the equivalent staging, one-microsecond boundary rounding
       // aside — any time-ordered split is a valid staging).
       val cuts = (0 to k).map(i => lo + (hi + 1 - lo) * i.toLong / k)
-      (0 until k).foreach { i =>
+      val tsUs = unix_micros(col("ts"))
+      if (k <= 64) {
+        // one-pass staging: the slice id as a literal when-chain over
+        // the SAME cut points the per-slice filters used (every event
+        // satisfies cuts(0) <= ts < cuts(k) by construction of the
+        // cuts, so the chain is total); bounded at 64 slices to keep
+        // the expression tree small — the state-bound gate's k=16 is
+        // well inside, and larger k falls back to the per-slice loop
+        var sliceOf: org.apache.spark.sql.Column = lit(k - 1)
+        for (i <- k - 2 to 0 by -1)
+          sliceOf = when(tsUs < cuts(i + 1), lit(i)).otherwise(sliceOf)
+        st.writeSliced(ev.withColumn("__slice", sliceOf), k)
+      } else (0 until k).foreach { i =>
         st.writeSlice(ev.filter(
-          unix_micros(col("ts")) >= cuts(i) &&
-            unix_micros(col("ts")) < cuts(i + 1)), i)
+          tsUs >= cuts(i) && tsUs < cuts(i + 1)), i)
       }
       st.sentinel(ev, maxTs, k, 365)
       st.sentinel(ev, maxTs, k + 1, 730)
@@ -164,13 +215,14 @@ object StreamExec {
     * the same contract as the batch loader (schema from the staged
     * files' own footer — never hard-coded, per the round-4 drift
     * lesson). */
-  private def stagedStream(s: SparkSession, dir: Path): DataFrame = {
+  private def stagedStream(s: SparkSession, dir: Path,
+                           glob: String = "*.parquet"): DataFrame = {
     val physical = s.read.parquet(dir.toString).schema
     Tables.normalizeEventTs(
       s.readStream
         .schema(physical)
         .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(dir.toString))
   }
 
@@ -225,9 +277,21 @@ object StreamExec {
   val lastBatchProgress = new java.util.concurrent.atomic.AtomicReference[
     Seq[(Long, String, Long, Long, Long, Long)]](Nil)
 
+  /** PER-BATCH duration attribution of the most recent StreamExecution:
+    * (batchId, numInputRows, durationMs map — addBatch/queryPlanning/
+    * walCommit/commitOffsets/getBatch/latestOffset/triggerExecution).
+    * Optimization-round measurement hook (guide §1): the wall time of a
+    * stream-exec row that is NOT in Spark jobs lives in these buckets. */
+  val lastBatchDurations = new java.util.concurrent.atomic.AtomicReference[
+    Seq[(Long, Long, Map[String, Long])]](Nil)
+
   private def awaitAndRecord(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     q.awaitTermination()
     val progress = q.recentProgress.toSeq
+    lastBatchDurations.set(progress.map { p =>
+      (p.batchId, p.numInputRows,
+        p.durationMs.asScala.map { case (k, v) => (k, v.longValue) }.toMap)
+    })
     lastStateOps.set(progress
       .flatMap(_.stateOperators.toSeq)
       .groupBy(_.operatorName)
@@ -364,7 +428,15 @@ object StreamExec {
     * the batch j13_cdc_apply. */
   def cdcViaStream(s: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(s)
-    val stream = stagedStream(ss, stagedDir(s, sfDir))
+    // DATA slices only (b*): cdcFinalState keeps state under NoTimeout
+    // and no watermark, so the far-future sentinel files exist solely
+    // for the watermark-driven consumers of this shared staged dir —
+    // here each sentinel was a full extra micro-batch (state scan +
+    // one-bucket store merge, ~0.7 s each measured at sf0.1) whose
+    // only product was the user_id = -1 row the final filter drops.
+    // Skipping them leaves the multi-batch state-carry claim intact
+    // (the k data batches) and the result identical (oracle-gated).
+    val stream = stagedStream(ss, stagedDir(s, sfDir), glob = "b*.parquet")
     val updates = EventStreams.cdcFinalState(s, stream)
     val storeRoot = java.nio.file.Paths.get(
       graft.io.TempDirs.create("graft_cdc_store_"))
@@ -468,11 +540,23 @@ object StreamExec {
       val midUs = (us(minTs) + us(maxTs)) / 2
       val st = new SliceStager("dedup")
       val tsUs = unix_micros(col("ts"))
-      val slice0 = ev.filter(tsUs < midUs)
-      st.writeSlice(slice0.unionAll(
-        slice0.filter(tsUs >= midUs - 10L * 60 * 1000000)), 0)
-      st.writeSlice(slice0.filter(tsUs >= midUs - 30L * 60 * 1000000), 1)
-      st.writeSlice(ev.filter(tsUs >= midUs), 2)
+      // ONE pass (r14): each row's batch memberships as an array —
+      // slice-0 rows appear once in b0 (twice when inside the 10-min
+      // re-emission window: the intra-batch duplicate), the last 30
+      // minutes replay into b1, and ts >= mid is b2. Identical
+      // multiset per batch as the old three filter+union writes; only
+      // intra-batch order differs, which dropDuplicatesWithinWatermark
+      // cannot observe (duplicates are full-row re-emissions).
+      val m10 = midUs - 10L * 60 * 1000000
+      val m30 = midUs - 30L * 60 * 1000000
+      val memberships = array(
+        when(tsUs < midUs, lit(0)),
+        when(tsUs < midUs && tsUs >= m10, lit(0)),
+        when(tsUs < midUs && tsUs >= m30, lit(1)),
+        when(tsUs >= midUs, lit(2)))
+      st.writeSliced(
+        ev.select(col("*"),
+          explode(filter(memberships, c => c.isNotNull)).as("__slice")), 3)
       st.streamDir
     })
   }
@@ -556,12 +640,31 @@ object StreamExec {
       val tsUs = unix_micros(col("ts"))
       val holdUs = midUs - 10L * 60 * 1000000
       val advUs = holdUs - 60L * 60 * 1000000
-      st.writeSlice(ev.filter(tsUs < advUs), 0)
-      st.writeSlice(ev.filter(tsUs >= advUs && tsUs < holdUs), 1)
-      val mover = ev.filter(tsUs >= holdUs && tsUs < midUs)
-      val replay = ev.filter(tsUs < us(minTs) + 30L * 60 * 1000000)
-        .withColumn("event_id", -col("event_id") - lit(1000000L))
-      st.writeSlice(ev.filter(tsUs >= midUs).unionAll(mover).unionAll(replay), 2)
+      val replayCut = us(minTs) + 30L * 60 * 1000000
+      // ONE pass (r14): batch memberships as (slice, event_id)
+      // structs — [0, adv) is b0, [adv, hold) the advancer b1,
+      // [hold, ∞) is b2 (the held-back 10 minutes and slice 1 are
+      // disjoint, so one membership covers both), and the stale
+      // replay re-emits the first 30 minutes into b2 with the same
+      // negated poison ids as before. Identical multiset per batch as
+      // the old filter+union writes; the hourly APPEND aggregate and
+      // its watermark are intra-batch-order-invariant.
+      val memberships = array(
+        when(tsUs < advUs,
+          struct(lit(0).as("s"), col("event_id").as("eid"))),
+        when(tsUs >= advUs && tsUs < holdUs,
+          struct(lit(1).as("s"), col("event_id").as("eid"))),
+        when(tsUs >= holdUs,
+          struct(lit(2).as("s"), col("event_id").as("eid"))),
+        when(tsUs < replayCut,
+          struct(lit(2).as("s"),
+            (-col("event_id") - lit(1000000L)).as("eid"))))
+      st.writeSliced(
+        ev.select(col("*"),
+          explode(filter(memberships, c => c.isNotNull)).as("__m"))
+          .withColumn("event_id", col("__m.eid"))
+          .withColumn("__slice", col("__m.s"))
+          .drop("__m"), 3)
       st.sentinel(ev, maxTs, 3, 365)
       st.sentinel(ev, maxTs, 4, 730)
       st.streamDir

@@ -1,0 +1,55 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `explain("formatted")` for named SparkEntry queries to files —
+  * the optimization round's plan-evidence artifact
+  * (plans/r14/<query>_{before,after}.txt). Streaming-exec rows
+  * (st_*_stream_exec) are excluded by the caller: their construction
+  * RUNS the stream and the resulting batch plan is a LocalRelation,
+  * so a formatted plan carries no information about the stream.
+  *
+  * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4,
+      "usage: PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>")
+    val Array(sfDir, outDir, suffix, qcsv) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+
+        graft.plans.Top1WindowToMaxBy :+ graft.expr.CollapseAccentFold
+    Files.createDirectories(Paths.get(outDir))
+    val qs = qcsv.split(",").map(_.trim).filter(_.nonEmpty)
+    qs.foreach { name =>
+      graft.SparkEntry.queries.get(name) match {
+        case None => System.err.println(s"[plandump] unknown query: $name")
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
+              plan.getBytes("UTF-8"))
+            println(s"[plandump] wrote $name ($suffix)")
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
+          } finally graft.scale.CacheRegistry.drain()
+      }
+    }
+    spark.stop()
+  }
+}

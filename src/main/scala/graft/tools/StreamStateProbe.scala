@@ -47,6 +47,13 @@ object StreamStateProbe {
           println(f"   batch=$batch op=$op rowsTotal=$total " +
             f"rowsUpdated=$updated rowsRemoved=$removed stateMemBytes=$mem")
       }
+      graft.streaming.StreamExec.lastBatchDurations.get().foreach {
+        case (batch, inRows, dur) =>
+          val keys = Seq("triggerExecution", "addBatch", "queryPlanning",
+            "getBatch", "latestOffset", "walCommit", "commitOffsets")
+          val shown = keys.flatMap(k => dur.get(k).map(v => s"$k=$v"))
+          println(s"   batch=$batch inputRows=$inRows " + shown.mkString(" "))
+      }
       graft.streaming.StreamExec.lastStateOps.get().foreach {
         case (op, _, keys) =>
           val rocks = keys.filter(_.startsWith("rocksdb"))
