@@ -211,19 +211,32 @@ object Media {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 
+    // r14 optimization round (guide §1.2 per-task work): ImageIO's
+    // default useCache=true backs every ImageInputStream with a TEMP
+    // FILE on disk — for byte-array payloads that is one file create +
+    // write + delete per decode, pure overhead. Memory-cached streams
+    // decode the same bytes to the same pixels. JVM-global, set once
+    // per executor at first codec use; nothing else in this engine
+    // reads images.
+    ImageIO.setUseCache(false)
+
     def encodeQuilt(docId: Long): Array[Byte] = {
       val (w, h) = (Plant.widthOf(docId), Plant.heightOf(docId))
       val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      // bulk setRGB: one ColorModel conversion call for the whole
+      // image instead of one per pixel (identical ARGB semantics)
+      val px = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           val g = Plant.grayOf(docId, (y / 8) * (w / 8) + x / 8)
-          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          px(y * w + x) = (g << 16) | (g << 8) | g
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, w, h, px, 0, w)
       val bos = new ByteArrayOutputStream()
       val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
       val p = writer.getDefaultWriteParam
@@ -289,23 +302,23 @@ object Media {
       require(img != null, s"media_id=$mediaId: ImageIO cannot decode payload")
       val bucketWidth = 256 / bins
       val hist = new Array[Long](bins)
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          // True Rec.601 integer luma, not a single channel: the
-          // weights sum to 1000, so on the planted r=g=b quilts
-          // luma == the channel value and the closed-form oracle is
-          // unchanged — but on non-grayscale input this is a real
-          // gray-intensity histogram, not a red-channel one
-          // (ADVICE r13).
-          val rgb = img.getRGB(x, y)
-          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-            114 * (rgb & 0xff) + 500) / 1000
-          hist(luma / bucketWidth) += 1L
-          x += 1
-        }
-        y += 1
+      val (w, h) = (img.getWidth, img.getHeight)
+      // bulk getRGB (r14): one conversion pass over the raster instead
+      // of a per-pixel ColorModel call — same ARGB ints, same counts
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < px.length) {
+        // True Rec.601 integer luma, not a single channel: the
+        // weights sum to 1000, so on the planted r=g=b quilts
+        // luma == the channel value and the closed-form oracle is
+        // unchanged — but on non-grayscale input this is a real
+        // gray-intensity histogram, not a red-channel one
+        // (ADVICE r13).
+        val rgb = px(i)
+        val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff) + 500) / 1000
+        hist(luma / bucketWidth) += 1L
+        i += 1
       }
       (mediaId, hist)
     }
@@ -316,17 +329,15 @@ object Media {
       val channels = img.getColorModel.getNumComponents
       var rgbSum = 0L
       var weightedR = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val r = (rgb >> 16) & 0xff
-          rgbSum += r + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-          weightedR += r.toLong * (y.toLong * w + x + 1)
-          x += 1
-        }
-        y += 1
+      // bulk getRGB (r14): identical ARGB ints, one conversion pass
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        val r = (rgb >> 16) & 0xff
+        rgbSum += r + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        weightedR += r.toLong * (i + 1)
+        i += 1
       }
       PixelCensus(mediaId, w, h, channels, nBytes, rgbSum, weightedR)
     }

@@ -82,6 +82,30 @@ object AnalyticsPack extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Memoized symmetrized purchase-graph edge list WITH out-degrees —
+    * the per-round join frame of the rank recurrences. g_pagerank and
+    * g_ppr both built the identical frame (explode of purchasePairs +
+    * one src-keyed window) and each pinned its own copy per query;
+    * one session-lifetime build now serves both (r14, same trade as
+    * purchasePairs). The parity node encoding matches the two rank
+    * queries' inline construction exactly. */
+  private val purchaseEoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def purchaseEo(s: SparkSession, dir: String): DataFrame = {
+    purchaseEoCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    purchaseEoCache.computeIfAbsent((s, dir), _ => {
+      val pairs = purchasePairs(s, dir)
+      val cNode = col("c") * 2L
+      val sNode = col("sp") * 2L + 1L
+      val edges = pairs.select(explode(array(
+          struct(cNode.as("src"), sNode.as("dst")),
+          struct(sNode.as("src"), cNode.as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      graft.scale.PageRank.edgesWithOutdeg(edges, assumeDistinct = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   private val orientedCoCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int), graft.scale.Triangles.OrientedGraph]()
   private def orientedCo(s: SparkSession, dir: String, minCoN: Int)
@@ -375,7 +399,8 @@ object AnalyticsPack extends QueryPack {
       // node set = customers + suppliers: dimension-sized, so the
       // broadcast-ranks round (zero per-round exchanges) applies
       val (ranks, handles) = graft.scale.PageRank.runTracked(edges, 5,
-        assumeDistinct = true, symmetric = true, broadcastRanks = true)
+        assumeDistinct = true, symmetric = true, broadcastRanks = true,
+        pinnedEo = Some(purchaseEo(s, dir)))
       // harness releases the pins after its action (CacheRegistry doc)
       graft.scale.CacheRegistry.track(handles)
       ranks
@@ -548,7 +573,8 @@ object AnalyticsPack extends QueryPack {
       // distinct pairs x 2 disjoint directions = already-distinct edges
       val (ranks, handles) =
         graft.scale.PageRank.runPersonalizedTracked(edges, seeds, 5,
-          assumeDistinct = true, broadcastRanks = true)
+          assumeDistinct = true, broadcastRanks = true,
+          pinnedEo = Some(purchaseEo(s, dir)))
       graft.scale.CacheRegistry.track(handles)
       ranks
         .select(col("node"), col("rank"),
@@ -747,7 +773,9 @@ object AnalyticsPack extends QueryPack {
           struct(sNode.as("src"), cNode.as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val source = pairs.agg(min(cNode).as("node"))
-      val (dist, handles) = graft.scale.Bfs.hopsTracked(edges, source, iters = 4)
+      val (dist, handles) = graft.scale.Bfs.hopsTracked(edges, source,
+        iters = 4,
+        pinnedE = Some(purchaseEo(s, dir).select(col("src"), col("dst"))))
       graft.scale.CacheRegistry.track(handles)
       val nodes = pairs
         .select(explode(array(cNode, sNode)).as("node")).distinct()

@@ -67,17 +67,22 @@ object Bfs {
   /** As `hops`, plus the persisted-intermediate handles (caller
     * releases after its action — the [[PageRank.runTracked]]
     * contract). */
+  /** @param pinnedE caller-persisted (src: long, dst: long) edge frame
+    *                 shared across queries (r14: the purchase-graph
+    *                 family's memo) — skips this call's own edge pin;
+    *                 lifetime is then the caller's contract. */
   def hopsTracked(edges: DataFrame, source: DataFrame, iters: Int,
                   src: String = "src", dst: String = "dst",
-                  checkpointInterval: Int = 0)
+                  checkpointInterval: Int = 0,
+                  pinnedE: Option[DataFrame] = None)
       : (DataFrame, PageRank.CacheHandles) = {
     val persisted = Seq.newBuilder[DataFrame]
     def pin(df: DataFrame): DataFrame = {
       persisted += df
       df.persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val e = pin(edges.select(
-      col(src).cast("long").as("src"), col(dst).cast("long").as("dst")))
+    val e = pinnedE.getOrElse(pin(edges.select(
+      col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))))
     // Pin each round's FRESH set only (read by the next round's
     // expansion and every later round's min-agg); `dist` stays a lazy
     // union over the pinned pieces — round 4 additionally pinned every

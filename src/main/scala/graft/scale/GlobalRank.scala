@@ -51,8 +51,21 @@ object GlobalRank {
     ranked(keyed, splittersAndCount(keyed, nChunks)._1, rankCol)
   }
 
-  private def key(df: DataFrame, orderCol: Column, tieBreak: Column) =
-    df.withColumn("__gr_v", orderCol).withColumn("__gr_k", tieBreak)
+  /** The keyed frame is PERSISTED (r14 optimization round, guide §5
+    * caching rule: reused AND expensive to recompute): the two-level
+    * scheme reads it three times — splitter+count scan, per-chunk
+    * count job, rank window — and un-persisted each read re-executed
+    * the caller's whole upstream (for t_vocab that is the full
+    * tokenize+aggregate pipeline, three times). Narrow (source cols +
+    * 16 B of key), released by the harness CacheRegistry drain; at
+    * the gated scale tiers the largest such input is sf1's
+    * g_histogram (1.5M rows), far inside MEMORY_AND_DISK headroom. */
+  private def key(df: DataFrame, orderCol: Column, tieBreak: Column) = {
+    val keyed = df.withColumn("__gr_v", orderCol).withColumn("__gr_k", tieBreak)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.track(keyed)
+    keyed
+  }
 
   /** One scan: the splitter sketch (mergeable, load-balance only) and
     * the exact row count ntile arithmetic needs. */

@@ -85,20 +85,32 @@ object PageRank {
     * note) — repeated fire-and-forget run() calls otherwise accumulate
     * cached partitions until LRU pressure clears them. Per-query
     * sessions (Verify/Bench) can keep using `run` and rely on LRU. */
+  /** The edge list with per-src out-degree attached — the frame every
+    * rank round re-joins. Exposed so callers sharing ONE graph across
+    * several rank queries (the purchase-graph family) can build it
+    * once, persist it themselves, and pass it via `pinnedEo` (r14
+    * optimization round); lifetime is then the CALLER's contract. */
+  def edgesWithOutdeg(edges: DataFrame, src: String = "src",
+                      dst: String = "dst",
+                      assumeDistinct: Boolean = false): DataFrame = {
+    val e0 = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+    val e = if (assumeDistinct) e0 else e0.distinct()
+    e.withColumn("od", count(lit(1)).over(Window.partitionBy(col("src"))))
+  }
+
   def runTracked(edges: DataFrame, iters: Int,
                  src: String = "src", dst: String = "dst",
                  checkpointInterval: Int = 0,
                  assumeDistinct: Boolean = false,
                  symmetric: Boolean = false,
-                 broadcastRanks: Boolean = false): (DataFrame, CacheHandles) = {
+                 broadcastRanks: Boolean = false,
+                 pinnedEo: Option[DataFrame] = None): (DataFrame, CacheHandles) = {
     val persisted = Seq.newBuilder[DataFrame]
     def pin(df: DataFrame): DataFrame = {
       persisted += df
       df.persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val e0 = edges
-      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-    val e = if (assumeDistinct) e0 else e0.distinct()
     // Carry outdeg on the edge via a window count over src: ONE exchange
     // of the edge list (which also becomes the cache's partitioning, so
     // no per-round re-shuffle of eo), where the groupBy+self-join
@@ -120,8 +132,8 @@ object PageRank {
     // relation does not propagate its output partitioning
     // (PageRankSpec pins the exactly-one-exchange-per-round shape).
     // The recurrence and results are identical either way.
-    val eo = pin(e.withColumn("od",
-      count(lit(1)).over(Window.partitionBy(col("src")))))
+    val eo = pinnedEo.getOrElse(
+      pin(edgesWithOutdeg(edges, src, dst, assumeDistinct)))
     // Node set read FROM the edge cache (partitioned by src, so the
     // distinct is exchange-free) — deriving it from the raw input
     // upstream of the cache re-ran the full scans once per action.
@@ -194,18 +206,16 @@ object PageRank {
   def runPersonalizedTracked(edges: DataFrame, seeds: DataFrame, iters: Int,
                              src: String = "src", dst: String = "dst",
                              assumeDistinct: Boolean = false,
-                             broadcastRanks: Boolean = false)
+                             broadcastRanks: Boolean = false,
+                             pinnedEo: Option[DataFrame] = None)
       : (DataFrame, CacheHandles) = {
     val persisted = Seq.newBuilder[DataFrame]
     def pin(df: DataFrame): DataFrame = {
       persisted += df
       df.persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val e0 = edges
-      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-    val e = if (assumeDistinct) e0 else e0.distinct()
-    val eo = pin(e.withColumn("od",
-      count(lit(1)).over(Window.partitionBy(col("src")))))
+    val eo = pinnedEo.getOrElse(
+      pin(edgesWithOutdeg(edges, src, dst, assumeDistinct)))
     val nodes = pin(eo.select(col("src").as("node")).distinct())
     val sd = pin(seeds.select(col("node").cast("long").as("node")).distinct())
     val nNodes = nodes.count()
