@@ -175,6 +175,12 @@ object StreamExec {
     n
   }
 
+  /** Spec access to the shared staged dir (StagingContractSpec pins
+    * the b-vs-s file naming + mtime contract of the r14 one-pass
+    * rewrite). */
+  private[streaming] def stagedDirForSpec(s: SparkSession, sfDir: String): Path =
+    stagedDir(s, sfDir)
+
   private def stagedDir(s: SparkSession, sfDir: String): Path = {
     stagedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     stagedCache.computeIfAbsent((s, sfDir), _ => {
