@@ -154,47 +154,6 @@ object TextPack extends QueryPack {
     CurationFunnel(docsRaw, train, qual, clean, unique, kept)
   }
 
-  /** Memoized (doc_id, w, tf) TERM-FREQUENCY base per (session,
-    * sfDir) — r14 optimization round: t_tfidf, t_bm25 and t_vocab
-    * each re-ran the tokenize+explode+count pipeline (t_bm25 THREE
-    * times inside one plan: tf, dlen and the token total were three
-    * independent scans), yet dlen = Σ_w tf(doc, w), the token total =
-    * Σ tf, the doc-frequency table and the vocabulary counts are all
-    * exact integer derivations of this one frame. Session-lifetime,
-    * LRU-evictable — the same trade as coPairs/hashArrays; at 100 TB
-    * this IS the materialized posting-statistics artifact a retrieval
-    * pipeline keeps. */
-  private val tfBaseCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def tfBase(s: SparkSession, dir: String): DataFrame = {
-    tfBaseCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    tfBaseCache.computeIfAbsent((s, dir), _ =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
-
-  /** Memoized (doc_id, w1, w2) BIGRAM base — same rationale: the
-    * bigram-LM counting pass (t_bigram_lm) and the LM scoring pass
-    * (t_lm_score, which reads the bigram frame TWICE: model build +
-    * scoring join) re-ran the zip_with explode per use. */
-  private val bigramBaseCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def bigramBase(s: SparkSession, dir: String): DataFrame = {
-    bigramBaseCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    bigramBaseCache.computeIfAbsent((s, dir), _ => {
-      val toks = tokens(col("text"))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(zip_with(
-          slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-  }
-
   /** One materialized curated corpus per (session, sfDir): the
     * funnel's surviving documents written as full-row parquet (the
     * artifact a trainer would consume), memoized like LayoutPack's
@@ -317,7 +276,8 @@ object TextPack extends QueryPack {
     // engines rank identical values; ties break on the term.
     "t_tfidf" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val tf = tfBase(s, dir) // shared memoized (doc, w, tf) base (r14)
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       import org.apache.spark.sql.expressions.Window
@@ -353,14 +313,12 @@ object TextPack extends QueryPack {
     // per-term lists outgrow a partition).
     "t_bm25" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      // shared memoized base; dlen and the token total are exact
-      // integer derivations of it (dlen = Σ_w tf, tt = Σ tf), where
-      // the inline form re-tokenized the corpus for each (r14)
-      val tf = tfBase(s, dir)
-      val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dlen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
-      val tt = tf.agg(sum(col("tf")).as("tt"))
+      val tt = tok.agg(count(lit(1)).as("tt"))
       val qws = dfreq.orderBy(col("df").desc, col("w").asc).limit(3)
         .select(col("w").as("qw"), col("df"))
       import org.apache.spark.sql.expressions.Window
@@ -776,12 +734,10 @@ object TextPack extends QueryPack {
     // Order is (freq DESC, token ASC); the rank is ascending, so the
     // sort key is -freq with the token as the total-order tie-break.
     "t_vocab" -> ((s, dir) => {
-      // corpus token counts as Σ over the shared (doc, w, tf) base —
-      // identical to the direct explode+count (tf partitions the
-      // token occurrences by doc; the length filter commutes) (r14)
-      val counts = tfBase(s, dir)
-        .filter(length(col("w")) > 0)
-        .groupBy(col("w").as("token")).agg(sum(col("tf")).as("freq"))
+      val counts = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
         .filter(col("freq") >= 5)
       val ranked = sys.env.get("SPARK_GRAFT_GLOBAL_RANK") match {
         case Some("1") => graft.plans.RunningSumRide.withGlobalRankSorted(
@@ -806,7 +762,13 @@ object TextPack extends QueryPack {
     // broadcastable LM + a doc-keyed hash agg; at 100 TB the LM comes
     // from a held-out reference corpus and the plan is unchanged.
     "t_lm_score" -> ((s, dir) => {
-      val docBigrams = bigramBase(s, dir) // shared memoized base (r14)
+      val toks = split(col("text"), " ")
+      val docBigrams = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       val c12 = docBigrams.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -832,7 +794,13 @@ object TextPack extends QueryPack {
     // TakeOrderedAndProject top-50. Probabilities in integer basis
     // points (exact in both engines).
     "t_bigram_lm" -> ((s, dir) => {
-      val pairs = bigramBase(s, dir).select(col("w1"), col("w2"))
+      val toks = split(col("text"), " ")
+      val pairs = Tables(s, dir, "documents")
+        .select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       val c12 = pairs.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
