@@ -101,6 +101,17 @@ object AnalyticsPack extends QueryPack {
           struct(cNode.as("src"), sNode.as("dst")),
           struct(sNode.as("src"), cNode.as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // The window form (edgesWithOutdeg), NOT a broadcast-deg join:
+      // a tiny-agg + broadcast-join build was tried in the r14
+      // optimization round (the od values are identical and the
+      // exchange looks redundant since AQE-planned caches don't
+      // propagate partitioning) and MEASURED SLOWER — trio A/B
+      // 20.2 → 22.7 s — because the window's exchange+sort leaves the
+      // CACHED frame clustered by src, which the ~15 per-round
+      // broadcast-hash probes and scans of the loop read faster than
+      // the unsorted layout; the one-time build exchange amortizes
+      // across every round. Measured rejection recorded in
+      // OPTIMIZATION_r14.md.
       graft.scale.PageRank.edgesWithOutdeg(edges, assumeDistinct = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })

@@ -260,7 +260,18 @@ object StreamExec {
                   "spark.sql.legacy.parquet.nanosAsLong",
                   "spark.sql.streaming.stateStore.providerClass"))
       s.conf.getOption(k).foreach(ss.conf.set(k, _))
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // SPARK_GRAFT_STREAM_SHUFFLE (r14): the state-partition count,
+    // env-tunable for measurement; 8 stays the default. Measured over
+    // the 7-row family at sf0.1 (same session, back-to-back):
+    // 8 → 29.7 s, 4 → 29.1 s (noise), 2 → 31.8 s, 16 → 42.1 s,
+    // 32 → 67.2 s — per-batch store open/commit scales with the
+    // partition count and dominates long before join parallelism
+    // pays; a 100 TB deployment sizes this to key cardinality as
+    // documented above. OPTIMIZATION_r14.md carries the table.
+    val sp = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    require(sp.toIntOption.exists(_ > 0),
+      s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive int, got '$sp'")
+    ss.conf.set("spark.sql.shuffle.partitions", sp)
     ss
   }
 
