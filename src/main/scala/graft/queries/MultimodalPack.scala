@@ -22,6 +22,23 @@ object MultimodalPack extends QueryPack {
     * used to carry independent literals). */
   private val EmbedRealBins = 16
 
+  /** Memoized + persisted planted-JPEG corpus per (session, sfDir) —
+    * r14 optimization round: the three real-codec rows each re-ran the
+    * full ImageIO ENCODE of one JPEG per document (plantJpegs) just to
+    * decode it again; the planted bytes are a pure function of doc_id,
+    * so one session-lifetime build (~1 KB/doc payload) serves decode,
+    * resize and embed. Same LRU-evictable trade as the other memo
+    * bases; at 100 TB the planted corpus is the INPUT, not a build. */
+  private val plantedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.Dataset[Media.MediaRow]]()
+  private def plantedJpegs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Media.MediaRow] = {
+    plantedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    plantedCache.computeIfAbsent((s, dir), _ =>
+      Media.plantJpegs(s, Tables(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary decode through mapPartitions batching (the vectorized-UDF
     // shape). Output is typed features per media row.
@@ -106,7 +123,7 @@ object MultimodalPack extends QueryPack {
     // from the gate (encoder-dependent); the stub contract stays for
     // the other codecs.
     "mm_decode_real" -> ((s, dir) => {
-      val planted = Media.plantJpegs(s, Tables(s, dir, "documents"))
+      val planted = plantedJpegs(s, dir) // shared memoized corpus (r14)
       Media.decodeJpegCensus(s, planted).toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("channels"), col("rgb_sum"), col("weighted_r_sum"))
@@ -123,7 +140,7 @@ object MultimodalPack extends QueryPack {
     // (4px blocks). Any interpolation bleed across blocks, dimension
     // rounding error, or sampling misalignment shifts weighted_r_sum.
     "mm_resize_real" -> ((s, dir) => {
-      val planted = Media.plantJpegs(s, Tables(s, dir, "documents"))
+      val planted = plantedJpegs(s, dir) // shared memoized corpus (r14)
       Media.resizeJpegCensus(s, planted, factor = 2).toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("channels"), col("rgb_sum"), col("weighted_r_sum"))
@@ -139,7 +156,7 @@ object MultimodalPack extends QueryPack {
     // the planted grays; integer counts, no float compare. Any decode
     // drift, channel reorder, or bucketing error shifts a count.
     "mm_embed_real" -> ((s, dir) => {
-      val planted = Media.plantJpegs(s, Tables(s, dir, "documents"))
+      val planted = plantedJpegs(s, dir) // shared memoized corpus (r14)
       Media.embedGrayHistogram(s, planted, bins = EmbedRealBins)
         .select(col("media_id"),
           posexplode(col("embedding")).as(Seq("bucket", "cnt")))
