@@ -42,33 +42,36 @@ object Bench {
         work()
         (System.nanoTime() - t0) / 1e9
       }.min
-    val probes: Seq[(String, Double)] = Seq(
+    // the probe kernels, reusable for the closing triple below
+    val probeWork: Map[String, () => Unit] = Map(
       // single-core integer ALU: a fixed 2e8-step xorshift fold on the
       // driver — pure clock+IPC, no Spark, no allocation
-      "cpu" -> probeMin(3) { () =>
+      "cpu" -> (() => {
         var x = 0x9e3779b97f4a7c15L; var i = 0
         while (i < 200000000) {
           x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
         }
         // fold the result into a side effect the JIT can't elide
         if (x == 42L) System.err.println("[bench] probe_cpu sentinel")
-      },
+      }),
       // one 32-partition exchange: 20M longs hash-aggregated to 1k
       // keys — executor threading + shuffle write/read + codegen
-      "shuffle" -> probeMin(3) { () =>
+      "shuffle" -> (() => {
         spark.range(0L, 20000000L, 1L, 32)
           .selectExpr("id % 1000 AS k")
           .groupBy("k").count()
           .selectExpr("sum(count)").collect()
         ()
-      },
+      }),
       // parquet scan+reduce of the tier's largest table: decode +
       // predicate-free columnar read (footers already warmed above)
-      "scan" -> probeMin(3) { () =>
+      "scan" -> (() => {
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           .selectExpr("sum(l_quantity)").collect()
         ()
-      })
+      }))
+    val probes: Seq[(String, Double)] =
+      Seq("cpu", "shuffle", "scan").map(k => k -> probeMin(3)(probeWork(k)))
     // Dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1_agg,g_pagerank times just
     // those queries. Unset (the driver's path) runs the full suite.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -82,6 +85,11 @@ object Bench {
     // timing (round 4: 8 analysis-failing queries read as instant
     // successes and the bench line still claimed n_queries=160).
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // label the query's jobs (guide §1.5) — also what MemoPool's
+      // payer= log line reads, so memo builds stay attributable to
+      // the bench row that paid them. Nanosecond-scale local-property
+      // set; the timed region is otherwise unchanged.
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -90,10 +98,20 @@ object Bench {
           false
         }
       val secs = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       // release this query's tracked persists (graph ops) so 160
       // queries in one session don't accumulate cached partitions
       graft.scale.CacheRegistry.drain()
       (name, secs, ok)
+    }
+    // Closing probe triple (VERDICT r14 item 7): the start-of-run
+    // probes cannot see MID-RUN band drift — the exact failure mode of
+    // the r14 driver run's one 20 s outlier on an untouched row. A
+    // second triple after the query loop lets bench_compare.py flag
+    // runs whose start/end probes disagree (intra-run drift) instead
+    // of adjudicating per-row noise forensically.
+    val probesEnd: Seq[(String, Double)] = probes.map { case (k, _) =>
+      k -> probeMin(3)(probeWork(k))
     }
     // The round harness captures only the last ~2000 chars of sbt output
     // and parses the JSON line found there. With 100 queries at full
@@ -118,8 +136,10 @@ object Bench {
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val probesJson = probes.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    val probesEndJson = probesEnd.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"failed":${failed.size},"failed_names":$failedJson,"probes":$probesJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"failed":${failed.size},"failed_names":$failedJson,"probes":$probesJson,"probes_end":$probesEndJson,"queries":$fullQs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/tmp/graft_bench_full.json")
     try {
@@ -130,7 +150,7 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] full-timings write to $outPath failed: $e")
     }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"failed":${failed.size},"probes":$probesJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"failed":${failed.size},"probes":$probesJson,"probes_end":$probesEndJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -66,6 +66,9 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       scala.concurrent.Future {
+        // label per query (thread-local, so the concurrent dumps stay
+        // correctly attributed) — read by MemoPool's payer= log line
+        spark.sparkContext.setJobDescription(name)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

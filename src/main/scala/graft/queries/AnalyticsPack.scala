@@ -25,14 +25,9 @@ object AnalyticsPack extends QueryPack {
     * after one query's action would just recompute for the next —
     * LRU evicts it under pressure, the same documented trade as the
     * dedup bases. */
-  private val coPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def coPairs(s: SparkSession, dir: String): DataFrame = {
-    // Evict entries whose session has stopped: a JVM that cycles
-    // SparkSessions (specs, tools) must not accumulate dead-session
-    // plans, and a stale stopped-session hit must never be returned.
-    coPairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    coPairsCache.computeIfAbsent((s, dir), _ => {
+  private def coPairs(s: SparkSession, dir: String): DataFrame =
+    // MemoPool (r15): same memoization, now byte-capped + payer-logged
+    graft.scale.MemoPool.getOrBuild(s, dir, "coPairs") {
       val baskets = Tables(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -44,8 +39,7 @@ object AnalyticsPack extends QueryPack {
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("co_n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-  }
+    }(Seq(_))
 
   /** Shared degree-oriented adjacency of the co-purchase graph
     * (scale/Triangles.orient over the memoized coPairs base), keyed
@@ -69,18 +63,15 @@ object AnalyticsPack extends QueryPack {
     * same cardinality class as coPairs. Session-lifetime by design
     * (NOT CacheRegistry-tracked): LRU evicts under pressure, exactly
     * as documented for the other memo bases. */
-  private val purchasePairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def purchasePairs(s: SparkSession, dir: String): DataFrame = {
-    purchasePairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    purchasePairsCache.computeIfAbsent((s, dir), _ =>
+  private def purchasePairs(s: SparkSession, dir: String): DataFrame =
+    graft.scale.MemoPool.getOrBuild(s, dir, "purchasePairs") {
       Tables(s, dir, "orders")
         .join(Tables(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }(Seq(_))
 
   /** Memoized symmetrized purchase-graph edge list WITH out-degrees —
     * the per-round join frame of the rank recurrences. g_pagerank and
@@ -89,11 +80,8 @@ object AnalyticsPack extends QueryPack {
     * one session-lifetime build now serves both (r14, same trade as
     * purchasePairs). The parity node encoding matches the two rank
     * queries' inline construction exactly. */
-  private val purchaseEoCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def purchaseEo(s: SparkSession, dir: String): DataFrame = {
-    purchaseEoCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    purchaseEoCache.computeIfAbsent((s, dir), _ => {
+  private def purchaseEo(s: SparkSession, dir: String): DataFrame =
+    graft.scale.MemoPool.getOrBuild(s, dir, "purchaseEo") {
       val pairs = purchasePairs(s, dir)
       val cNode = col("c") * 2L
       val sNode = col("sp") * 2L + 1L
@@ -114,19 +102,15 @@ object AnalyticsPack extends QueryPack {
       // OPTIMIZATION_r14.md.
       graft.scale.PageRank.edgesWithOutdeg(edges, assumeDistinct = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-  }
+    }(Seq(_))
 
-  private val orientedCoCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), graft.scale.Triangles.OrientedGraph]()
   private def orientedCo(s: SparkSession, dir: String, minCoN: Int)
-      : graft.scale.Triangles.OrientedGraph = {
-    orientedCoCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    orientedCoCache.computeIfAbsent((s, dir, minCoN), _ =>
+      : graft.scale.Triangles.OrientedGraph =
+    graft.scale.MemoPool.getOrBuild(s, dir, s"orientedCo_$minCoN") {
       graft.scale.Triangles.orient(
         coPairs(s, dir).filter(col("co_n") >= minCoN)
-          .select(col("pa").as("a"), col("pb").as("b"))))
-  }
+          .select(col("pa").as("a"), col("pb").as("b")))
+    }(g => Seq(g.e, g.oriented, g.adj))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ROLLUP with grouping_id to disambiguate subtotal rows from

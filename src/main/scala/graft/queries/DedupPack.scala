@@ -55,19 +55,15 @@ object DedupPack extends QueryPack {
     * per query observed in the d_simhash plan). MEMORY_AND_DISK: the
     * table is a narrow (id, longs) projection, orders of magnitude
     * smaller than the corpus text it replaces. */
-  private val hashArraysCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def hashArrays(s: SparkSession, dir: String): DataFrame = {
-    // a JVM that cycles SparkSessions (specs, tools) must not
-    // accumulate dead-session plans — the coPairs eviction rule
-    hashArraysCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    hashArraysCache.computeIfAbsent((s, dir), _ =>
+  private def hashArrays(s: SparkSession, dir: String): DataFrame =
+    // MemoPool purges dead-session entries and caps pooled bytes (r15)
+    graft.scale.MemoPool.getOrBuild(s, dir, "hashArrays") {
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           graft.expr.ShingleHashes(col("text"), 3).as("hs"))
         .withColumn("n", size(col("hs")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }(Seq(_))
 
   /** Exact-verify candidate (ida, idb) pairs against true 3-gram
     * Jaccard (via hash arrays); keep J >= 0.8. At scale the pair set
@@ -93,11 +89,8 @@ object DedupPack extends QueryPack {
     * like hashArrays: d_semdedup derives both self-join sides, the
     * re-rank vectors, and the census from it — unpersisted, the
     * embeddings scan and norm projection re-run ~5x per query. */
-  private val plantedVecsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
-    plantedVecsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    plantedVecsCache.computeIfAbsent((s, dir), _ => {
+  private def plantedVecs(s: SparkSession, dir: String): DataFrame =
+    graft.scale.MemoPool.getOrBuild(s, dir, "plantedVecs") {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -107,8 +100,7 @@ object DedupPack extends QueryPack {
       e.union(planted)
         .withColumn("nrm", sqrt(SimilarityPack.dotCols("v", "v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-  }
+    }(Seq(_))
 
   /** Candidate (ida, idb) pairs from 16 x 4-bit pigeonhole blocks of a
     * 64-bit signature — recall-exact to Hamming 15 by pigeonhole — with
@@ -186,14 +178,11 @@ object DedupPack extends QueryPack {
     * hashArrays: the verified pair set is the OTHER materialized
     * artifact of a dedup pipeline (tiny — one row per true near-dup
     * pair), and the clustering stage iterates over it. */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    pairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    pairsCache.computeIfAbsent((s, dir), _ =>
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    graft.scale.MemoPool.getOrBuild(s, dir, "minhashPairs") {
       minhashVerifiedPairsUncached(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }(Seq(_))
 
   /** (doc_id, band, bandHash) rows: 16 bands of 4 signature slots each
     * — the LSH bucket keys every banding consumer joins on. */

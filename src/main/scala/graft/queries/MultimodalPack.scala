@@ -27,17 +27,14 @@ object MultimodalPack extends QueryPack {
     * full ImageIO ENCODE of one JPEG per document (plantJpegs) just to
     * decode it again; the planted bytes are a pure function of doc_id,
     * so one session-lifetime build (~1 KB/doc payload) serves decode,
-    * resize and embed. Same LRU-evictable trade as the other memo
+    * resize and embed. Byte-capped MemoPool (r15), like the other memo
     * bases; at 100 TB the planted corpus is the INPUT, not a build. */
-  private val plantedCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.sql.Dataset[Media.MediaRow]]()
   private def plantedJpegs(s: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[Media.MediaRow] = {
-    plantedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    plantedCache.computeIfAbsent((s, dir), _ =>
+      : org.apache.spark.sql.Dataset[Media.MediaRow] =
+    graft.scale.MemoPool.getOrBuild(s, dir, "plantedJpegs") {
       Media.plantJpegs(s, Tables(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }(ds => Seq(ds.toDF()))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary decode through mapPartitions batching (the vectorized-UDF

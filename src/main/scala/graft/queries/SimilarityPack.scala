@@ -38,18 +38,16 @@ object SimilarityPack extends QueryPack {
     * sides from this projection, and un-persisted each derivation
     * re-ran the embeddings scan + double-cast + norm per use. Narrow
     * (≈ vec dims × 8 B per row), session-lifetime like the other memo
-    * bases (LRU evicts under pressure; dead-session entries purged). */
-  private val vecsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[queries] def vecs(s: SparkSession, dir: String): DataFrame = {
-    vecsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    vecsCache.computeIfAbsent((s, dir), _ =>
+    * bases (byte-capped MemoPool since r15; dead-session entries
+    * purged). */
+  private[queries] def vecs(s: SparkSession, dir: String): DataFrame =
+    graft.scale.MemoPool.getOrBuild(s, dir, "vecs") {
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
         .withColumn("nrm", sqrt(dotCols("v", "v")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }(Seq(_))
 
   private val dot = dotCols("qv", "v")
 
@@ -412,15 +410,12 @@ object SimilarityPack extends QueryPack {
     * the brute frame TWICE (hit join + per-query denominator) — so one
     * un-persisted brute subtree executed six times per bench across
     * the family for a deterministic ~100-row result. Session-lifetime
-    * memo, LRU-evictable, like every other shared base. */
-  private val bruteCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def bruteTopKShared(s: SparkSession, dir: String): DataFrame = {
-    bruteCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    bruteCache.computeIfAbsent((s, dir), _ =>
+    * memo, byte-capped MemoPool (r15), like every other shared base. */
+  private def bruteTopKShared(s: SparkSession, dir: String): DataFrame =
+    graft.scale.MemoPool.getOrBuild(s, dir, "bruteTopK") {
       bruteTopK(vecs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }(Seq(_))
 
   private[queries] def bruteTopK(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < 10)

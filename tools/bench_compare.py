@@ -38,9 +38,28 @@ def host_factor(base, cand):
         prod *= r
     return prod ** (1.0 / len(ratios)), ratios
 
+def drift_check(line, label):
+    """Intra-run band-drift flag (VERDICT r14 item 7): graft.Bench
+    emits a probe triple at START and END of the query loop
+    ("probes" / "probes_end"). A warm JVM makes the END probes
+    systematically FASTER (codegen/footers cached), so only the
+    degradation direction is a signal: an end probe >1.5x SLOWER than
+    its start twin means the host band decayed mid-run and per-query
+    deltas from that run need per-row minima, not single-run trust."""
+    ps, pe = line.get("probes") or {}, line.get("probes_end") or {}
+    drifted = {k: pe[k] / ps[k] for k in ps
+               if k in pe and ps[k] > 0 and pe[k] / ps[k] > 1.5}
+    if drifted:
+        d = " ".join(f"{k}={v:.2f}x" for k, v in sorted(drifted.items()))
+        print(f"WARNING: {label} drifted MID-RUN ({d}) — its per-query"
+              " numbers are band-contaminated; prefer minima over reruns")
+    return bool(drifted)
+
 def main(base_p, cand_p, threshold=1.5):
     base, cand = load(base_p), load(cand_p)
     bq, cq = base["queries"], cand["queries"]
+    drift_check(base, "baseline")
+    drift_check(cand, "candidate")
     factor, probe_ratios = host_factor(base, cand)
     if probe_ratios:
         pr = " ".join(f"{k}={v:.2f}" for k, v in sorted(probe_ratios.items()))
