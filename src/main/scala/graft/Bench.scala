@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = graft.io.Sessions.tuned(SparkSession.builder())
       // SPARK_GRAFT_MASTER: run the bench under real multi-JVM
       // executors (spark-submit --master local-cluster[3,8,8192])
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))

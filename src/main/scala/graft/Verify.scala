@@ -22,7 +22,7 @@ object Verify {
     // executors (spark-submit --master local-cluster[3,8,8192]) — the
     // only local tier where executor-boundary serialization bugs
     // (the r3 trainingSummary NotSerializable class) can fire.
-    val spark = SparkSession.builder()
+    val spark = graft.io.Sessions.tuned(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")

@@ -30,7 +30,7 @@ object ImdbScaleCensus {
   def main(args: Array[String]): Unit = {
     val Array(bigDir, outParquet) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.io.Sessions.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

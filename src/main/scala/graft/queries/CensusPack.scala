@@ -53,8 +53,15 @@ object CensusPack extends QueryPack {
           s"stack(${row.columns.length}, $pairs) AS (metric, value)"))
       }
       // one agg scan per table: count + min/max of every domain key
-      // column the table owns
-      val perTable = countTables.map { t =>
+      // column the table owns. lineitem and orders are EXCLUDED here
+      // (r15, guide §2.4 — share one pass): their count/min/max ride
+      // the orphan passes below, whose left joins against DISTINCT
+      // parent keys preserve multiplicity exactly, so the fused
+      // aggregates are value-identical and the two largest tables are
+      // scanned once instead of twice (orders was scanned three
+      // times: count pass, orphan pass, keyOf projection).
+      val perTable = countTables
+        .filterNot(t => t == "lineitem" || t == "orders").map { t =>
         val keys = domainCols.filter(_._2 == t).map(_._1)
         val aggs = count(lit(1)).cast("long").as(s"cnt_$t") +:
           keys.flatMap(c => Seq(
@@ -81,17 +88,25 @@ object CensusPack extends QueryPack {
         .join(keyOf("supplier", "s_suppkey"),
           col("l_suppkey") === col("s_suppkey"), "left")
         .agg(
+          count(lit(1)).cast("long").as("cnt_lineitem"),
           sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
             .cast("long").as("orphan_lineitem_orders"),
           sum(when(col("p_partkey").isNull, 1L).otherwise(0L))
             .cast("long").as("orphan_lineitem_part"),
           sum(when(col("s_suppkey").isNull, 1L).otherwise(0L))
             .cast("long").as("orphan_lineitem_supplier")))
+      // orders' own count/min/max ride the same scan as its orphan
+      // census — the left-joined stream has exactly one row per order
+      // and o_orderkey is untouched by the join
       val ordOrphans = metrics(Tables(s, dir, "orders")
         .join(keyOf("customer", "c_custkey"),
           col("o_custkey") === col("c_custkey"), "left")
-        .agg(sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
-          .cast("long").as("orphan_orders_customer")))
+        .agg(
+          count(lit(1)).cast("long").as("cnt_orders"),
+          min(col("o_orderkey")).cast("long").as("min_o_orderkey"),
+          max(col("o_orderkey")).cast("long").as("max_o_orderkey"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .cast("long").as("orphan_orders_customer")))
       (perTable :+ liOrphans :+ ordOrphans).reduce(_ unionByName _)
         .orderBy(col("metric"))
     })

@@ -79,7 +79,7 @@ object FaultGate {
       sys.env.getOrElse("SPARK_GRAFT_KILL_REPEAT_MS", "0").toLong
     val killEnabled = sys.env.getOrElse("SPARK_GRAFT_KILL", "1") != "0"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val spark = graft.io.Sessions.tuned(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))

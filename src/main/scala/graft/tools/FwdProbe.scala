@@ -19,7 +19,7 @@ object FwdProbe {
     // r12 measurement of whether the naive form's 3 whole-corpus
     // window tasks serialize when they can no longer overlap inside
     // one JVM (SCALE.md "RunningSum", VERDICT r11 item 7).
-    val spark = SparkSession.builder()
+    val spark = graft.io.Sessions.tuned(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

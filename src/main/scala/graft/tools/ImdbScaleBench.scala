@@ -23,7 +23,7 @@ object ImdbScaleBench {
     val Array(refDir, bigDir, outJson) = args.take(3)
     val label = if (args.length > 3) args(3) else "x100"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.io.Sessions.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -19,7 +19,7 @@ object JobProbe {
     val qs = args(1).split(",").map(_.trim).filter(_.nonEmpty)
     val reps = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.io.Sessions.tuned(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
@@ -42,7 +42,7 @@ object JobProbe {
                             var tasks: Int = 0)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
@@ -55,7 +55,8 @@ object JobProbe {
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         Option(jobs.get(e.jobId)).foreach(_.end = e.time)
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
 
     qs.foreach { name =>
       graft.SparkEntry.queries.get(name) match {
@@ -67,8 +68,10 @@ object JobProbe {
             fn(spark, sfDir).count()
             val secs = (System.nanoTime() - t0) / 1e9
             graft.scale.CacheRegistry.drain()
-            // listener bus is async — let it settle before reading
-            Thread.sleep(300)
+            // listener bus is async — DRAIN it rather than sleeping a
+            // fixed 300 ms (ADVICE r14: a loaded bus dropped late
+            // onJobEnd events, printing -1 durations)
+            org.apache.spark.graft.ListenerDrain(spark.sparkContext)
             println(f"== $name rep $r: $secs%.3f s, ${jobs.size} jobs")
             val it = order.iterator()
             while (it.hasNext) {
@@ -82,6 +85,7 @@ object JobProbe {
           }
       }
     }
+    spark.sparkContext.removeSparkListener(listener)
     spark.stop()
   }
 }

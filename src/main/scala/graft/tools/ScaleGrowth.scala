@@ -43,7 +43,7 @@ object ScaleGrowth {
     // SPARK_GRAFT_MASTER: the FwdProbe pattern — lets the decade run
     // under real multi-JVM executors (local-cluster) for the r12
     // shuffle-wall sharding measurement
-    val spark = SparkSession.builder()
+    val spark = graft.io.Sessions.tuned(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -13,7 +13,7 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.io.Sessions.tuned(SparkSession.builder())
       // local[4, 2]: allow ONE task retry, like a real cluster
       // (spark.task.maxFailures defaults to 4 there; plain local[N]
       // pins it to 1 and silently masks retry-nondeterminism bugs).
