@@ -6,31 +6,40 @@ import org.apache.spark.sql.SparkSession
   * (r15 optimization round, guide §2.2 "let AQE coalesce" — partition
   * counts must derive from DATA SIZE, not from the local core count).
   *
-  * Two Spark defaults pin tiny shuffles at ~defaultParallelism
-  * partitions:
+  * ONE default changes: `canChangeCachedPlanOutputPartitioning=true`.
+  * Its false default disables AQE partition coalescing inside
+  * `persist()` materialization, so every memoized base cached at the
+  * full session shuffle width and EVERY per-round cache scan of the
+  * iterative operators (rank/BFS/CC loops read their cached edge and
+  * label frames ~15×/query) launched 32 tasks on KB-sized frames.
+  * With the flag on, the cache materializes at AQE's
+  * parallelism-first target — never fewer than bytes/minPartitionSize
+  * (1 MB) partitions, capped by the cluster's parallelism — which is
+  * data-proportional at every tier.
   *
-  *  - `coalescePartitions.parallelismFirst` (default true) makes AQE
-  *    ignore the advisory partition size and keep ~core-count
-  *    reducers even for KB-sized exchanges (Spark's own config doc
-  *    recommends false);
-  *  - `canChangeCachedPlanOutputPartitioning` (default false)
-  *    disables AQE coalescing inside persist() materialization, so
-  *    every memoized base cached at 32 partitions and EVERY per-round
-  *    cache scan of the iterative operators launched 32 tasks on
-  *    KB-sized frames.
+  * Measured, mixed iterative+dedup subset, back-to-back per tier:
   *
-  * Measured (sf0.1, local[32], iterative-graph subset, back-to-back):
-  * defaults 39.8 s → these two flags 28.6 s (−28%), matching a
-  * shuffle.partitions=8 run (28.3 s) WITHOUT shrinking the session
-  * constant — large shuffles keep full width (64 MB advisory), so the
-  * same setting is right at 100 TB, where every one of these
-  * exchanges is GBs and never coalesces below the cluster's
-  * parallelism.
+  * | config | sf0.1 (local[32]) | sf1 |
+  * |---|---|---|
+  * | Spark defaults | 60.5 s | 161.0 s |
+  * | + canChangeCachedPlanOutputPartitioning=true | 51.6 s | **153.2 s** |
+  * | + also parallelismFirst=false (REJECTED) | 51.1 s | 217.1 s |
+  *
+  * The rejected row is the honest part: `parallelismFirst=false`
+  * (which Spark's config doc suggests) matches the win at sf0.1 but
+  * CRATERS at sf1 (a10_copurchase 10.9→36.7 s, d_simhash 6.7→20.6 s)
+  * because pure byte-based 64 MB reducer targets under-parallelize
+  * CPU-heavy object aggregations (collect_set basket build, signature
+  * hashing) exactly in the mid-scale band a real cluster also has —
+  * the local-only-tuning trap. parallelism-first coalescing stays at
+  * the Spark default; the env knobs below keep both measurable.
   */
 object Sessions {
-  def tuned(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = {
+    val pf = sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
+    val ccp = sys.env.getOrElse("SPARK_GRAFT_CACHED_COALESCE", "true")
+    b.config("spark.sql.adaptive.coalescePartitions.parallelismFirst", pf)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+        ccp)
+  }
 }
