@@ -272,6 +272,21 @@ object StreamExec {
     require(sp.toIntOption.exists(_ > 0),
       s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive int, got '$sp'")
     ss.conf.set("spark.sql.shuffle.partitions", sp)
+    // Skip NO-DATA micro-batches (r15, guide §1.2 — fewer batches/
+    // commits): the staging design guarantees every gated emission
+    // happens in a DATA batch (that is exactly what the two sentinel
+    // files buy — the scaladoc's "no reliance on trailing no-data
+    // batches"), so the trailing zero-input batch Spark schedules to
+    // finalize the watermark only evicts state the terminating
+    // AvailableNow query never reads. Measured per-batch (sf0.1,
+    // local[32], StreamStateProbe): st_join batch2 845 ms,
+    // st_late_drop batch5 440 ms, st_sessions batch4 324 ms — all on
+    // 0 input rows. Results oracle-gated identical; scale-invariant
+    // (one fewer full store-open/commit cycle per stream at any SF).
+    // SPARK_GRAFT_STREAM_NODATA=1 restores the Spark default for
+    // measurement, same pattern as the partition knob above.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      (sys.env.getOrElse("SPARK_GRAFT_STREAM_NODATA", "0") == "1").toString)
     ss
   }
 
