@@ -38,8 +38,21 @@ object Sessions {
   def tuned(b: SparkSession.Builder): SparkSession.Builder = {
     val pf = sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true")
     val ccp = sys.env.getOrElse("SPARK_GRAFT_CACHED_COALESCE", "true")
+    // AQE's runtime SMJ->SHJ rewrite (guide §3.1): fires only when
+    // EVERY post-shuffle partition of the build side is under the
+    // threshold — decided from the shuffle's ACTUAL map output sizes,
+    // so at larger tiers big joins simply stop converting (no blanket
+    // preferSortMergeJoin=false, whose per-partition OOM hazard the
+    // guide warns about). MEASURED AND REJECTED as a default (r15):
+    // 64m over the 14 SMJ-carrying rows, 3-rep minima back-to-back —
+    // 23.46 s (off) vs 23.34 s (on), every per-row delta within
+    // ±0.19 s noise. The bench's SMJ sorts ride KB-sized frames where
+    // the sort is already cheap; the knob stays for cluster-tier
+    // measurement. 0 = Spark default (off).
+    val shj = sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "0")
     b.config("spark.sql.adaptive.coalescePartitions.parallelismFirst", pf)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         ccp)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", shj)
   }
 }
