@@ -539,7 +539,20 @@ object StreamExec {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (ds: org.apache.spark.sql.Dataset[EventStreams.CdcRow], batchId: Long) =>
         val sess = ds.sparkSession
+        // Persist the batch view for the batch's duration (r15, guide
+        // §5): a foreachBatch Dataset is RE-COMPUTED per action
+        // (documented Spark behavior), and this body reads it from
+        // THREE subtrees — the touched-bucket collect, the anti-join
+        // key projection, and the union — so the mapGroupsWithState
+        // batch output (a full state-store pass) ran up to 3x per
+        // batch. Bounded: one row per key restated this batch.
+        // Measured (st_cdc solo, 3 reps each): minima 5.68 → 5.49 s
+        // with overlapping spreads — at this SF the store-merge write
+        // dominates, so the win is small; kept for the ≤1-pass-per-
+        // batch contract, whose multiplier is batch-sized at scale.
         val upd = ds.toDF.withColumn("__bucket", bucketOf)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         val touched = upd.select("__bucket").distinct()
           .collect().map(_.getInt(0)).toSet // bounded: <= #buckets ints
         if (touched.nonEmpty) {
@@ -569,6 +582,7 @@ object StreamExec {
             .filter(d => d.isDirectory && !live.contains(d.toString))
             .foreach(d => graft.io.TempDirs.deleteRecursively(d.toPath))
         }
+        } finally upd.unpersist(blocking = false)
         ()
       }
       .start()
