@@ -299,12 +299,27 @@ object LayoutPack extends QueryPack {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = graft.io.TempDirs.create("graft_bucketed_")
       val (to, tc) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
-      Tables(s, dir, "orders").write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$base/orders").saveAsTable(to)
-      Tables(s, dir, "customer").write.mode("overwrite")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$base/customer").saveAsTable(tc)
+      // r15: the two layout writes are independent single-table jobs
+      // that ran sequentially on the driver (guide §2.6 — overlap
+      // independent jobs), and each arrived as ONE scan task that
+      // wrote all 8 bucket files serially. repartition(8, key) is the
+      // SAME partitioning function as the bucket spec (Spark's native
+      // bucketing reuses HashPartitioning.partitionIdExpression), so
+      // each of the 8 writer tasks holds exactly one bucket — the
+      // one-file-per-bucket layout is unchanged (BucketedJoinSpec's
+      // zero-exchange join still pins it) while the sort+encode runs
+      // 8-wide, and the two writes overlap on the scheduler.
+      def writeBucketed(table: String, key: String, name: String): Unit =
+        Tables(s, dir, table).repartition(8, col(key))
+          .write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$table").saveAsTable(name)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(writeBucketed("orders", "o_custkey", to)),
+        Future(writeBucketed("customer", "c_custkey", tc)))), Duration.Inf)
       (to, tc)
     })
   }
