@@ -104,6 +104,22 @@ object AnalyticsPack extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }(Seq(_))
 
+  /** Memoized distinct (l_orderkey, l_partkey) frame — the basket
+    * MEMBERSHIP relation. a11_item_cf built it once (itemN) and
+    * a12_basket_rules TWICE in one plan (its `items` and `n_baskets`
+    * aggregate subtrees each re-ran the scan + distinct exchange:
+    * Spark does not share unpersisted common subtrees), so the same
+    * lineitem pass + exchange ran 3× per bench (r15, guide §2.4).
+    * Bounded: one 16-byte row per distinct (order, part) membership —
+    * strictly smaller than lineitem itself, same cardinality class as
+    * the pair bases. Session-lifetime MemoPool entry like the rest. */
+  private def itemOrders(s: SparkSession, dir: String): DataFrame =
+    graft.scale.MemoPool.getOrBuild(s, dir, "itemOrders") {
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }(Seq(_))
+
   private def orientedCo(s: SparkSession, dir: String, minCoN: Int)
       : graft.scale.Triangles.OrientedGraph =
     graft.scale.MemoPool.getOrBuild(s, dir, s"orientedCo_$minCoN") {
@@ -586,8 +602,7 @@ object AnalyticsPack extends QueryPack {
     // top-20 is TakeOrderedAndProject. All quantities stay int64
     // (co·N·1000 ≲ 1e9 at sf0.1).
     "a12_basket_rules" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val li = itemOrders(s, dir)
       val items = li.groupBy(col("l_partkey").as("item"))
         .agg(count(lit(1)).as("cnt"))
       val n = li.select(col("l_orderkey")).distinct()
@@ -973,8 +988,7 @@ object AnalyticsPack extends QueryPack {
     // global sort.
     "a11_item_cf" -> ((s, dir) => {
       val co = coPairs(s, dir).filter(col("co_n") >= 3)
-      val itemN = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val itemN = itemOrders(s, dir)
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
       co.join(itemN.select(col("l_partkey").as("pa"), col("n").as("na")), "pa")
         .join(itemN.select(col("l_partkey").as("pb"), col("n").as("nb")), "pb")
